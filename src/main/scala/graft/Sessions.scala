@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory carrying the reference's execution-config envelope
+  * (reference: k8s/submit/etl-on-gcp-vinicius-campos.py:67-88) adapted for
+  * Spark 4.x. Two profiles: `local` for tests/bench (local[N], UI off) and
+  * `withDefaults` for composing into an externally-built session (cluster).
+  *
+  * Scale posture: AQE on (runtime re-plan + skew-join splitting), shuffle
+  * coalescing to 128 MB advisory partitions, Kryo, committer v2 — the same
+  * knobs the reference ships, which are also the right defaults for a
+  * 1000-executor / 100 TB run. `spark.sql.shuffle.partitions` is sized by
+  * the caller (cores locally; ~2-3x total cores on a cluster).
+  */
+object Sessions {
+
+  /** Reference config envelope (etl-on-gcp-vinicius-campos.py:67-88). */
+  def withDefaults(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.join.preferSortMergeJoin", "true")
+    .config("spark.sql.broadcastTimeout", "900")
+    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    .config("spark.speculation", "false")
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.debug.maxToStringFields", "100")
+    // events.ts is parquet TIMESTAMP(NANOS): surfaced as nanos-since-epoch
+    // LongType (Tables.scala normalizes it back to TimestampType @ micros).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(
+      cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      app: String = "graft"): SparkSession = {
+    val s = withDefaults(
+      SparkSession.builder().master(s"local[$cores]").appName(app))
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", Scratch.warehouse)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Scratch locations — kept inside the repo per the sandbox contract. */
+object Scratch {
+  val scratch = "/root/repo/target/tmp"
+  val warehouse = "/root/repo/target/spark-warehouse"
+  def fresh(prefix: String): String = {
+    val d = new java.io.File(
+      scratch, s"$prefix-${java.util.UUID.randomUUID.toString.take(8)}")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+}

@@ -1,0 +1,341 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Relational operator surface. The reference's own relational algebra is
+  * two statements — `SELECT * FROM df LIMIT 100` (pyfiles.zip/my_query.py:2-8)
+  * and `SELECT count(*) FROM <tbl>` (k8s/dags/etl-gcp-vinicius-campos.py:146-151)
+  * — mapped here to their canonical deterministic forms (R1-R6), plus the
+  * full relational breadth a complete engine needs (agg/join/window/set-ops/
+  * rollup), each left to Catalyst to plan (broadcast vs SMJ, partial aggs,
+  * TakeOrderedAndProject for ORDER BY+LIMIT).
+  */
+object Relational extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact-and-deterministic double sum: per-row decimal cast → exact sum
+    * → double. See QueryDef scaladoc.
+    */
+  private def dsum(e: String): org.apache.spark.sql.Column =
+    expr(s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // R1-R3: scan + projection + deterministic LIMIT (canonical form of the
+    // reference transform `SELECT * FROM df LIMIT 100`, my_query.py:2-8).
+    QueryDef("r3_limit", Some("""
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+             l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+             strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_s
+      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100"""),
+      bench = true) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("l_shipdate_s"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    },
+
+    // R4: ungrouped count(*) (etl-gcp-vinicius-campos.py:147-150).
+    QueryDef("r4_count", Some(
+      "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem")) { (s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+    },
+
+    // R5: boolean data-quality gate (BigQueryCheckOperator semantics,
+    // etl-gcp-vinicius-campos.py:144-155).
+    QueryDef("r5_check", Some(
+      "SELECT count(*) > 0 AS ok FROM lineitem")) { (s, dir) =>
+      t(s, dir, "lineitem").agg((count(lit(1)) > 0).as("ok"))
+    },
+
+    // R6 + S7: SQL entry point through a named temp view with create/drop
+    // lifecycle (etl-on-gcp-vinicius-campos.py:42,47,51).
+    QueryDef("r6_view_sql", Some("""
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(l_quantity AS DOUBLE) AS qty
+      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""")) {
+      (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("df")
+      val out = s.sql("""
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               CAST(l_quantity AS DOUBLE) AS qty
+        FROM df ORDER BY l_orderkey, l_linenumber LIMIT 100""")
+      val materialized = out.cache()
+      materialized.count() // force before the view drops under the plan
+      s.catalog.dropTempView("df")
+      materialized
+    },
+
+    // S2 showcase: filter + projection pushed into the parquet scan
+    // (PushedFilters / ReadSchema visible in .explain).
+    QueryDef("s2_filter_scan", Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_quantity <= 5.0 AND l_returnflag = 'A'
+      ORDER BY l_orderkey, l_linenumber""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 5.0 && col("l_returnflag") === "A")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // TPC-H Q1-shaped grouped aggregation: partial+final HashAggregate.
+    QueryDef("q1_agg", Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        CAST(count(*) AS BIGINT) AS count_order,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""), bench = true) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= expr("TIMESTAMP '1998-09-01 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          dsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")
+            .as("sum_disc_price"),
+          dsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * " +
+            "(CAST(1 AS DOUBLE) + l_tax)").as("sum_charge"),
+          count(lit(1)).as("count_order"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q3-shaped join + agg + top-k: small side broadcast, top-k via
+    // TakeOrderedAndProject (never a global sort of the full agg output).
+    QueryDef("q3_topk_join", Some("""
+      SELECT o.o_orderkey,
+        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+        CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY o.o_orderkey, o.o_orderdate
+      ORDER BY revenue DESC, o_orderkey LIMIT 10"""), bench = true) {
+      (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > expr("TIMESTAMP '1996-01-01 00:00:00'"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(o("o_orderkey"), o("o_orderdate"))
+        .agg(dsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")
+          .as("revenue"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5-shaped multi-way join: dims broadcast, fact-fact SMJ/AQE.
+    QueryDef("q5_join_agg", Some("""
+      SELECT n.n_name,
+        CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_items
+      FROM region r
+      JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+      WHERE r.r_name IN ('ASIA', 'EUROPE')
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY n.n_name
+      ORDER BY n.n_name"""), bench = true) { (s, dir) =>
+      val r = t(s, dir, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'")
+          && col("o_orderdate") < expr("TIMESTAMP '1999-01-01 00:00:00'"))
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .join(broadcast(su), su("s_suppkey") === l("l_suppkey")
+          && su("s_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name"))
+        .agg(dsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // Window functions: per-partition top-N via row_number.
+    QueryDef("w1_window", Some("""
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn"""), bench = true) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    // Window frame spec: running sum over a rows-between frame.
+    QueryDef("w2_running_sum", Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS running_spend
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderkey""")) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+            .cast("double").as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Set operations: INTERSECT / UNION(distinct) / EXCEPT.
+    QueryDef("u1_setops", Some("""
+      SELECT custkey FROM (
+        (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+      ) t ORDER BY custkey""")) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val a = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val b = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      val d = c.filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      val e = o.filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey"))
+      a.intersect(b).union(d).distinct().except(e).orderBy("custkey")
+    },
+
+    // Grouping sets via ROLLUP (subtotal rows disambiguated by coalesce).
+    QueryDef("g1_rollup", Some("""
+      SELECT coalesce(l_returnflag, '(all)') AS rf,
+             coalesce(l_linestatus, '(all)') AS ls,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY rf, ls""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum("l_quantity").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // Semi/anti joins (EXISTS / NOT EXISTS).
+    QueryDef("j1_semi_anti", Some("""
+      SELECT p.p_partkey, p.p_brand FROM part p
+      WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+                    AND l.l_quantity > 45)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_partkey = p.p_partkey AND l2.l_discount > 0.09)
+      ORDER BY p.p_partkey""")) { (s, dir) =>
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      p.join(l.filter(col("l_quantity") > 45).select("l_partkey"),
+          p("p_partkey") === col("l_partkey"), "left_semi")
+        .join(l.filter(col("l_discount") > 0.09).select("l_partkey")
+            .withColumnRenamed("l_partkey", "lp2"),
+          p("p_partkey") === col("lp2"), "left_anti")
+        .select("p_partkey", "p_brand")
+        .orderBy("p_partkey")
+    },
+
+    // Time-bucketed aggregation over the events table.
+    QueryDef("ev1_time_agg", Some("""
+      SELECT event_type,
+        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+        CAST(count(*) AS BIGINT) AS cnt,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY event_type, hour_s""")) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_s"))
+        .agg(count(lit(1)).as("cnt"), dsum("value").as("sum_value"))
+        .orderBy("event_type", "hour_s")
+    },
+
+    // Sessionization: gap > 30 min starts a new session (lag + conditional
+    // count over a per-user window — the standard scalable formulation).
+    QueryDef("ev2_sessionize", Some("""
+      WITH g AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+        FROM events)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN prev IS NULL OR ms - prev > 1800000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+      FROM g GROUP BY user_id ORDER BY user_id"""), bench = true) {
+      (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("prev", lag(col("ms"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("ms") - col("prev") > 1800000L, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("brk").as("n_sessions"))
+        .orderBy("user_id")
+    },
+
+    // JSON payload extraction (multimodal metadata path, X4).
+    QueryDef("m1_props_json", Some("""
+      SELECT event_type,
+        CAST(count(*) AS BIGINT) AS cnt,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      t(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    })
+}
