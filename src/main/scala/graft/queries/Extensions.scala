@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Mandated extension surface (SURVEY.md §2.4 / BASELINE.json north_star):
+  * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
+  * (brute-force + hyperplane-LSH), text analysis (tokens, quality, lang-ID,
+  * fingerprints) and multimodal binary plumbing — each as a verifiable
+  * query with a DuckDB oracle mirroring the exact arithmetic (md5-based
+  * hashing for portability; sequential double folds for vector math).
+  */
+object Extensions extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "is")
+
+  /** Shared oracle CTEs for 3-shingle sets over documents. */
+  private val shCte = """
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS shingle
+      FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents) dd,
+           LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-1,1))) AS i) ii),
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------- X5: text analysis ----------------
+
+    QueryDef("x5_token_stats", Some("""
+      WITH t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_tokens
+                 FROM documents GROUP BY lang),
+           d AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+                 FROM (SELECT lang, unnest(string_split(text,' ')) AS tok FROM documents)
+                 GROUP BY lang)
+      SELECT t.lang, n_docs, sum_tokens, n_distinct
+      FROM t JOIN d USING(lang) ORDER BY lang"""), bench = true) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens(col("text")))
+      val base = d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("sum_tokens"))
+      val dist = d.select(col("lang"), explode(col("toks")).as("tok"))
+        .groupBy("lang").agg(countDistinct("tok").as("n_distinct"))
+      base.join(dist, "lang").orderBy("lang")
+    },
+
+    QueryDef("x5_quality", Some(s"""
+      SELECT doc_id,
+        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+          / CAST(len(string_split(text,' ')) AS DOUBLE) AS ttr,
+        CAST(len(list_filter(string_split(text,' '),
+               tk -> tk IN ('the','a','of','and','to','is'))) AS DOUBLE)
+          / CAST(len(string_split(text,' ')) AS DOUBLE) AS stop_ratio,
+        CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+          / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_tok_len
+      FROM documents ORDER BY doc_id LIMIT 100""")) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(array_distinct(toks)).cast("double") / nTok).as("ttr"),
+        (TextOps.vocabCount(toks, enStop).cast("double") / nTok).as("stop_ratio"),
+        ((length(col("text")) - size(toks) + 1).cast("double") / nTok)
+          .as("avg_tok_len"))
+        .orderBy("doc_id").limit(100)
+    },
+
+    QueryDef("x5_langid", Some("""
+      WITH scored AS (
+        SELECT lang,
+          len(list_filter(string_split(text,' '), tk -> tk IN ('the','a','of','and','to','is'))) AS s_en,
+          len(list_filter(string_split(text,' '), tk -> tk IN ('el','la','de','y','que','es'))) AS s_es,
+          len(list_filter(string_split(text,' '), tk -> tk IN ('le','les','des','et','une','est'))) AS s_fr,
+          len(list_filter(string_split(text,' '), tk -> tk IN ('der','die','das','und','ist','ein'))) AS s_de
+        FROM documents),
+      pred AS (
+        SELECT lang,
+          CASE WHEN s_en > 0 AND s_en >= greatest(s_en,s_es,s_fr,s_de) THEN 'en'
+               WHEN s_es > 0 AND s_es >= greatest(s_en,s_es,s_fr,s_de) THEN 'es'
+               WHEN s_fr > 0 AND s_fr >= greatest(s_en,s_es,s_fr,s_de) THEN 'fr'
+               WHEN s_de > 0 AND s_de >= greatest(s_en,s_es,s_fr,s_de) THEN 'de'
+               ELSE 'und' END AS predicted
+        FROM scored)
+      SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2 ORDER BY lang, predicted""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextOps.langId(TextOps.tokens(col("text"))).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+
+    QueryDef("x5_fingerprint", Some("""
+      SELECT substr(md5(text),1,1) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+      FROM documents GROUP BY 1 ORDER BY bucket""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(TextOps.md5Fingerprint(col("text")).as("fp"))
+        .groupBy(substring(col("fp"), 1, 1).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct("fp").as("n_unique"))
+        .orderBy("bucket")
+    },
+
+    QueryDef("x5_rollhash", Some("""
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+      FROM documents ORDER BY doc_id LIMIT 50""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.rollingHash(col("text")).as("rhash"))
+        .orderBy("doc_id").limit(50)
+    },
+
+    // ---------------- X1: exact dedup ----------------
+
+    QueryDef("x1_dedup", Some("""
+      SELECT array_to_string(string_split(text,' ')[1:3],' ') AS key3,
+             CAST(min(doc_id) AS BIGINT) AS doc_id
+      FROM documents GROUP BY 1 ORDER BY key3, doc_id""")) { (s, dir) =>
+      val d = t(s, dir, "documents").withColumn("key3",
+        array_join(slice(TextOps.tokens(col("text")), 1, 3), " "))
+      Dedup.exactKeepFirst(d, Seq("key3"), "doc_id")
+        .select("key3", "doc_id").orderBy("key3", "doc_id")
+    },
+
+    QueryDef("x1_dedup_count", Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT DISTINCT user_id, event_type FROM events)""")) { (s, dir) =>
+      Dedup.exactKeepFirst(t(s, dir, "events"), Seq("user_id", "event_type"),
+          "event_id")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---------------- X2: near-dup ----------------
+
+    QueryDef("x2_jaccard_pairs", Some(s"""
+      WITH $shCte
+      SELECT da, db,
+        CAST(ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - ni AS DOUBLE) AS jacc
+      FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+      WHERE CAST(ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - ni AS DOUBLE)
+            >= CAST(0.8 AS DOUBLE)
+      ORDER BY da, db"""), bench = true) { (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy("da", "db")
+    },
+
+    QueryDef("x2_minhash_lsh", Some(s"""
+      WITH $shCte,
+      sig AS (SELECT doc_id,
+        min(md5('0|'||shingle)) AS m0, min(md5('1|'||shingle)) AS m1,
+        min(md5('2|'||shingle)) AS m2, min(md5('3|'||shingle)) AS m3,
+        min(md5('4|'||shingle)) AS m4, min(md5('5|'||shingle)) AS m5,
+        min(md5('6|'||shingle)) AS m6, min(md5('7|'||shingle)) AS m7
+        FROM sh GROUP BY doc_id),
+      bandv AS (
+        SELECT doc_id, 0 AS band, md5(m0||'|'||m1) AS bh FROM sig UNION ALL
+        SELECT doc_id, 1, md5(m2||'|'||m3) FROM sig UNION ALL
+        SELECT doc_id, 2, md5(m4||'|'||m5) FROM sig UNION ALL
+        SELECT doc_id, 3, md5(m6||'|'||m7) FROM sig),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM bandv x JOIN bandv y
+          ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+      SELECT c.da AS da, c.db AS db,
+        CAST(i.ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - i.ni AS DOUBLE) AS jacc
+      FROM cand c JOIN inter i ON i.da = c.da AND i.db = c.db
+      JOIN cnt ca ON ca.doc_id = c.da JOIN cnt cb ON cb.doc_id = c.db
+      WHERE CAST(i.ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - i.ni AS DOUBLE)
+            >= CAST(0.8 AS DOUBLE)
+      ORDER BY 1, 2"""), bench = true) { (s, dir) =>
+      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 8, bands = 4, threshold = 0.8, portable = true)
+        .orderBy("da", "db")
+    },
+
+    QueryDef("x2_simhash", Some("""
+      WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok
+                  FROM documents),
+      bits AS (SELECT doc_id,
+        """ + (0 until 16).map(i =>
+          s"""CASE WHEN sum(CASE WHEN substr(md5(tok),${i + 1},1) IN
+             ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0
+             THEN '1' ELSE '0' END AS b$i""").mkString(",\n        ") + """
+        FROM tk GROUP BY doc_id)
+      SELECT """ + (0 until 16).map(i => s"b$i").mkString("||") + """ AS simhash,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS min_doc
+      FROM bits GROUP BY 1 HAVING count(*) > 1 ORDER BY simhash""")) { (s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy("simhash")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("simhash")
+    },
+
+    // ---------------- X3: similarity search ----------------
+
+    QueryDef("x3_knn", Some("""
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id >= 10),
+      sc AS (SELECT qid, nid,
+               list_dot_product(qv,cv)
+                 / sqrt(list_dot_product(qv,qv) * list_dot_product(cv,cv)) AS sim
+             FROM q, c),
+      r AS (SELECT qid, nid, sim,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+            FROM sc)
+      SELECT qid, rnk, nid, sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""),
+      bench = true) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.knnBruteForce(
+          e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
+    QueryDef("x3_ann_buckets", Some("""
+      WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+                 FROM embeddings WHERE vec_id < 4),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+      b AS (SELECT v.vec_id,
+              string_agg(CASE WHEN list_dot_product(vv, pv) >= CAST(0 AS DOUBLE)
+                              THEN '1' ELSE '0' END, '' ORDER BY pid) AS bucket
+            FROM v, p GROUP BY v.vec_id)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(min(vec_id) AS BIGINT) AS min_vec
+      FROM b GROUP BY bucket ORDER BY bucket""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.hyperplaneBuckets(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 4), "vec_id", "embedding")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"))
+        .orderBy("bucket")
+    },
+
+    // ---------------- X4: multimodal binary plumbing ----------------
+
+    QueryDef("x4_binary_meta", Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+        CAST(sum((octet_length(encode(text)) % 640)
+                 * ((octet_length(encode(text)) * 7) % 480)) AS BIGINT) AS sum_pix,
+        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq
+      FROM documents GROUP BY source ORDER BY source""")) { (s, dir) =>
+      val bin = encode(col("text"), "UTF-8")
+      val blen = length(bin)
+      t(s, dir, "documents")
+        .select(col("source"), blen.as("blen"), md5(bin).as("chash"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("blen")).as("sum_bytes"),
+          sum((col("blen") % 640) * ((col("blen") * 7) % 480)).as("sum_pix"),
+          countDistinct("chash").as("n_uniq"))
+        .orderBy("source")
+    })
+}
