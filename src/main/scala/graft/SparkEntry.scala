@@ -10,7 +10,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val modules: Seq[QueryModule] = Seq(Relational, Extensions)
+  private val modules: Seq[QueryModule] = Seq(Relational, Extensions, EtlParity)
 
   private val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

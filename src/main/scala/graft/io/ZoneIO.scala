@@ -1,0 +1,67 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.model.{Format, Zone}
+
+/** Multi-format zone readers/writers — the reference's source/sink surface
+  * (SURVEY.md §2.1 S1-S4, S9):
+  *
+  *  - S1 JSON scan with schema inference
+  *    (reference k8s/submit/etl-on-gcp-vinicius-campos.py:22-25)
+  *  - S2 Parquet glob scan (etl-on-gcp-vinicius-campos.py:39-41,
+  *    glob path pyfiles.zip/variables.py:9)
+  *  - S3 Parquet sink, overwrite (etl-on-gcp-vinicius-campos.py:31)
+  *  - S4 Avro sink, overwrite (etl-on-gcp-vinicius-campos.py:57-61; the avro
+  *    source ships inside Spark 4's sql jar, no extra connector)
+  *  - S9 files → warehouse table truncate-load
+  *    (k8s/dags/etl-gcp-vinicius-campos.py:132-142)
+  *
+  * Schema is inferred end-to-end like the reference (§1.3), with an optional
+  * explicit StructType override for production hardening.
+  */
+object Readers {
+
+  def read(spark: SparkSession, format: Format, path: String,
+           schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.format(format.name)
+    schema.fold(r)(r.schema).load(path)
+  }
+
+  def zone(spark: SparkSession, z: Zone, rel: String = ""): DataFrame =
+    read(spark, z.format, z.path(rel))
+}
+
+object Writers {
+
+  /** Overwrite-write in the zone's format (the reference's only write mode —
+    * daily full re-run, etl-gcp-vinicius-campos.py:45).
+    */
+  def write(df: DataFrame, format: Format, path: String): Unit =
+    df.write.format(format.name).mode(SaveMode.Overwrite).save(path)
+
+  def zone(df: DataFrame, z: Zone, rel: String = ""): Unit =
+    write(df, z.format, z.path(rel))
+
+  /** S9: truncate-load files into a catalog table (`WRITE_TRUNCATE` +
+    * autodetect semantics of the reference's BigQuery load; schema rides
+    * with the DataFrame).
+    */
+  def loadTable(spark: SparkSession, source: Zone, rel: String,
+                database: String, table: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    spark.sql(s"DROP TABLE IF EXISTS $database.$table")
+    // A managed-table dir can survive from a previous process while the
+    // (in-memory) catalog forgot the table — truncate-load owns the target,
+    // so clear the stale location rather than failing LOCATION_ALREADY_EXISTS.
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val stale = java.nio.file.Paths.get(wh, s"$database.db", table)
+    if (java.nio.file.Files.exists(stale)) {
+      java.nio.file.Files.walk(stale)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    Readers.zone(spark, source, rel)
+      .write.mode(SaveMode.Overwrite).saveAsTable(s"$database.$table")
+  }
+}

@@ -11,7 +11,12 @@ sealed trait Format { def name: String }
 object Format {
   case object Json extends Format { val name = "json" }
   case object Parquet extends Format { val name = "parquet" }
-  case object Avro extends Format { val name = "avro" }
+  // This Spark distribution bundles the avro classes inside spark-sql but
+  // omits the DataSourceRegister service entry, so the "avro" alias fails
+  // to resolve — the fully-qualified provider works.
+  case object Avro extends Format {
+    val name = "org.apache.spark.sql.avro.AvroFileFormat"
+  }
   case object Csv extends Format { val name = "csv" }
   case object Orc extends Format { val name = "orc" }
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(sf("documents"))
+
+  test("exactKeepFirst is deterministic and idempotent") {
+    val df = Seq(
+      (1L, "k1"), (2L, "k1"), (3L, "k2"), (4L, "k1"), (5L, "k2"))
+      .toDF("id", "key")
+    val once = Dedup.exactKeepFirst(df, Seq("key"), "id")
+    assert(once.orderBy("id").as[(Long, String)].collect()
+      .toSeq == Seq((1L, "k1"), (3L, "k2")))
+    val twice = Dedup.exactKeepFirst(once, Seq("key"), "id")
+    assert(twice.orderBy("id").collect().sameElements(once.orderBy("id").collect()))
+  }
+
+  test("jaccardPairs: identical docs score 1.0, disjoint docs are absent") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 w5"),
+      (3L, "z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1.0)))
+  }
+
+  test("jaccard is bounded in (0,1] and pairs are ordered da < db") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.05)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, j) => a < b && j > 0.0 && j <= 1.0 })
+  }
+
+  test("minHashLsh candidates are a subset of exact jaccard pairs (fast hash)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text", 3, k = 8, bands = 4,
+        threshold = 0.8) // xxhash64 path
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    // high-similarity pairs should mostly survive banding at b=4,r=2
+    assert(lsh.nonEmpty)
+  }
+
+  test("maxDocFreq cut never invents pairs") {
+    val all = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val cut = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, maxDocFreq = 50)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(cut.subsetOf(all))
+  }
+
+  test("simhash emits 16-bit strings and groups identical docs together") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "one two three four")).toDF("doc_id", "text")
+    val rows = Dedup.simhash(df, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(rows.values.forall(h => h.length == 16 && h.forall("01".contains(_))))
+    assert(rows(1L) == rows(2L))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: n-grams in order; short docs yield empty, not descending seq") {
+    val df = Seq("a b c d", "a b", "x").toDF("text")
+    val sh = df.select(TextOps.shingles(TextOps.tokens(col("text")), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1).isEmpty)
+    assert(sh(2).isEmpty)
+  }
+
+  test("langId picks the profile with the most stopword hits, und on none") {
+    val df = Seq(
+      "the cat sat of the mat and a dog",
+      "el perro de la casa y que bien",
+      "zzz qqq www").toDF("text")
+    val out = df.select(TextOps.langId(TextOps.tokens(col("text")))).as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("rollingHash stays in [0, 1e9+7) and matches the reference fold") {
+    def ref(s: String): Long =
+      s.map(_.toLong).foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    val inputs = Seq("", "a", "abc", "hello world hello world")
+    val df = inputs.toDF("text")
+    val got = df.select(TextOps.rollingHash(col("text"))).as[Long].collect()
+    inputs.zip(got).foreach { case (s, h) =>
+      assert(h == ref(s), s"mismatch for '$s'")
+      assert(h >= 0 && h < 1000000007L)
+    }
+  }
+
+  test("regexTokens splits words, numbers and punctuation without empties") {
+    val df = Seq("hello, world! x2").toDF("text")
+    val toks = df.select(TextOps.regexTokens(col("text"))).as[Seq[String]].head()
+    assert(toks.nonEmpty && toks.forall(_.nonEmpty))
+    assert(toks.contains("hello"))
+  }
+
+  test("property: vocabCount never exceeds token count (scalacheck gen)") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(0, 9).map(i => s"w$i"))
+    val texts = (0 until 30).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).map(_.mkString(" ")))
+    assert(texts.size > 20)
+    val df = texts.toDF("text")
+    val toks = TextOps.tokens(col("text"))
+    val rows = df.select(size(toks), TextOps.vocabCount(toks, Seq("w1", "w2")))
+      .as[(Int, Int)].collect()
+    assert(rows.forall { case (n, v) => v >= 0 && v <= n })
+  }
+}
