@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support (mandated extension X4, SURVEY.md §2.4):
+  * image/audio/video as opaque `binary` columns plus a typed metadata
+  * struct, with decode / feature-extraction running as *batched*
+  * per-partition functions — the Spark-side plumbing (schema, partitioning,
+  * batch shape, encoders) is real; the pixel-level decode itself is a
+  * deterministic stub behind the `Decoder` seam because no media libraries
+  * ship in this environment. A production deployment swaps `StubDecoder`
+  * for one linking an image/audio codec; nothing else changes.
+  *
+  * Scale posture: decode runs inside `mapPartitions` — one JVM-side batch
+  * loop per partition, no shuffle, no driver involvement; a 100 TB corpus
+  * decodes at full executor parallelism bounded by input partitioning.
+  */
+object Multimodal {
+
+  final case class MediaMeta(format: String, width: Int, height: Int)
+  final case class MediaRow(id: Long, content: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(
+      id: Long, nBytes: Long, codes: Array[Long])
+
+  /** Batched decode seam. Implementations must be deterministic per input
+    * bytes (idempotent re-runs — a retried task must produce identical
+    * output).
+    */
+  trait Decoder extends Serializable {
+    def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures]
+  }
+
+  /** Deterministic stand-in for a real codec: "features" are the character
+    * codes of the md5 hex digest of the content bytes — portable enough
+    * that an external engine can reproduce them, which gives the whole
+    * mapPartitions path an exact oracle. A real decoder would return pixel
+    * statistics / embeddings instead.
+    */
+  object StubDecoder extends Decoder {
+    def md5Hex(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map(b => f"${b & 0xff}%02x").mkString
+
+    def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val hex = md5Hex(r.content)
+        MediaFeatures(r.id, r.content.length.toLong,
+          hex.take(8).map(_.toLong).toArray)
+      }
+  }
+
+  /** Wrap a text column as a binary media column with synthesized metadata
+    * (the shape a real ingest would produce from image/audio files).
+    */
+  def fromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("id"),
+        encode(col(textCol), "UTF-8").as("content"),
+        struct(
+          lit("txt").as("format"),
+          (length(encode(col(textCol), "UTF-8")) % 640).as("width"),
+          ((length(encode(col(textCol), "UTF-8")) * 7) % 480).as("height"))
+          .as("meta"))
+      .as[MediaRow]
+  }
+
+  /** Batched per-partition feature extraction: partitions stream through the
+    * decoder in `batchSize` groups (bounding peak memory per task to one
+    * batch of decoded media, independent of partition size).
+    */
+  def extractFeatures(
+      ds: Dataset[MediaRow], decoder: Decoder,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => decoder.decodeBatch(b))
+    }
+  }
+
+  /** Frame sampling for video-like payloads: every `stride`-th fixed-size
+    * block of the content bytes becomes one "frame" row (id, frameNo,
+    * frame). Pure projection — no shuffle.
+    */
+  def sampleFrames(
+      ds: Dataset[MediaRow], frameBytes: Int, stride: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ds.flatMap { r =>
+      r.content.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (frame, i) => (r.id, i, frame) }
+    }.toDF("id", "frame_no", "frame")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Mandated extension surface (SURVEY.md §2.4 / BASELINE.json north_star):
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
@@ -269,5 +269,23 @@ object Extensions extends QueryModule {
           sum((col("blen") % 640) * ((col("blen") * 7) % 480)).as("sum_pix"),
           countDistinct("chash").as("n_uniq"))
         .orderBy("source")
+    },
+
+    // Batched mapPartitions decode path: binary content → StubDecoder
+    // "features" (md5-hex char codes — portable, so the whole typed-Dataset
+    // plumbing gets an exact oracle; a real codec slots into the same seam).
+    QueryDef("x4_decode", Some("""
+      SELECT doc_id AS id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        """ + (0 until 8).map(j =>
+          s"CAST(ascii(substr(md5(text),${j + 1},1)) AS BIGINT) AS c$j")
+          .mkString(",\n        ") + """
+      FROM documents ORDER BY id LIMIT 100""")) { (s, dir) =>
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+      val feats = Multimodal.extractFeatures(media, Multimodal.StubDecoder)
+      feats.toDF()
+        .select(Seq(col("id"), col("nBytes").as("n_bytes")) ++
+          (0 until 8).map(j => element_at(col("codes"), j + 1).as(s"c$j")): _*)
+        .orderBy("id").limit(100)
     })
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(sf("documents"))
+
+  test("fromText builds binary content with typed metadata") {
+    val media = Multimodal.fromText(docs, "doc_id", "text")
+    val r = media.head()
+    assert(r.content.nonEmpty)
+    assert(r.meta.format == "txt")
+    assert(r.meta.width == r.content.length % 640)
+  }
+
+  test("extractFeatures is deterministic and batch-size independent") {
+    val media = Multimodal.fromText(docs.limit(100), "doc_id", "text")
+    val a = Multimodal.extractFeatures(media, Multimodal.StubDecoder, batchSize = 7)
+      .collect().sortBy(_.id)
+    val b = Multimodal.extractFeatures(media, Multimodal.StubDecoder, batchSize = 64)
+      .collect().sortBy(_.id)
+    assert(a.length == 100)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.id == y.id && x.nBytes == y.nBytes && x.codes.sameElements(y.codes) })
+  }
+
+  test("stub features equal md5-hex char codes of the content") {
+    val media = Multimodal.fromText(docs.limit(5), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media, Multimodal.StubDecoder)
+      .collect().map(f => f.id -> f).toMap
+    media.collect().foreach { r =>
+      val hex = Multimodal.StubDecoder.md5Hex(r.content)
+      assert(feats(r.id).codes.toSeq == hex.take(8).map(_.toLong).toSeq)
+    }
+  }
+
+  test("sampleFrames emits every stride-th fixed-size block") {
+    implicit val s = spark
+    val media = Multimodal.fromText(docs.limit(3), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+    val byId = frames.groupBy("id").agg(count(lit(1)).as("n"),
+      min("frame_no").as("mn")).as[(Long, Long, Int)].collect()
+    assert(byId.nonEmpty)
+    assert(byId.forall(_._3 == 0))
+    val content = media.head().content
+    val expected = (content.length + 15) / 16
+    val got = frames.filter($"id" === media.head().id).count()
+    assert(got == (expected + 1) / 2)
+  }
+}
