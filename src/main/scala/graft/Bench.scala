@@ -34,6 +34,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
+      finally spark.catalog.clearCache() // operators may persist intermediates
       (System.nanoTime() - t0) / 1e9
     }
 

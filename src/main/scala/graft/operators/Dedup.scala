@@ -26,9 +26,17 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Distinct (docId, shingle) pairs for an n-word shingling of `textCol`. */
+  /** Distinct (docId, shingle) pairs for an n-word shingling of `textCol`.
+    *
+    * The input is spread across the cluster first: corpus tables often
+    * arrive as few large-ish files (or one small one), and the tokenize +
+    * shingle + explode work is per-row CPU (higher-order functions evaluate
+    * interpreted — they are CodegenFallback) — without the repartition the
+    * whole explode runs at *file* parallelism, which can mean one task.
+    */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol),
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
         explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("shingle"))
       .distinct()
 
@@ -45,20 +53,20 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
     val sh0 = shingleSet(df, idCol, textCol, n)
-    val sh =
+    // The shingle set feeds three plan branches (per-doc counts + both join
+    // sides); without materialization Spark re-explodes the corpus per
+    // branch. MEMORY_AND_DISK: at scale this is the "materialize the
+    // inverted index" step and may spill, which is fine.
+    val shGive =
       if (maxDocFreq <= 0) sh0
       else {
         val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxDocFreq).select("shingle")
         sh0.join(rare, "shingle")
       }
+    val sh = shGive.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col(s"a.shingle") === col(s"b.shingle") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
-      .agg(count(lit(1)).as("ni"))
+    val inter = sharedShingleIntersections(sh, idCol)
     inter
       .join(cnt.select(col(idCol).as("da"), col("n_sh").as("na")), "da")
       .join(cnt.select(col(idCol).as("db"), col("n_sh").as("nb")), "db")
@@ -67,6 +75,25 @@ object Dedup {
           (col("na") + col("nb") - col("ni")).cast("double"))
       .filter(col("jacc") >= threshold)
       .select("da", "db", "jacc")
+  }
+
+  /** Pair intersection counts via the inverted-index self-join. The join
+    * *output* is orders of magnitude larger than its input (freq² pairs per
+    * shingle), so input-size-driven planning gets it badly wrong: AQE would
+    * happily broadcast the (small) input and/or coalesce the join down to a
+    * couple of tasks, serializing a multi-million-row explosion. Pin the
+    * plan instead: hash-repartition both sides on the key at full
+    * parallelism and force a shuffle merge join.
+    */
+  private def sharedShingleIntersections(sh: DataFrame, idCol: String): DataFrame = {
+    val p = sh.sparkSession.sparkContext.defaultParallelism
+    val byShingle = sh.repartition(p, col("shingle"))
+    byShingle.as("a").hint("shuffle_merge")
+      .join(byShingle.as("b").hint("shuffle_merge"),
+        col("a.shingle") === col("b.shingle") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
+      .agg(count(lit(1)).as("ni"))
   }
 
   /** MinHash signature column j for a shingle: portable variant hashes with
@@ -84,6 +111,12 @@ object Dedup {
     * on band hash, pair space bounded by band collisions) → exact Jaccard
     * verify on the candidate set only. AQE handles band-bucket skew.
     *
+    * Tuning: the s-curve midpoint is (1/bands)^(bands/k); rows-per-band
+    * r = k/bands controls how hard low-similarity pairs are suppressed. On
+    * corpora with high *background* similarity (shared boilerplate/vocab),
+    * r must be >= 4 or the candidate set grows quadratically — r=2 at a
+    * background Jaccard of 0.2 admits 4% of ALL pairs per band.
+    *
     * @param k        signature length (hash functions)
     * @param bands    number of LSH bands; rows per band = k / bands
     * @param portable md5-based hashing (engine-portable, oracle-checkable)
@@ -95,7 +128,9 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
+    // Feeds signature aggregation AND the verify joins — materialize once.
     val sh = shingleSet(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigCols = (0 until k).map(j =>
       min(minhashOf(col("shingle"), j, portable)).as(s"m$j"))
     val sig = sh.groupBy(idCol).agg(sigCols.head, sigCols.tail: _*)
@@ -104,6 +139,9 @@ object Dedup {
       sig.select(col(idCol), lit(b).as("band"),
         md5(concat_ws("|", cols: _*)).as("bh"))
     }.reduce(_ unionAll _)
+      // both sides of the candidate self-join — without this the signature
+      // aggregation re-runs once per union branch per side
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bandDf.as("x")
       .join(bandDf.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -115,12 +153,7 @@ object Dedup {
       .union(cand.select(col("db"))).distinct()
     val shc = sh.join(docs, idCol)
     val cnt = shc.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val inter = shc.as("a")
-      .join(shc.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
-      .agg(count(lit(1)).as("ni"))
+    val inter = sharedShingleIntersections(shc, idCol)
     cand.join(inter, Seq("da", "db"))
       .join(cnt.select(col(idCol).as("da"), col("n_sh").as("na")), "da")
       .join(cnt.select(col(idCol).as("db"), col("n_sh").as("nb")), "db")
@@ -136,7 +169,8 @@ object Dedup {
     * bucket-join downstream as needed.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      TextOps.simhashBits(array_distinct(TextOps.tokens(col(textCol))))
-        .as("simhash"))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        TextOps.simhashBits(array_distinct(TextOps.tokens(col(textCol))))
+          .as("simhash"))
 }

@@ -76,9 +76,12 @@ object Multimodal {
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(b => decoder.decodeBatch(b))
-    }
+    // Spread first: media tables often arrive as few large files, and the
+    // decode is pure per-row CPU — partition count bounds its parallelism.
+    ds.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(b => decoder.decodeBatch(b))
+      }
   }
 
   /** Frame sampling for video-like payloads: every `stride`-th fixed-size

@@ -41,7 +41,11 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as("qid"), asDouble(col(vecCol)).as("qv")))
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
+    // Spread the corpus: the per-pair dot products are interpreted HOF
+    // evals, and a single-file corpus would otherwise score serially.
+    val c = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
     val scored = c.crossJoin(q)
       .withColumn("sim", cosine(col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window
@@ -60,7 +64,8 @@ object Similarity {
       planes: DataFrame, planeId: String, planeVec: String): DataFrame = {
     val p = broadcast(planes.select(
       col(planeId).as("__pid"), asDouble(col(planeVec)).as("__pv")))
-    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .crossJoin(p)
       .withColumn("__bit", when(dot(col("__v"), col("__pv")) >= 0, "1").otherwise("0"))
       .groupBy(idCol)

@@ -17,6 +17,13 @@ object Extensions extends QueryModule {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Spread a small-file table across the cluster before CPU-heavy per-row
+    * work (tokenize/HOF evals run interpreted; a one-file table would
+    * otherwise process on a single task).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private val enStop = Seq("the", "a", "of", "and", "to", "is")
 
   /** Shared oracle CTEs for 3-shingle sets over documents. */
@@ -44,7 +51,7 @@ object Extensions extends QueryModule {
                  GROUP BY lang)
       SELECT t.lang, n_docs, sum_tokens, n_distinct
       FROM t JOIN d USING(lang) ORDER BY lang"""), bench = true) { (s, dir) =>
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"))
         .withColumn("toks", TextOps.tokens(col("text")))
       val base = d.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("sum_tokens"))
@@ -66,7 +73,7 @@ object Extensions extends QueryModule {
       FROM documents ORDER BY doc_id LIMIT 100""")) { (s, dir) =>
       val toks = TextOps.tokens(col("text"))
       val nTok = size(toks).cast("double")
-      t(s, dir, "documents").select(
+      spread(t(s, dir, "documents")).select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         (size(array_distinct(toks)).cast("double") / nTok).as("ttr"),
@@ -94,7 +101,7 @@ object Extensions extends QueryModule {
         FROM scored)
       SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
       FROM pred GROUP BY 1, 2 ORDER BY lang, predicted""")) { (s, dir) =>
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .select(col("lang"), TextOps.langId(TextOps.tokens(col("text"))).as("predicted"))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
         .orderBy("lang", "predicted")
@@ -118,7 +125,7 @@ object Extensions extends QueryModule {
             list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT))),
           (a, b) -> (a * 31 + b) % 1000000007) AS rhash
       FROM documents ORDER BY doc_id LIMIT 50""")) { (s, dir) =>
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .select(col("doc_id"), TextOps.rollingHash(col("text")).as("rhash"))
         .orderBy("doc_id").limit(50)
     },
@@ -161,16 +168,14 @@ object Extensions extends QueryModule {
     QueryDef("x2_minhash_lsh", Some(s"""
       WITH $shCte,
       sig AS (SELECT doc_id,
-        min(md5('0|'||shingle)) AS m0, min(md5('1|'||shingle)) AS m1,
-        min(md5('2|'||shingle)) AS m2, min(md5('3|'||shingle)) AS m3,
-        min(md5('4|'||shingle)) AS m4, min(md5('5|'||shingle)) AS m5,
-        min(md5('6|'||shingle)) AS m6, min(md5('7|'||shingle)) AS m7
+        """ + (0 until 16).map(j =>
+          s"min(md5('$j|'||shingle)) AS m$j").mkString(",\n        ") + """
         FROM sh GROUP BY doc_id),
       bandv AS (
-        SELECT doc_id, 0 AS band, md5(m0||'|'||m1) AS bh FROM sig UNION ALL
-        SELECT doc_id, 1, md5(m2||'|'||m3) FROM sig UNION ALL
-        SELECT doc_id, 2, md5(m4||'|'||m5) FROM sig UNION ALL
-        SELECT doc_id, 3, md5(m6||'|'||m7) FROM sig),
+        """ + (0 until 4).map { b =>
+          val ms = (b * 4 until (b + 1) * 4).map(j => s"m$j").mkString("||'|'||")
+          s"SELECT doc_id, $b AS band, md5($ms) AS bh FROM sig"
+        }.mkString("\n        UNION ALL\n        ") + """),
       cand AS (
         SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
         FROM bandv x JOIN bandv y
@@ -183,7 +188,7 @@ object Extensions extends QueryModule {
             >= CAST(0.8 AS DOUBLE)
       ORDER BY 1, 2"""), bench = true) { (s, dir) =>
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, k = 8, bands = 4, threshold = 0.8, portable = true)
+          n = 3, k = 16, bands = 4, threshold = 0.8, portable = true)
         .orderBy("da", "db")
     },
 
