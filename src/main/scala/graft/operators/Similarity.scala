@@ -19,15 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product — native codegen expression. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.VectorFunctions.vecDot(a, b)
 
   /** Cosine similarity; formula fixed as dot/sqrt(na*nb) for cross-engine
-    * reproducibility.
+    * reproducibility. Native codegen expression (single pass).
     */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    org.apache.spark.sql.graft.VectorFunctions.vecCosine(a, b)
+
+  /** Higher-order-function formulations — semantically identical to the
+    * native expressions above (same sequential fold); kept as the
+    * cross-check reference implementation.
+    */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / sqrt(dotHof(a, a) * dotHof(b, b))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

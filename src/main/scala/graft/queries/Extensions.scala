@@ -186,9 +186,19 @@ object Extensions extends QueryModule {
       JOIN cnt ca ON ca.doc_id = c.da JOIN cnt cb ON cb.doc_id = c.db
       WHERE CAST(i.ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - i.ni AS DOUBLE)
             >= CAST(0.8 AS DOUBLE)
-      ORDER BY 1, 2"""), bench = true) { (s, dir) =>
+      ORDER BY 1, 2""")) { (s, dir) =>
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
           n = 3, k = 16, bands = 4, threshold = 0.8, portable = true)
+        .orderBy("da", "db")
+    },
+
+    // Production-hash variant (xxhash64 signatures — codegen'd long min
+    // instead of md5 strings). Not reproducible in the oracle engine →
+    // rows-only check; this is the configuration a cluster would run, so
+    // it is the benched one.
+    QueryDef("x2_minhash_fast", None, bench = true) { (s, dir) =>
+      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 16, bands = 4, threshold = 0.8, portable = false)
         .orderBy("da", "db")
     },
 
