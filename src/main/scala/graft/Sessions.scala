@@ -15,8 +15,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
-  /** Reference config envelope (etl-on-gcp-vinicius-campos.py:67-88). */
+  /** Reference config envelope (etl-on-gcp-vinicius-campos.py:67-88), plus
+    * the engine's SQL function extensions (vec_dot / vec_cosine).
+    */
   def withDefaults(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")

@@ -84,6 +84,25 @@ object Similarity {
           s => s.getField("__bit")), "").as("bucket"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, LSH-blocked: only pairs falling
+    * in the same hyperplane bucket are compared (the blocking that makes
+    * all-pairs dedup feasible at corpus scale — pair space is per-bucket,
+    * never global). Output: (da, db, cos) with da < db, cos >= threshold.
+    */
+  def cosineDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      planes: DataFrame, planeId: String, planeVec: String,
+      threshold: Double): DataFrame = {
+    val b = hyperplaneBuckets(df, idCol, vecCol, planes, planeId, planeVec)
+      .join(df.select(col(idCol), asDouble(col(vecCol)).as("__v")), idCol)
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .withColumn("cos", cosine(col("x.__v"), col("y.__v")))
+      .filter(col("cos") >= threshold)
+      .select(col(s"x.$idCol").as("da"), col(s"y.$idCol").as("db"), col("cos"))
+  }
+
   /** Bucketed ANN: top-k per query among corpus vectors in the *same* LSH
     * bucket. Recall < 1 by construction; the scale path for corpora where
     * brute force is impossible. Shuffles on bucket, never cross-joins the

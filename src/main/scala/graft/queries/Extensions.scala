@@ -265,6 +265,31 @@ object Extensions extends QueryModule {
         .orderBy("bucket")
     },
 
+    // Embedding-cosine near-dup: LSH bucket blocking + exact cosine verify,
+    // mirrored exactly in the oracle (same data-derived planes, same
+    // sequential-fold cosine).
+    QueryDef("x2_cosine_dup", Some("""
+      WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+                 FROM embeddings WHERE vec_id < 4),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+      b AS (SELECT v.vec_id, vv,
+              string_agg(CASE WHEN list_dot_product(vv, pv) >= CAST(0 AS DOUBLE)
+                              THEN '1' ELSE '0' END, '' ORDER BY pid) AS bucket
+            FROM v, p GROUP BY v.vec_id, vv)
+      SELECT x.vec_id AS da, y.vec_id AS db,
+        list_dot_product(x.vv, y.vv)
+          / sqrt(list_dot_product(x.vv, x.vv) * list_dot_product(y.vv, y.vv)) AS cos
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE list_dot_product(x.vv, y.vv)
+          / sqrt(list_dot_product(x.vv, x.vv) * list_dot_product(y.vv, y.vv))
+          >= CAST(0.4 AS DOUBLE)
+      ORDER BY da, db""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineDupPairs(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 4), "vec_id", "embedding", threshold = 0.4)
+        .orderBy("da", "db")
+    },
+
     // ---------------- X4: multimodal binary plumbing ----------------
 
     QueryDef("x4_binary_meta", Some("""

@@ -37,6 +37,14 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.forall(c => math.abs(c - 1.0) < 1e-9))
   }
 
+  test("vec_dot / vec_cosine are callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+      "vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("null array yields null, not an exception") {
     val df = Seq((Some(Array(1.0, 2.0)), None: Option[Array[Double]]))
       .toDF("a", "b")
