@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface for the events table shape. The reference is
+  * batch-only (`@daily` full re-run, reference
+  * k8s/dags/etl-gcp-vinicius-campos.py:45); this is the streaming
+  * formulation of the same event analytics — windowed aggregation with
+  * watermarked late-data handling, and stateful sessionization via
+  * flatMapGroupsWithState — so the engine covers continuous pipelines,
+  * not just the daily batch.
+  *
+  * Scale posture: state is keyed (user/window) and partitioned by key;
+  * watermarks bound state size; nothing collects to the driver.
+  */
+object Streams {
+
+  /** events table schema (TESTDATA.md / FIXTURES.md §2) — streaming file
+    * sources require an explicit schema.
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event files. */
+  def readEventStream(spark: SparkSession, dir: String,
+                      format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventsSchema).format(format).load(dir)
+
+  /** Tumbling event-time window counts with a watermark: late events beyond
+    * `lateness` are dropped and their window state evicted.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String,
+                     lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionAgg(events: List[Long], lastTs: Long)
+  final case class UserSession(user_id: Long, n_events: Int,
+                               start_ms: Long, end_ms: Long)
+
+  /** Stateful sessionization: a session closes after `gapMs` of inactivity
+    * (event-time, enforced via event-time timeout against the watermark).
+    * Emits one row per *closed* session — the streaming equivalent of the
+    * batch ev2_sessionize query.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 lateness: String): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, it: Iterator[Event],
+               state: GroupState[SessionAgg]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(UserSession(userId, s.events.size,
+          s.events.min, s.lastTs))
+      } else {
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption
+        val closed = scala.collection.mutable.ListBuffer.empty[UserSession]
+        sorted.foreach { e =>
+          val ms = e.ts.getTime
+          cur match {
+            case Some(s) if ms - s.lastTs > gapMs =>
+              closed += UserSession(userId, s.events.size, s.events.min, s.lastTs)
+              cur = Some(SessionAgg(List(ms), ms))
+            case Some(s) =>
+              cur = Some(SessionAgg(s.events :+ ms, math.max(s.lastTs, ms)))
+            case None =>
+              cur = Some(SessionAgg(List(ms), ms))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastTs + gapMs)
+        }
+        closed.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Append-mode parquet sink with checkpointing — the streaming version of
+    * the batch zone write.
+    */
+  def parquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+}

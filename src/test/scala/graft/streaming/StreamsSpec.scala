@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.{Scratch, SparkSpec}
+import graft.streaming.Streams.{Event, UserSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowedCounts: tumbling windows aggregate by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.windowedCounts(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(4), 2, "click", 2.0),
+        Event(3, ts(12), 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      in.addData(Event(9, ts(45), 9, "late", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("win_start", "event_type", "cnt", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((ts(0), "click", 2L, 3.0)))
+      assert(rows.contains((ts(10), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("windowedCounts: events later than the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.windowedCounts(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wl").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(1), 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(2, ts(40), 2, "click", 1.0)) // watermark → 10:35
+      q.processAllAvailable()
+      in.addData(Event(3, ts(2), 3, "click", 1.0)) // far behind watermark
+      q.processAllAvailable()
+      in.addData(Event(4, ts(59), 4, "click", 1.0))
+      q.processAllAvailable()
+      val first = spark.table("wl").filter($"win_start" === ts(0))
+        .agg(sum("cnt")).as[Long].head()
+      assert(first == 1L, "late event must not reopen the closed window")
+    } finally q.stop()
+  }
+
+  test("sessionize: 30-min gap closes a session; state emits on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val out = Streams.sessionize(in.toDS(), gapMs = 30 * 60 * 1000L,
+      lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 10:01, 10:05 (one session), then 11:30 (new session)
+      in.addData(
+        Event(1, ts(1), 1, "a", 0), Event(2, ts(5), 1, "a", 0))
+      q.processAllAvailable()
+      in.addData(Event(3, Timestamp.valueOf("2026-01-01 11:30:00"), 1, "a", 0))
+      q.processAllAvailable()
+      // push watermark way forward so the second session times out too
+      in.addData(Event(4, Timestamp.valueOf("2026-01-01 14:00:00"), 2, "a", 0))
+      q.processAllAvailable()
+      in.addData(Event(5, Timestamp.valueOf("2026-01-01 18:00:00"), 3, "a", 0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[UserSession].collect()
+        .filter(_.user_id == 1).sortBy(_.start_ms)
+      assert(sessions.length == 2)
+      assert(sessions(0).n_events == 2)
+      assert(sessions(0).start_ms == ts(1).getTime)
+      assert(sessions(0).end_ms == ts(5).getTime)
+      assert(sessions(1).n_events == 1)
+    } finally q.stop()
+  }
+
+  test("file-source stream over the events parquet matches batch counts") {
+    // stream the sf0.001 events dir and compare total rows with batch read
+    val dir = Scratch.fresh("stream-in")
+    // Tables.load normalizes the nanos-as-long ts back to TimestampType so
+    // the staged files carry the schema the stream declares.
+    val batch = graft.model.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    batch.write.mode("overwrite").parquet(dir)
+    val outDir = Scratch.fresh("stream-out")
+    val ckDir = Scratch.fresh("stream-ck")
+    val q = Streams.parquetSink(
+      Streams.readEventStream(spark, dir), outDir, ckDir).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(outDir).count() == batch.count())
+  }
+}
