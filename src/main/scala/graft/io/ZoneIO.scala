@@ -47,13 +47,14 @@ object Writers {
     * autodetect semantics of the reference's BigQuery load; schema rides
     * with the DataFrame).
     */
-  def loadTable(spark: SparkSession, source: Zone, rel: String,
-                database: String, table: String): Unit = {
+  /** Drop a managed table AND its on-disk location. The location can survive
+    * from a previous process while the (in-memory) catalog forgot the
+    * table — a truncate-load owns its target, so clear it rather than
+    * failing LOCATION_ALREADY_EXISTS.
+    */
+  def dropManaged(spark: SparkSession, database: String, table: String): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
     spark.sql(s"DROP TABLE IF EXISTS $database.$table")
-    // A managed-table dir can survive from a previous process while the
-    // (in-memory) catalog forgot the table — truncate-load owns the target,
-    // so clear the stale location rather than failing LOCATION_ALREADY_EXISTS.
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val stale = java.nio.file.Paths.get(wh, s"$database.db", table)
     if (java.nio.file.Files.exists(stale)) {
@@ -61,6 +62,11 @@ object Writers {
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => java.nio.file.Files.delete(p))
     }
+  }
+
+  def loadTable(spark: SparkSession, source: Zone, rel: String,
+                database: String, table: String): Unit = {
+    dropManaged(spark, database, table)
     Readers.zone(spark, source, rel)
       .write.mode(SaveMode.Overwrite).saveAsTable(s"$database.$table")
   }
