@@ -265,6 +265,48 @@ object Extensions extends QueryModule {
         .orderBy("bucket")
     },
 
+    // Bucketed ANN top-k: neighbors ranked within the query's LSH bucket —
+    // the scale path when brute force is impossible. Recall < 1 by design;
+    // the oracle mirrors the same buckets so results still hash-match.
+    QueryDef("x3_ann_knn", Some("""
+      WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+                 FROM embeddings WHERE vec_id < 4),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+      b AS (SELECT v.vec_id, vv,
+              string_agg(CASE WHEN list_dot_product(vv, pv) >= CAST(0 AS DOUBLE)
+                              THEN '1' ELSE '0' END, '' ORDER BY pid) AS bucket
+            FROM v, p GROUP BY v.vec_id, vv),
+      q AS (SELECT vec_id AS qid, vv AS qv, bucket FROM b WHERE vec_id < 10),
+      c AS (SELECT vec_id AS nid, vv AS cv, bucket FROM b WHERE vec_id >= 10),
+      s AS (SELECT qid, nid, q.bucket,
+              list_dot_product(qv, cv)
+                / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS sim
+            FROM q JOIN c USING (bucket)),
+      r AS (SELECT qid, nid, bucket, sim,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+            FROM s)
+      SELECT qid, rnk, nid, sim, bucket FROM r WHERE rnk <= 3
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.knnLsh(
+          e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding",
+          e.filter(col("vec_id") < 4), "vec_id", "embedding", k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
+    // HLL sketch: approx distinct tokens per lang. Spark's HyperLogLog++
+    // differs from other engines' sketches by construction → rows-only gate;
+    // the exact companion is x5_token_stats.
+    QueryDef("x5_approx_distinct", None) { (s, dir) =>
+      spread(t(s, dir, "documents"))
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("lang")
+        .agg(approx_count_distinct("tok", 0.01).as("approx_tokens"))
+        .orderBy("lang")
+    },
+
     // Embedding-cosine near-dup: LSH bucket blocking + exact cosine verify,
     // mirrored exactly in the oracle (same data-derived planes, same
     // sequential-fold cosine).
