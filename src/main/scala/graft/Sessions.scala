@@ -31,6 +31,12 @@ object Sessions {
     .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.debug.maxToStringFields", "100")
+    // The generated-class cache defaults to 100 entries; a workload with
+    // more codegen units than that (this engine's full query set has
+    // several hundred) LRU-thrashes it, and recompilation serializes every
+    // executor thread behind the compile KeyLock — observed as progressive
+    // 3-10x slowdowns. Size it for the workload.
+    .config("spark.sql.codegen.cache.maxEntries", "5000")
     // events.ts is parquet TIMESTAMP(NANOS): surfaced as nanos-since-epoch
     // LongType (Tables.scala normalizes it back to TimestampType @ micros).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

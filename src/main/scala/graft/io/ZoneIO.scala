@@ -43,6 +43,17 @@ object Writers {
   def zone(df: DataFrame, z: Zone, rel: String = ""): Unit =
     write(df, z.format, z.path(rel))
 
+  /** Hive-style partitioned write: one directory per partition value. At
+    * fact-table scale this is what makes time/tenant predicates prune whole
+    * directories at planning time (PartitionFilters in the scan) instead of
+    * reading 100 TB to filter.
+    */
+  def writePartitioned(df: DataFrame, format: Format, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.format(format.name)
+      .partitionBy(partitionCols: _*)
+      .mode(SaveMode.Overwrite).save(path)
+
   /** S9: truncate-load files into a catalog table (`WRITE_TRUNCATE` +
     * autodetect semantics of the reference's BigQuery load; schema rides
     * with the DataFrame).

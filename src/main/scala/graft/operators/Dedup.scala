@@ -37,7 +37,8 @@ object Dedup {
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol),
-        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("shingle"))
+        explode(org.apache.spark.sql.graft.WordShingles.of(col(textCol), n))
+          .as("shingle"))
       .distinct()
 
   /** All-pairs n-gram Jaccard >= threshold, via a shared-shingle inverted
@@ -125,12 +126,14 @@ object Dedup {
   def minHashLsh(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, threshold: Double,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, materialize: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     // Feeds signature aggregation AND the verify joins — materialize once.
-    val sh = shingleSet(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh0 = shingleSet(df, idCol, textCol, n)
+    val sh = if (materialize)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val sigCols = (0 until k).map(j =>
       min(minhashOf(col("shingle"), j, portable)).as(s"m$j"))
     val sig = sh.groupBy(idCol).agg(sigCols.head, sigCols.tail: _*)
@@ -139,11 +142,13 @@ object Dedup {
       sig.select(col(idCol), lit(b).as("band"),
         md5(concat_ws("|", cols: _*)).as("bh"))
     }.reduce(_ unionAll _)
+    val bandMat = if (materialize)
       // both sides of the candidate self-join — without this the signature
       // aggregation re-runs once per union branch per side
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bandDf.as("x")
-      .join(bandDf.as("y"),
+      bandDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else bandDf
+    val cand = bandMat.as("x")
+      .join(bandMat.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("da"), col(s"y.$idCol").as("db"))

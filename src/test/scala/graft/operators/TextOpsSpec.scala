@@ -17,6 +17,17 @@ class TextOpsSpec extends SparkSpec {
     assert(sh(2).isEmpty)
   }
 
+  test("native WordShingles matches the HOF shingles exactly, incl. edges") {
+    val docs = spark.read.parquet(sf("documents")).select("text")
+      .union(Seq("a b", "x", "", "one two three four").toDF("text"))
+    val cmp = docs.select(
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("hof"),
+      org.apache.spark.sql.graft.WordShingles.of(col("text"), 3).as("native"))
+    val rows = cmp.as[(Seq[String], Seq[String])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (h, nat) => assert(h == nat) }
+  }
+
   test("langId picks the profile with the most stopword hits, und on none") {
     val df = Seq(
       "the cat sat of the mat and a dog",
