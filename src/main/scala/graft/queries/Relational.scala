@@ -281,6 +281,48 @@ object Relational extends QueryModule {
         .orderBy("p_partkey")
     },
 
+    // Outer join: customers with zero orders kept, counts/sums null-safe.
+    QueryDef("j2_outer", Some("""
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+             CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,6))),
+                           0) AS DOUBLE) AS spend
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey ORDER BY c_custkey""")) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, o("o_custkey") === c("c_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("n_orders"),
+          coalesce(sum(o("o_totalprice").cast("decimal(18,6)")), lit(0))
+            .cast("double").as("spend"))
+        .orderBy("c_custkey")
+    },
+
+    // Correlated scalar subquery (TPC-H Q17 flavor) through the SQL entry
+    // point — Catalyst decorrelates it into an aggregate + join; exact
+    // decimal avg keeps the comparison engine-portable.
+    QueryDef("j3_scalar_subq", Some("""
+      SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE CAST(l.l_quantity AS DECIMAL(18,6)) <
+            (SELECT CAST(0.5 AS DECIMAL(2,1))
+                    * avg(CAST(l2.l_quantity AS DECIMAL(18,6)))
+             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY p.p_brand ORDER BY p_brand""")) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "part").createOrReplaceTempView("part")
+      val out = s.sql("""
+        SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE CAST(l.l_quantity AS DECIMAL(18,6)) <
+              (SELECT CAST(0.5 AS DECIMAL(2,1))
+                      * avg(CAST(l2.l_quantity AS DECIMAL(18,6)))
+               FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand ORDER BY p_brand""")
+      out
+    },
+
     // Time-bucketed aggregation over the events table.
     QueryDef("ev1_time_agg", Some("""
       SELECT event_type,
