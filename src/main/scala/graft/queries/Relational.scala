@@ -262,6 +262,40 @@ object Relational extends QueryModule {
         .orderBy("rf", "ls")
     },
 
+    // Grouping sets via CUBE: all four grouping combinations in one pass.
+    QueryDef("g2_cube", Some("""
+      SELECT coalesce(l_returnflag, '(all)') AS rf,
+             coalesce(l_linestatus, '(all)') AS ls,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY rf, ls""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"), col("cnt"))
+        .orderBy("rf", "ls")
+    },
+
+    // Pivot: order counts per priority spread into columns (oracle mirrors
+    // with conditional aggregation — the engine-portable formulation).
+    QueryDef("p1_pivot", Some("""
+      SELECT o_orderstatus,
+        CAST(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS urgent,
+        CAST(coalesce(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS BIGINT) AS medium,
+        CAST(coalesce(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0) AS BIGINT) AS low
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "3-MEDIUM", "5-LOW"))
+        .count()
+        .select(col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("medium"),
+          coalesce(col("5-LOW"), lit(0L)).as("low"))
+        .orderBy("o_orderstatus")
+    },
+
     // Semi/anti joins (EXISTS / NOT EXISTS).
     QueryDef("j1_semi_anti", Some("""
       SELECT p.p_partkey, p.p_brand FROM part p
