@@ -37,6 +37,14 @@ object Sessions {
     // executor thread behind the compile KeyLock — observed as progressive
     // 3-10x slowdowns. Size it for the workload.
     .config("spark.sql.codegen.cache.maxEntries", "5000")
+    // ObjectHashAggregate (the exec for TypedImperativeAggregates like
+    // MinHashAgg) falls back to SORT-based aggregation after only 128
+    // distinct keys per task — a full sort of every shingle row once the
+    // corpus has more than 128 docs per partition. MinHash buffers are k
+    // longs (~1 KB at production k=128), so 256k in-flight groups per task
+    // is ~256 MB worst case — hash-aggregate territory; the sort fallback
+    // still guards beyond that.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
     // events.ts is parquet TIMESTAMP(NANOS): surfaced as nanos-since-epoch
     // LongType (Tables.scala normalizes it back to TimestampType @ micros).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * Scale posture (100 TB): every method is expressed as shuffle-parallel
   * groupBy/join plans — no driver collect, no cross join. Near-dup candidate
   * generation is always *blocked* (LSH bands or shared-shingle inverted
-  * index) so the pair space stays ~linear in input, never n².
+  * index) so the pair space stays ~linear in input, never n². Exact
+  * verification is always restricted to the candidate *pair* set — never to
+  * all pairs among candidate *docs*, which can approach the whole corpus on
+  * high-background-similarity data.
   */
 object Dedup {
 
@@ -27,15 +30,12 @@ object Dedup {
   }
 
   /** Distinct (docId, shingle) pairs for an n-word shingling of `textCol`.
-    *
-    * The input is spread across the cluster first: corpus tables often
-    * arrive as few large-ish files (or one small one), and the tokenize +
-    * shingle + explode work is per-row CPU (higher-order functions evaluate
-    * interpreted — they are CodegenFallback) — without the repartition the
-    * whole explode runs at *file* parallelism, which can mean one task.
+    * Input is spread first iff it arrives under-partitioned (single-file
+    * corpus tables) — the shingle explode is per-row CPU that must not run
+    * on one task; see [[Par.spread]].
     */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Par.spread(df)
       .select(col(idCol),
         explode(org.apache.spark.sql.graft.WordShingles.of(col(textCol), n))
           .as("shingle"))
@@ -44,38 +44,36 @@ object Dedup {
   /** All-pairs n-gram Jaccard >= threshold, via a shared-shingle inverted
     * index: a pair is only materialized if it shares at least one shingle
     * (complete for any threshold > 0). `maxDocFreq` drops shingles appearing
-    * in more than that many docs — the standard prefix-frequency cut that
-    * keeps the inverted index from exploding on boilerplate shingles at
-    * scale (0 = keep all, exact semantics for the oracle).
+    * in more than that many docs *from candidate generation only* — the
+    * standard frequency cut that keeps the inverted index from exploding on
+    * boilerplate shingles at scale (0 = keep all, exact semantics). Reported
+    * Jaccard is always computed on the UNFILTERED shingle sets, so the cut
+    * can lose pairs whose only shared shingles are frequent, but never
+    * reports an inflated score or invents a pair.
     *
     * Output: (da, db, jacc) with da < db.
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
-    val sh0 = shingleSet(df, idCol, textCol, n)
-    // The shingle set feeds three plan branches (per-doc counts + both join
-    // sides); without materialization Spark re-explodes the corpus per
-    // branch. MEMORY_AND_DISK: at scale this is the "materialize the
-    // inverted index" step and may spill, which is fine.
-    val shGive =
-      if (maxDocFreq <= 0) sh0
-      else {
-        val rare = sh0.groupBy("shingle").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDocFreq).select("shingle")
-        sh0.join(rare, "shingle")
-      }
-    val sh = shGive.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Feeds several plan branches (per-doc counts + both join sides);
+    // without materialization Spark re-explodes the corpus per branch.
+    // MEMORY_AND_DISK: at scale this is the "materialize the inverted
+    // index" step and may spill, which is fine.
+    val sh = shingleSet(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val inter = sharedShingleIntersections(sh, idCol)
-    inter
-      .join(cnt.select(col(idCol).as("da"), col("n_sh").as("na")), "da")
-      .join(cnt.select(col(idCol).as("db"), col("n_sh").as("nb")), "db")
-      .withColumn("jacc",
-        col("ni").cast("double") /
-          (col("na") + col("nb") - col("ni")).cast("double"))
-      .filter(col("jacc") >= threshold)
-      .select("da", "db", "jacc")
+    val inter =
+      if (maxDocFreq <= 0) sharedShingleIntersections(sh, idCol)
+      else {
+        // Pruned index generates candidates; verify on the full sets.
+        val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq).select("shingle")
+        val cand = sharedShingleIntersections(sh.join(rare, "shingle"), idCol)
+          .select("da", "db")
+        pairIntersections(cand, sh, idCol)
+      }
+    scorePairs(inter, cnt, idCol, threshold)
   }
 
   /** Pair intersection counts via the inverted-index self-join. The join
@@ -97,6 +95,32 @@ object Dedup {
       .agg(count(lit(1)).as("ni"))
   }
 
+  /** Shingle-intersection counts restricted to an explicit candidate-pair
+    * set: explode each pair into the left doc's shingles, then equi-join on
+    * the right doc's shingles. Work is O(|cand| × shingles/doc) — linear in
+    * the candidate pairs — where the inverted-index self-join over candidate
+    * *docs* would be quadratic when background similarity makes candidate
+    * docs ≈ the whole corpus. Pairs sharing no shingle drop out (jacc 0 —
+    * below any positive threshold by construction).
+    */
+  private def pairIntersections(
+      cand: DataFrame, sh: DataFrame, idCol: String): DataFrame =
+    cand.join(sh.select(col(idCol).as("da"), col("shingle")), "da")
+      .join(sh.select(col(idCol).as("db"), col("shingle")), Seq("db", "shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+
+  /** (da, db, ni) + per-doc set sizes → thresholded (da, db, jacc). */
+  private def scorePairs(inter: DataFrame, cnt: DataFrame, idCol: String,
+                         threshold: Double): DataFrame =
+    inter
+      .join(cnt.select(col(idCol).as("da"), col("n_sh").as("na")), "da")
+      .join(cnt.select(col(idCol).as("db"), col("n_sh").as("nb")), "db")
+      .withColumn("jacc",
+        col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double"))
+      .filter(col("jacc") >= threshold)
+      .select("da", "db", "jacc")
+
   /** MinHash signature column j for a shingle: portable variant hashes with
     * md5 (string min — reproducible in any engine), fast variant with
     * xxhash64 (codegen'd long min — what a production cluster should run).
@@ -110,13 +134,21 @@ object Dedup {
     * Plan shape: shingle explode → k min-hash aggregations (one shuffle on
     * docId) → band hashes → groupBy(band) self-join for candidates (shuffle
     * on band hash, pair space bounded by band collisions) → exact Jaccard
-    * verify on the candidate set only. AQE handles band-bucket skew.
+    * verify restricted to the candidate *pairs* (pairIntersections — never
+    * the quadratic all-pairs among candidate docs). AQE handles band-bucket
+    * skew.
     *
     * Tuning: the s-curve midpoint is (1/bands)^(bands/k); rows-per-band
     * r = k/bands controls how hard low-similarity pairs are suppressed. On
     * corpora with high *background* similarity (shared boilerplate/vocab),
     * r must be >= 4 or the candidate set grows quadratically — r=2 at a
     * background Jaccard of 0.2 admits 4% of ALL pairs per band.
+    *
+    * The fast (xxhash64) path aggregates all k signature slots in ONE
+    * native [[org.apache.spark.sql.graft.MinHashAgg]] buffer — one
+    * aggregate expression regardless of k, so production k=128 doesn't plan
+    * 128 min() columns. The portable path keeps k separate md5-string
+    * min()s (engine-reproducible for the oracle).
     *
     * @param k        signature length (hash functions)
     * @param bands    number of LSH bands; rows per band = k / bands
@@ -134,14 +166,25 @@ object Dedup {
     val sh = if (materialize)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
-    val sigCols = (0 until k).map(j =>
-      min(minhashOf(col("shingle"), j, portable)).as(s"m$j"))
-    val sig = sh.groupBy(idCol).agg(sigCols.head, sigCols.tail: _*)
-    val bandDf = (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(j => col(s"m$j").cast("string"))
-      sig.select(col(idCol), lit(b).as("band"),
-        md5(concat_ws("|", cols: _*)).as("bh"))
-    }.reduce(_ unionAll _)
+    val bandDf =
+      if (portable) {
+        val sigCols = (0 until k).map(j =>
+          min(minhashOf(col("shingle"), j, portable)).as(s"m$j"))
+        val sig = sh.groupBy(idCol).agg(sigCols.head, sigCols.tail: _*)
+        (0 until bands).map { b =>
+          val cols = (b * r until (b + 1) * r).map(j => col(s"m$j").cast("string"))
+          sig.select(col(idCol), lit(b).as("band"),
+            md5(concat_ws("|", cols: _*)).as("bh"))
+        }.reduce(_ unionAll _)
+      } else {
+        // One buffer of k longs per doc, one aggregate expression total.
+        val sig = sh.groupBy(idCol).agg(
+          org.apache.spark.sql.graft.MinHashAgg.of(col("shingle"), k).as("sig"))
+        (0 until bands).map { b =>
+          sig.select(col(idCol), lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
+        }.reduce(_ unionAll _)
+      }
     val bandMat = if (materialize)
       // both sides of the candidate self-join — without this the signature
       // aggregation re-runs once per union branch per side
@@ -153,20 +196,9 @@ object Dedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("da"), col(s"y.$idCol").as("db"))
       .distinct()
-    // Exact verify, restricted to candidate docs then candidate pairs.
-    val docs = cand.select(col("da").as(idCol))
-      .union(cand.select(col("db"))).distinct()
-    val shc = sh.join(docs, idCol)
-    val cnt = shc.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val inter = sharedShingleIntersections(shc, idCol)
-    cand.join(inter, Seq("da", "db"))
-      .join(cnt.select(col(idCol).as("da"), col("n_sh").as("na")), "da")
-      .join(cnt.select(col(idCol).as("db"), col("n_sh").as("nb")), "db")
-      .withColumn("jacc",
-        col("ni").cast("double") /
-          (col("na") + col("nb") - col("ni")).cast("double"))
-      .filter(col("jacc") >= threshold)
-      .select("da", "db", "jacc")
+    // Exact verify, restricted to the candidate pairs.
+    val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    scorePairs(pairIntersections(cand, sh, idCol), cnt, idCol, threshold)
   }
 
   /** SimHash bucketing: docs sharing a 16-bit SimHash are near-dup
@@ -174,8 +206,63 @@ object Dedup {
     * bucket-join downstream as needed.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Par.spread(df)
       .select(col(idCol),
         TextOps.simhashBits(array_distinct(TextOps.tokens(col(textCol))))
           .as("simhash"))
+
+  /** Near-dup *resolution*: a pair list (da, db) → one cluster id per doc —
+    * the minimum doc id reachable through the duplicate-pair graph (docs in
+    * no pair are their own cluster). This is the step a training pipeline
+    * actually runs: pairs are evidence, the deduped corpus is the product.
+    *
+    * Algorithm: iterative min-label propagation (the standard
+    * shuffle-parallel connected-components formulation): every doc starts
+    * as its own label; each round, a doc's label becomes the min of its own
+    * and its neighbors' labels; stop when a round changes nothing. Rounds =
+    * graph diameter — duplicate clusters are shallow (near-cliques from
+    * LSH), so convergence is fast; each round is one join + one
+    * aggregation, all shuffle-parallel, nothing on the driver but the loop
+    * counter. `localCheckpoint` truncates the lineage each round so plan
+    * depth stays O(1).
+    *
+    * Output: (id, cluster) for every doc in `df`, cluster = min id of the
+    * doc's connected component.
+    */
+  def resolveClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+                      maxRounds: Int = 50): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("id"))
+    // Undirected: each edge in both directions.
+    val edges = pairs.select(col("da").cast("long").as("src"),
+        col("db").cast("long").as("dst"))
+      .union(pairs.select(col("db").cast("long"), col("da").cast("long")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col("id"), col("id").as("cluster")).localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min("cluster").as("nbr"))
+      val next = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .filter(col("cluster") =!= col("prev")).count()
+      labels = next
+      round += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
+    edges.unpersist()
+    labels
+  }
+
+  /** Deduped corpus: keep exactly the canonical (minimum-id) doc of every
+    * cluster. One broadcast-able join of the corpus against its cluster map.
+    */
+  def dedupByClusters(df: DataFrame, idCol: String, labels: DataFrame): DataFrame =
+    df.join(labels.filter(col("id") === col("cluster"))
+        .select(col("id").as(idCol)), idCol)
 }

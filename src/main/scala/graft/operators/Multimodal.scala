@@ -76,10 +76,13 @@ object Multimodal {
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    // Spread first: media tables often arrive as few large files, and the
-    // decode is pure per-row CPU — partition count bounds its parallelism.
-    ds.repartition(spark.sparkContext.defaultParallelism)
-      .mapPartitions { it =>
+    // Spread first iff under-partitioned (cf. Par.spread): media tables
+    // often arrive locally as few large files and the decode is pure
+    // per-row CPU, but an already-parallel cluster input must not be
+    // re-shuffled just to decode.
+    val p = spark.sparkContext.defaultParallelism
+    val wide = if (ds.rdd.getNumPartitions >= p) ds else ds.repartition(p)
+    wide.mapPartitions { it =>
         it.grouped(batchSize).flatMap(b => decoder.decodeBatch(b))
       }
   }

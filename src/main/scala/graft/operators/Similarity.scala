@@ -5,17 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (mandated extension X3,
   * SURVEY.md §2.4). Embeddings are ArrayType(FloatType); all math is done in
-  * double via codegen'd higher-order functions (zip_with + aggregate), no
-  * UDFs.
+  * double via the native codegen expressions vec_dot / vec_cosine, no UDFs.
   *
-  * Determinism note: `aggregate` folds left-to-right, so dot products are
-  * bit-reproducible — and bit-identical to any engine that sums a double
-  * accumulator sequentially (verified against DuckDB's list_dot_product).
+  * Determinism note: the folds are sequential left-to-right, so dot
+  * products are bit-reproducible — and bit-identical to any engine that
+  * sums a double accumulator sequentially (verified against DuckDB's
+  * list_dot_product).
   *
   * Scale posture: the query side of a kNN search must be the small side and
-  * is broadcast; the corpus is never shuffled for brute force. The LSH
-  * variant buckets the corpus by hyperplane signs so a 100 TB corpus only
-  * pair-joins within buckets.
+  * is broadcast; the corpus is never shuffled for brute force. LSH bucket
+  * assignment is a pure per-row projection against driver-collected plane
+  * vectors (planes are small BY CONTRACT — tens of doubles each, ≤64
+  * planes) — zero shuffle, zero exchange; only the downstream bucket
+  * equijoin shuffles, and only on the bucket key.
   */
 object Similarity {
 
@@ -51,10 +53,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as("qid"), asDouble(col(vecCol)).as("qv")))
-    // Spread the corpus: the per-pair dot products are interpreted HOF
-    // evals, and a single-file corpus would otherwise score serially.
-    val c = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = Par.spread(corpus)
       .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
     val scored = c.crossJoin(q)
       .withColumn("sim", cosine(col("qv"), col("cv")))
@@ -65,23 +64,36 @@ object Similarity {
       .select("qid", "rank", "nid", "sim")
   }
 
-  /** Random-hyperplane LSH bucket id: one sign bit per plane, concatenated
-    * in plane order. Planes are a small DataFrame (pid, vec) — broadcast.
-    * Output: input columns + `bucket` string.
+  /** The plane vectors, collected once and ordered by plane id — they are
+    * small by contract (an LSH table is ≤64 planes of embedding width), so
+    * shipping them to every task as literals is exactly what `broadcast`
+    * would do, minus a whole corpus×P shuffle.
+    */
+  private def collectPlanes(
+      planes: DataFrame, planeId: String, planeVec: String): Array[Seq[Double]] =
+    planes.select(col(planeId), asDouble(col(planeVec)))
+      .orderBy(col(planeId))
+      .collect()
+      .map(_.getSeq[Double](1))
+
+  /** Bucket id for `vec`: one sign bit per plane, concatenated in plane-id
+    * order. A single codegen'd projection — one vec_dot per plane against
+    * an array literal.
+    */
+  private def bucketExpr(vec: Column, planeVecs: Array[Seq[Double]]): Column =
+    concat(planeVecs.map(pv =>
+      when(dot(vec, typedLit(pv)) >= 0, "1").otherwise("0")): _*)
+
+  /** Random-hyperplane LSH bucket assignment: input columns + `bucket`
+    * string. Zero shuffle — the physical plan is scan → project (the
+    * crossJoin+groupBy formulation this replaces shuffled the corpus ×P to
+    * compute what is a per-row projection).
     */
   def hyperplaneBuckets(
       df: DataFrame, idCol: String, vecCol: String,
       planes: DataFrame, planeId: String, planeVec: String): DataFrame = {
-    val p = broadcast(planes.select(
-      col(planeId).as("__pid"), asDouble(col(planeVec)).as("__pv")))
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
-      .crossJoin(p)
-      .withColumn("__bit", when(dot(col("__v"), col("__pv")) >= 0, "1").otherwise("0"))
-      .groupBy(idCol)
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__pid"), col("__bit")))),
-          s => s.getField("__bit")), "").as("bucket"))
+    val pv = collectPlanes(planes, planeId, planeVec)
+    Par.spread(df).withColumn("bucket", bucketExpr(asDouble(col(vecCol)), pv))
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-blocked: only pairs falling
@@ -94,7 +106,7 @@ object Similarity {
       planes: DataFrame, planeId: String, planeVec: String,
       threshold: Double): DataFrame = {
     val b = hyperplaneBuckets(df, idCol, vecCol, planes, planeId, planeVec)
-      .join(df.select(col(idCol), asDouble(col(vecCol)).as("__v")), idCol)
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"), col("bucket"))
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -112,11 +124,9 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       planes: DataFrame, planeId: String, planeVec: String, k: Int): DataFrame = {
     val cb = hyperplaneBuckets(corpus, idCol, vecCol, planes, planeId, planeVec)
-      .withColumnRenamed(idCol, "nid")
-      .join(corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv")), "nid")
+      .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"), col("bucket"))
     val qb = hyperplaneBuckets(queries, idCol, vecCol, planes, planeId, planeVec)
-      .withColumnRenamed(idCol, "qid")
-      .join(queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv")), "qid")
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"), col("bucket"))
     val scored = cb.join(broadcast(qb), "bucket")
       .withColumn("sim", cosine(col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window
@@ -124,5 +134,48 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "sim", "bucket")
+  }
+
+  /** Multi-table LSH ANN: L independent hash tables (one plane set each);
+    * a corpus vector is a candidate for a query if they collide in ANY
+    * table — the standard recall amplifier (miss probability decays
+    * exponentially in L). Candidates are unioned, deduped on (qid, nid),
+    * then scored once and ranked. All L bucket assignments are single-pass
+    * projections over the same scan; only the candidate equijoins shuffle.
+    *
+    * Output: (qid, rank, nid, sim) — same shape as brute force, so recall
+    * is directly measurable against [[knnBruteForce]] ground truth.
+    */
+  def knnLshMulti(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      planeTables: Seq[DataFrame], planeId: String, planeVec: String,
+      k: Int): DataFrame = {
+    require(planeTables.nonEmpty, "need at least one plane table")
+    val tables = planeTables.map(collectPlanes(_, planeId, planeVec))
+    val c0 = Par.spread(corpus)
+      .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
+    // All L bucket ids in one projection over one corpus scan.
+    val cb = c0.select(Seq(col("nid"), col("cv")) ++
+      tables.zipWithIndex.map { case (pv, i) =>
+        bucketExpr(col("cv"), pv).as(s"b$i") }: _*)
+    val qb = broadcast(queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .select(Seq(col("qid"), col("qv")) ++
+        tables.zipWithIndex.map { case (pv, i) =>
+          bucketExpr(col("qv"), pv).as(s"b$i") }: _*))
+    // Candidate = collision in any table. The join is per-table equijoin +
+    // union + distinct — never an OR-of-keys theta join (which would plan a
+    // nested-loop cross product).
+    val cand = tables.indices.map { i =>
+      cb.join(qb, cb(s"b$i") === qb(s"b$i"))
+        .select(col("qid"), col("qv"), col("nid"), col("cv"))
+    }.reduce(_ unionAll _)
+      .dropDuplicates("qid", "nid")
+    val scored = cand.withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "sim")
   }
 }

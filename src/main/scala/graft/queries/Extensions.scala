@@ -18,11 +18,10 @@ object Extensions extends QueryModule {
     Tables.load(s, dir, n)
 
   /** Spread a small-file table across the cluster before CPU-heavy per-row
-    * work (tokenize/HOF evals run interpreted; a one-file table would
-    * otherwise process on a single task).
+    * work — conditional on actual input partitioning (no-op at cluster
+    * scale); see [[graft.operators.Par.spread]].
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = graft.operators.Par.spread(df)
 
   private val enStop = Seq("the", "a", "of", "and", "to", "is")
 
