@@ -53,9 +53,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failedJson = failed.mkString("[", ",", "]")
     val sf = sfDir.split('/').last
     println(
-      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sf"}""")
+      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson%s,"sf":"$sf"}""")
     spark.stop()
+    // A crashed query must not silently *shrink* the reported total — fail
+    // the whole bench run loudly (after printing, so the JSON still shows
+    // which queries died).
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.checks.Check
 import graft.io.{Readers, Writers}
 import graft.model.{Format, Zone}
-import graft.pipeline.{Pipeline, PipelineRun, Task}
+import graft.pipeline.{AsyncJob, JobHandle, Pipeline, PipelineRun, Task}
 
 /** The reference's two Spark jobs plus the full orchestration DAG, expressed
   * over a local three-zone layout (SURVEY.md §3; reference
@@ -50,17 +50,45 @@ object Etl {
     out
   }
 
+  /** Zip every regular file under `dir` (relative paths preserved) into
+    * `zipPath`, skipping Spark bookkeeping files — fabricates the external
+    * provider's archive that the reference's cloud function downloads.
+    */
+  private def zipDir(dir: Path, zipPath: Path): Unit = {
+    val zout = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(zipPath))
+    try {
+      Files.walk(dir).filter(Files.isRegularFile(_))
+        .filter(p => !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .sorted()
+        .forEach { p =>
+          zout.putNextEntry(new java.util.zip.ZipEntry(
+            dir.relativize(p).toString))
+          Files.copy(p, zout)
+          zout.closeEntry()
+        }
+    } finally zout.close()
+  }
+
   /** The full O1-O10 DAG over a scratch root. Returns the run plus the
     * database.table it loaded.
+    *
+    * @param sensorPollMs job-sensor poll interval; the reference polls
+    *                     every 15 000 ms (dag :114) — specs shrink it.
     */
   def pipeline(spark: SparkSession, scratchRoot: String, sourceParquet: String,
                orderBy: Seq[String], database: String = "graft",
-               table: String = "etl_out"): (PipelineRun, String) = {
+               table: String = "etl_out",
+               sensorPollMs: Long = 50L): (PipelineRun, String) = {
     val root = Paths.get(scratchRoot)
     val landing = Zone(s"$scratchRoot/landing", Format.Json)
     val processing = Zone(s"$scratchRoot/processing", Format.Parquet)
     val curated = Zone(s"$scratchRoot/curated", Format.Avro)
+    val staging = Paths.get(s"$scratchRoot/staging")
     val fq = s"$database.$table"
+    val handle =
+      new java.util.concurrent.atomic.AtomicReference[JobHandle[Long]]()
 
     def rmtree(p: Path): Unit = if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
@@ -71,19 +99,36 @@ object Etl {
       Task("create_zones")(() =>
         Seq(landing, processing, curated).foreach(z =>
           Files.createDirectories(Paths.get(z.root)))),
-      // O2: ingest into landing (ref :49-56 invokes the cloud function; here
-      // the source parquet is staged as landing line-delimited JSON).
-      Task("ingest", deps = Seq("create_zones"))(() =>
+      // Stand-in for the external data provider: source parquet → JSON →
+      // one zip archive (what the reference's HTTP endpoint serves).
+      Task("stage_source", deps = Seq("create_zones"))(() => {
+        Files.createDirectories(staging)
         spark.read.parquet(sourceParquet)
-          .write.mode("overwrite").json(landing.root)),
-      // O3+O4: compute exists (getOrCreate) + submit job (ref :77-107).
-      Task("json_to_parquet", deps = Seq("ingest"))(() => {
-        val n = jsonToParquet(spark, landing, processing)
+          .write.mode("overwrite").json(s"$staging/json")
+        zipDir(staging.resolve("json"), staging.resolve("payload.zip"))
+      }),
+      // O2: the ingest function proper (ref :49-56 invokes the cloud
+      // function; cloud-function/main.py:14-31 downloads the zip and
+      // extracts members into landing) — S8 wired into the gated DAG.
+      Task("ingest", deps = Seq("stage_source"))(() => {
+        val files = graft.ingest.HttpZipIngest.ingest(
+          s"file://${staging.resolve("payload.zip")}", landing.root)
+        require(files.nonEmpty, "ingest extracted no files")
+      }),
+      // O3+O4: compute exists (getOrCreate) + ASYNCHRONOUS submit
+      // (ref :77-107, asynchronous=True :105) — returns a handle, no wait.
+      Task("submit_job", deps = Seq("ingest"))(() =>
+        handle.set(AsyncJob.submit(jsonToParquet(spark, landing, processing)))),
+      // O5: the job sensor — polls the handle until terminal (ref :109-116,
+      // 15 s poke interval) and fails if the job failed or produced 0 rows.
+      Task("job_sensor", deps = Seq("submit_job"))(() => {
+        val n = AsyncJob.awaitDone(handle.get(), sensorPollMs,
+          timeoutMs = 30 * 60 * 1000L)
         require(n > 0, "no rows after ingest")
       }),
-      // O5 sensor collapses into the synchronous call; O6 teardown is the
-      // session's own lifecycle (spark.stop in the caller's finally).
-      Task("sql_transform", deps = Seq("json_to_parquet"))(() =>
+      // O6 teardown is the session's own lifecycle (spark.stop in the
+      // caller's finally).
+      Task("sql_transform", deps = Seq("job_sensor"))(() =>
         transform(spark, processing, curated, queryRegistry(orderBy)("ETL_GCP"))),
       // O7+O8: warehouse dataset + truncate-load (ref :126-142).
       Task("load_table", deps = Seq("sql_transform"))(() =>
@@ -91,9 +136,11 @@ object Etl {
       // O9: count gate (ref :144-155).
       Task("count_check", deps = Seq("load_table"))(() =>
         Check("count_check", s"SELECT count(*) FROM $fq").assertPasses(spark)),
-      // O10: cleanup zones, gated on the check (ref :157-167).
-      Task("cleanup", deps = Seq("count_check"))(() =>
-        Seq(landing, processing, curated).foreach(z => rmtree(Paths.get(z.root)))))
+      // O10: cleanup zones + staging, gated on the check (ref :157-167).
+      Task("cleanup", deps = Seq("count_check"))(() => {
+        Seq(landing, processing, curated).foreach(z => rmtree(Paths.get(z.root)))
+        rmtree(staging)
+      }))
 
     (new Pipeline(tasks).run(), fq)
   }

@@ -1,9 +1,9 @@
 package graft.ingest
 
-import java.io.{BufferedInputStream, FileOutputStream, InputStream}
+import java.io.{BufferedInputStream, InputStream}
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.zip.ZipInputStream
 import scala.collection.mutable.ListBuffer
 
@@ -15,6 +15,12 @@ import scala.collection.mutable.ListBuffer
   *
   * `file:` URIs are served from disk so the ingest path is testable without
   * network egress.
+  *
+  * Member *paths* are preserved (the reference keeps the archive layout;
+  * flattening to basenames would silently overwrite same-named members from
+  * different directories). Zip-slip is blocked structurally: each entry's
+  * normalized target must stay under the landing root or the entry is
+  * rejected.
   */
 object HttpZipIngest {
 
@@ -30,12 +36,14 @@ object HttpZipIngest {
     }
   }
 
-  /** Download `url`, unzip, write every member file under `landingDir`.
-    * Returns the extracted paths. Member names are sanitized against
-    * zip-slip (the reference extracts blindly; we don't cargo-cult that).
+  /** Download `url`, unzip, write every member file under `landingDir`
+    * keeping the member's relative path. Returns the extracted paths.
+    * Throws on entries that would escape the landing root (zip-slip) —
+    * corrupt-or-hostile archives should fail the ingest task loudly, not
+    * half-extract.
     */
   def ingest(url: String, landingDir: String): Seq[String] = {
-    val outRoot = Paths.get(landingDir)
+    val outRoot = Paths.get(landingDir).toAbsolutePath.normalize()
     Files.createDirectories(outRoot)
     val extracted = ListBuffer.empty[String]
     val zin = new ZipInputStream(new BufferedInputStream(fetch(url)))
@@ -43,10 +51,11 @@ object HttpZipIngest {
       var entry = zin.getNextEntry
       while (entry != null) {
         if (!entry.isDirectory) {
-          val name = Paths.get(entry.getName).getFileName.toString
-          val target = outRoot.resolve(name)
-          val out = new FileOutputStream(target.toFile)
-          try zin.transferTo(out) finally out.close()
+          val target: Path = outRoot.resolve(entry.getName).normalize()
+          require(target.startsWith(outRoot),
+            s"zip entry escapes landing root: ${entry.getName}")
+          Files.createDirectories(target.getParent)
+          Files.copy(zin, target, StandardCopyOption.REPLACE_EXISTING)
           extracted += target.toString
         }
         zin.closeEntry()

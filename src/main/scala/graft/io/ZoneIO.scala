@@ -62,17 +62,25 @@ object Writers {
     * from a previous process while the (in-memory) catalog forgot the
     * table — a truncate-load owns its target, so clear it rather than
     * failing LOCATION_ALREADY_EXISTS.
+    *
+    * The location is resolved from the catalog when the table is still
+    * registered (so we delete what the table actually owned), falling back
+    * to the catalog's default path for the orphaned-directory case; deletion
+    * goes through the Hadoop FileSystem of the resolved URI, so a cluster
+    * warehouse (hdfs://, s3a://, ...) is cleaned the same as a local one.
     */
   def dropManaged(spark: SparkSession, database: String, table: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val catalog = spark.sessionState.catalog
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    val ident = TableIdentifier(table, Some(database))
+    val location: java.net.URI =
+      if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
+      else catalog.defaultTablePath(ident)
     spark.sql(s"DROP TABLE IF EXISTS $database.$table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val stale = java.nio.file.Paths.get(wh, s"$database.db", table)
-    if (java.nio.file.Files.exists(stale)) {
-      java.nio.file.Files.walk(stale)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+    val path = new org.apache.hadoop.fs.Path(location)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
   }
 
   def loadTable(spark: SparkSession, source: Zone, rel: String,

@@ -32,23 +32,28 @@ object Colocate {
       .saveAsTable(s"$db.$table")
   }
 
-  /** Deterministic salt in [0, factor): row-dependent but stable for a given
-    * row content (xxhash64 of all columns). Hot keys fan out across `factor`
-    * sub-partitions because their *rows* differ even when the key doesn't.
+  /** Per-row salt in [0, factor): derived from the row's physical position
+    * (monotonically_increasing_id), NOT its content — exact duplicate rows
+    * of a hot key land on *different* salts, which is the whole point (a
+    * content hash would send every copy of the hottest row to one salt).
+    * Works for any column types, including unhashable ones (maps).
     */
-  private def saltOf(df: DataFrame, factor: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(factor))
+  private def saltOf(factor: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(factor))
 
   /** Skew-safe equi-join: big side salted, small side replicated factor×.
     * Semantically identical to `big.join(small, keys)` for any inner join.
+    * The salt column name is uniquified against the inputs' columns.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  factor: Int): DataFrame = {
     val spark = big.sparkSession
     import spark.implicits._
-    val salted = big.withColumn("__salt", saltOf(big, factor))
+    val saltCol = Iterator.from(0).map(i => s"__salt$i")
+      .find(n => !big.columns.contains(n) && !small.columns.contains(n)).get
+    val salted = big.withColumn(saltCol, saltOf(factor))
     val replicated = small.crossJoin(
-      (0 until factor).toDF("__salt").hint("broadcast"))
-    salted.join(replicated, keys :+ "__salt").drop("__salt")
+      (0 until factor).toDF(saltCol).hint("broadcast"))
+    salted.join(replicated, keys :+ saltCol).drop(saltCol)
   }
 }

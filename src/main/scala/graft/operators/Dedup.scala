@@ -166,24 +166,26 @@ object Dedup {
     val sh = if (materialize)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
+    // (docId, band, bh): all band hashes in ONE posexplode over the
+    // signature row — a b-way union here would re-run the signature
+    // aggregation once per band branch when the result materializes.
     val bandDf =
       if (portable) {
         val sigCols = (0 until k).map(j =>
           min(minhashOf(col("shingle"), j, portable)).as(s"m$j"))
         val sig = sh.groupBy(idCol).agg(sigCols.head, sigCols.tail: _*)
-        (0 until bands).map { b =>
+        val bandHashes = (0 until bands).map { b =>
           val cols = (b * r until (b + 1) * r).map(j => col(s"m$j").cast("string"))
-          sig.select(col(idCol), lit(b).as("band"),
-            md5(concat_ws("|", cols: _*)).as("bh"))
-        }.reduce(_ unionAll _)
+          md5(concat_ws("|", cols: _*))
+        }
+        sig.select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
       } else {
         // One buffer of k longs per doc, one aggregate expression total.
         val sig = sh.groupBy(idCol).agg(
           org.apache.spark.sql.graft.MinHashAgg.of(col("shingle"), k).as("sig"))
-        (0 until bands).map { b =>
-          sig.select(col(idCol), lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
-        }.reduce(_ unionAll _)
+        val bandHashes = (0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * r + 1, r)))
+        sig.select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
       }
     val bandMat = if (materialize)
       // both sides of the candidate self-join — without this the signature

@@ -136,12 +136,26 @@ object Similarity {
       .select("qid", "rank", "nid", "sim", "bucket")
   }
 
+  /** `bucket` plus every bucket string at Hamming distance 1 (one flipped
+    * bit) — the multi-probe set for one table.
+    */
+  private def probeSet(bucket: Column, m: Int): Column =
+    array((Seq(bucket) ++ (0 until m).map { j =>
+      val flipped = when(substring(bucket, j + 1, 1) === "1", "0").otherwise("1")
+      concat(substring(bucket, 1, j), flipped, substring(bucket, j + 2, m - j - 1))
+    }): _*)
+
   /** Multi-table LSH ANN: L independent hash tables (one plane set each);
     * a corpus vector is a candidate for a query if they collide in ANY
     * table — the standard recall amplifier (miss probability decays
-    * exponentially in L). Candidates are unioned, deduped on (qid, nid),
-    * then scored once and ranked. All L bucket assignments are single-pass
-    * projections over the same scan; only the candidate equijoins shuffle.
+    * exponentially in L). With `probe1 = true`, each query additionally
+    * probes every bucket at Hamming distance 1 per table (multi-probe LSH:
+    * near-miss sign bits are the dominant false-negative source, so probing
+    * adjacent buckets buys recall without more tables). Candidates are
+    * unioned, deduped on (qid, nid), then scored once and ranked. All L
+    * bucket assignments are single-pass projections over the same scan;
+    * only the candidate equijoins shuffle, and the probe expansion happens
+    * on the (small, broadcast) query side only.
     *
     * Output: (qid, rank, nid, sim) — same shape as brute force, so recall
     * is directly measurable against [[knnBruteForce]] ground truth.
@@ -149,7 +163,7 @@ object Similarity {
   def knnLshMulti(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       planeTables: Seq[DataFrame], planeId: String, planeVec: String,
-      k: Int): DataFrame = {
+      k: Int, probe1: Boolean = false): DataFrame = {
     require(planeTables.nonEmpty, "need at least one plane table")
     val tables = planeTables.map(collectPlanes(_, planeId, planeVec))
     val c0 = Par.spread(corpus)
@@ -158,16 +172,20 @@ object Similarity {
     val cb = c0.select(Seq(col("nid"), col("cv")) ++
       tables.zipWithIndex.map { case (pv, i) =>
         bucketExpr(col("cv"), pv).as(s"b$i") }: _*)
-    val qb = broadcast(queries
+    val qb = queries
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
       .select(Seq(col("qid"), col("qv")) ++
         tables.zipWithIndex.map { case (pv, i) =>
-          bucketExpr(col("qv"), pv).as(s"b$i") }: _*))
+          bucketExpr(col("qv"), pv).as(s"b$i") }: _*)
     // Candidate = collision in any table. The join is per-table equijoin +
     // union + distinct — never an OR-of-keys theta join (which would plan a
     // nested-loop cross product).
-    val cand = tables.indices.map { i =>
-      cb.join(qb, cb(s"b$i") === qb(s"b$i"))
+    val cand = tables.zipWithIndex.map { case (pv, i) =>
+      val qside =
+        if (probe1) qb.select(col("qid"), col("qv"),
+          explode(probeSet(col(s"b$i"), pv.length)).as("__qb"))
+        else qb.select(col("qid"), col("qv"), col(s"b$i").as("__qb"))
+      cb.join(broadcast(qside), cb(s"b$i") === qside("__qb"))
         .select(col("qid"), col("qv"), col("nid"), col("cv"))
     }.reduce(_ unionAll _)
       .dropDuplicates("qid", "nid")

@@ -191,14 +191,85 @@ object Extensions extends QueryModule {
         .orderBy("da", "db")
     },
 
-    // Production-hash variant (xxhash64 signatures — codegen'd long min
-    // instead of md5 strings). Not reproducible in the oracle engine →
-    // rows-only check; this is the configuration a cluster would run, so
-    // it is the benched one.
+    // Production-hash variant (one MinHashAgg buffer of xxhash64-derived
+    // longs — codegen'd, engine-specific). Not reproducible in the oracle
+    // engine → rows-only check; this is the configuration a cluster would
+    // run, so it is the benched one.
     QueryDef("x2_minhash_fast", None, bench = true) { (s, dir) =>
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
           n = 3, k = 16, bands = 4, threshold = 0.8, portable = false)
         .orderBy("da", "db")
+    },
+
+    // Production signature width: k=64 (16 bands × r=4) through the same
+    // single-buffer aggregate — the plan still carries ONE aggregate
+    // expression, which is the point of MinHashAgg. Benched to keep the
+    // wide-signature path honest at sf0.1.
+    QueryDef("x2_minhash_k64", None, bench = true) { (s, dir) =>
+      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 64, bands = 16, threshold = 0.8, portable = false)
+        .orderBy("da", "db")
+    },
+
+    // Near-dup RESOLUTION: pair evidence → connected components → one
+    // cluster id (min doc id of the component) per document. The oracle
+    // mirrors the min-label fixpoint with a recursive transitive-closure
+    // CTE over the same exact-Jaccard pairs.
+    QueryDef("x2_dedup_resolve", Some(s"""
+      WITH RECURSIVE $shCte,
+      pr AS (
+        SELECT da, db
+        FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        WHERE CAST(ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - ni AS DOUBLE)
+              >= CAST(0.8 AS DOUBLE)),
+      eg AS (SELECT da AS src, db AS dst FROM pr
+             UNION ALL SELECT db, da FROM pr),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, rc.r FROM eg e JOIN reach rc ON e.dst = rc.id)
+      SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+      FROM reach GROUP BY id ORDER BY doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      Dedup.resolveClusters(docs, "doc_id", pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // The deduped corpus itself (keep the canonical doc per cluster):
+    // per-language doc counts before/after resolution — the end-to-end
+    // product a training pipeline consumes.
+    QueryDef("x2_dedup_corpus", Some(s"""
+      WITH RECURSIVE $shCte,
+      pr AS (
+        SELECT da, db
+        FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        WHERE CAST(ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - ni AS DOUBLE)
+              >= CAST(0.8 AS DOUBLE)),
+      eg AS (SELECT da AS src, db AS dst FROM pr
+             UNION ALL SELECT db, da FROM pr),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, rc.r FROM eg e JOIN reach rc ON e.dst = rc.id),
+      cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) FILTER (WHERE id = cluster) AS BIGINT) AS n_kept
+      FROM documents JOIN cl ON doc_id = id
+      GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      val labels = Dedup.resolveClusters(docs, "doc_id", pairs)
+      val kept = Dedup.dedupByClusters(docs, "doc_id", labels)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept0"))
+      // Left join: a language whose every doc lost to a canonical doc of
+      // another language would vanish from `kept` (oracle says 0).
+      docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_kept0"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
     },
 
     QueryDef("x2_simhash", Some("""
@@ -291,6 +362,52 @@ object Extensions extends QueryModule {
           e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
           "vec_id", "embedding",
           e.filter(col("vec_id") < 4), "vec_id", "embedding", k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
+    // Multi-table LSH ANN: two independent hash tables; candidate = bucket
+    // collision in EITHER (union → distinct), which recovers most of the
+    // recall a single table loses. Oracle mirrors both bucket assignments
+    // and the union.
+    QueryDef("x3_ann_multi", Some("""
+      WITH p1 AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+                  FROM embeddings WHERE vec_id < 4),
+      p2 AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+             FROM embeddings WHERE vec_id >= 4 AND vec_id < 8),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+      b1 AS (SELECT v.vec_id, vv,
+               string_agg(CASE WHEN list_dot_product(vv, pv) >= CAST(0 AS DOUBLE)
+                               THEN '1' ELSE '0' END, '' ORDER BY pid) AS bkt
+             FROM v, p1 GROUP BY v.vec_id, vv),
+      b2 AS (SELECT v.vec_id, vv,
+               string_agg(CASE WHEN list_dot_product(vv, pv) >= CAST(0 AS DOUBLE)
+                               THEN '1' ELSE '0' END, '' ORDER BY pid) AS bkt
+             FROM v, p2 GROUP BY v.vec_id, vv),
+      bb AS (SELECT b1.vec_id, b1.vv AS vv, b1.bkt AS k1, b2.bkt AS k2
+             FROM b1 JOIN b2 ON b1.vec_id = b2.vec_id),
+      q AS (SELECT vec_id AS qid, vv AS qv, k1, k2 FROM bb WHERE vec_id < 10),
+      c AS (SELECT vec_id AS nid, vv AS cv, k1, k2 FROM bb WHERE vec_id >= 10),
+      cand AS (
+        SELECT qid, qv, nid, cv FROM q JOIN c ON q.k1 = c.k1
+        UNION
+        SELECT qid, qv, nid, cv FROM q JOIN c ON q.k2 = c.k2),
+      sc AS (SELECT qid, nid,
+               list_dot_product(qv, cv)
+                 / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS sim
+             FROM cand),
+      r AS (SELECT qid, nid, sim,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+            FROM sc)
+      SELECT qid, rnk, nid, sim FROM r WHERE rnk <= 3 ORDER BY qid, rnk""")) {
+      (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.knnLshMulti(
+          e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding",
+          Seq(e.filter(col("vec_id") < 4),
+            e.filter(col("vec_id") >= 4 && col("vec_id") < 8)),
+          "vec_id", "embedding", k = 3)
         .withColumnRenamed("rank", "rnk")
         .orderBy("qid", "rnk")
     },

@@ -23,8 +23,9 @@ class EtlSpec extends SparkSpec {
     val (run, _) = Etl.pipeline(spark, root, s"$root/missing.parquet",
       orderBy = Seq("x"), database = "graft_test", table = "etl_bad")
     assert(!run.succeeded)
-    assert(run.failed == Seq("ingest"))
+    assert(run.failed == Seq("stage_source"))
     assert(run.skipped.toSet ==
-      Set("json_to_parquet", "sql_transform", "load_table", "count_check", "cleanup"))
+      Set("ingest", "submit_job", "job_sensor", "sql_transform",
+        "load_table", "count_check", "cleanup"))
   }
 }

@@ -32,11 +32,25 @@ class HttpZipIngestSpec extends AnyFunSuite {
     assert(json.contains("heliport"))
   }
 
-  test("zip-slip member names are flattened to their file name") {
-    val zip = makeZip(Map("../../evil.txt" -> "nope"))
+  test("member paths are preserved — same basename in two dirs is no loss") {
+    val zip = makeZip(Map(
+      "a/data.json" -> """{"v":1}""",
+      "b/data.json" -> """{"v":2}"""))
     val landing = Scratch.fresh("landing")
     val out = HttpZipIngest.ingest(s"file://$zip", landing)
-    assert(out == Seq(s"$landing/evil.txt"))
+    assert(out.toSet == Set(s"$landing/a/data.json", s"$landing/b/data.json"))
+    assert(Files.readString(Paths.get(s"$landing/a/data.json")).contains("1"))
+    assert(Files.readString(Paths.get(s"$landing/b/data.json")).contains("2"))
+  }
+
+  test("zip-slip members are rejected, nothing escapes the landing root") {
+    val zip = makeZip(Map("../../evil.txt" -> "nope"))
+    val landing = Scratch.fresh("landing")
+    intercept[IllegalArgumentException] {
+      HttpZipIngest.ingest(s"file://$zip", landing)
+    }
     assert(!Files.exists(Paths.get(landing).getParent.resolve("evil.txt")))
+    assert(!Files.exists(
+      Paths.get(landing).getParent.getParent.resolve("evil.txt")))
   }
 }

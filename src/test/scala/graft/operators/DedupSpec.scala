@@ -55,6 +55,50 @@ class DedupSpec extends SparkSpec {
     assert(cut.subsetOf(all))
   }
 
+  test("resolveClusters: min-id propagates across chains, singletons stay") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain 1-2-3 (no direct 1-3 edge) plus island 5-6; 4 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("da", "db")
+    val got = Dedup.resolveClusters(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedupByClusters keeps exactly one canonical doc per cluster") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("da", "db")
+    val labels = Dedup.resolveClusters(df, "doc_id", pairs)
+    val kept = Dedup.dedupByClusters(df, "doc_id", labels)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
+  test("resolveClusters on the corpus: clusters match pair connectivity") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val labels = Dedup.resolveClusters(docs, "doc_id", pairs)
+    // every pair is in one cluster
+    val viol = pairs.join(labels.withColumnRenamed("id", "da")
+        .withColumnRenamed("cluster", "ca"), "da")
+      .join(labels.withColumnRenamed("id", "db")
+        .withColumnRenamed("cluster", "cb"), "db")
+      .filter($"ca" =!= $"cb").count()
+    assert(viol == 0)
+    // cluster ids are members of their own cluster (min-id canonical form)
+    val bad = labels.as("l").join(labels.as("m"),
+        $"l.cluster" === $"m.id", "left_anti").count()
+    assert(bad == 0)
+  }
+
+  test("minHashLsh fast path: k=64 single-buffer signatures stay a candidate subset") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val k64 = Dedup.minHashLsh(docs, "doc_id", "text", 3, k = 64, bands = 16,
+        threshold = 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(k64.subsetOf(exact))
+    assert(k64.nonEmpty)
+  }
+
   test("simhash emits 16-bit strings and groups identical docs together") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),

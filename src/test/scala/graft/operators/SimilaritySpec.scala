@@ -52,4 +52,42 @@ class SimilaritySpec extends SparkSpec {
     val perQ = out.groupBy("qid").agg(count(lit(1)).as("n")).as[(Long, Long)].collect()
     assert(perQ.forall(_._2 <= 3))
   }
+
+  test("hyperplaneBuckets adds zero exchanges beyond its input's (pure projection)") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    // Pre-spread input so Par.spread is a no-op (as on a cluster-scale scan)
+    val wide = emb.repartition(8)
+    val b = Similarity.hyperplaneBuckets(wide, "vec_id", "embedding",
+      emb.filter($"vec_id" < 3), "vec_id", "embedding")
+    assert(exchanges(b) == exchanges(wide),
+      "bucket assignment must not introduce a shuffle")
+  }
+
+  private def topKSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("qid", "nid").as[(Long, Long)].collect().toSet
+
+  test("knnLshMulti with multi-probe: recall >= single-table; >= 0.9 vs brute force") {
+    // sf0.01 per the quality bar; the corpus is 500 near-random 64-dim
+    // vectors (true top-3 cosine ~0.35) — the hard case for LSH, hence
+    // L=4 tables + Hamming-1 probing for the recall target.
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = e.filter($"vec_id" >= 10)
+    val queries = e.filter($"vec_id" < 10)
+    val tables = (0 until 4).map(i =>
+      e.filter($"vec_id" >= i * 4 && $"vec_id" < i * 4 + 4))
+    val k = 3
+    val truth = topKSet(Similarity.knnBruteForce(corpus, queries,
+      "vec_id", "embedding", k))
+    val single = topKSet(Similarity.knnLsh(corpus, queries,
+      "vec_id", "embedding", tables.head, "vec_id", "embedding", k))
+    val multi = topKSet(Similarity.knnLshMulti(corpus, queries,
+      "vec_id", "embedding", tables, "vec_id", "embedding", k, probe1 = true))
+    val rSingle = (single & truth).size.toDouble / truth.size
+    val rMulti = (multi & truth).size.toDouble / truth.size
+    info(f"ANN recall vs brute force @k=$k: single-table $rSingle%.3f, "
+      + f"4-table+probe $rMulti%.3f")
+    assert(rMulti >= rSingle, "adding tables/probes must not lose recall")
+    assert(rMulti >= 0.9, f"multi-table recall $rMulti%.3f below 0.9")
+  }
 }

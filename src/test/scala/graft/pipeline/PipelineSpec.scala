@@ -48,6 +48,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(run.failed == Seq("job"))
   }
 
+  test("async submit returns immediately; sensor surfaces the result") {
+    val h = AsyncJob.submit { Thread.sleep(100); 42 }
+    // submit must not block on the job
+    val n = AsyncJob.awaitDone(h, pollMs = 10, timeoutMs = 5000)
+    assert(n == 42)
+    assert(h.isDone)
+  }
+
+  test("sensor rethrows the job's failure (gates the downstream DAG)") {
+    val h = AsyncJob.submit[Int] { sys.error("job blew up") }
+    val e = intercept[RuntimeException] {
+      AsyncJob.awaitDone(h, pollMs = 5, timeoutMs = 5000)
+    }
+    assert(e.getMessage == "job blew up")
+  }
+
+  test("sensor times out on a stuck job") {
+    val h = AsyncJob.submit { Thread.sleep(60000); 1 }
+    intercept[IllegalStateException] {
+      AsyncJob.awaitDone(h, pollMs = 5, timeoutMs = 100)
+    }
+  }
+
+  test("submit+sensor inside a DAG: failed job skips downstream via sensor") {
+    val handle = new java.util.concurrent.atomic.AtomicReference[JobHandle[Int]]()
+    var loaded = false
+    val run = new Pipeline(Seq(
+      Task("submit_job")(() =>
+        handle.set(AsyncJob.submit[Int] { sys.error("spark job failed") })),
+      Task("job_sensor", deps = Seq("submit_job"), retries = 0)(() =>
+        AsyncJob.awaitDone(handle.get(), 5, 5000)),
+      Task("load", deps = Seq("job_sensor"))(() => loaded = true))).run()
+    assert(run.failed == Seq("job_sensor"))
+    assert(run.skipped == Seq("load"))
+    assert(!loaded)
+  }
+
   test("rejects unknown dependencies and cycles") {
     intercept[IllegalArgumentException] {
       new Pipeline(Seq(Task("a", deps = Seq("ghost"))(() => ())))
