@@ -49,22 +49,26 @@ object Sessions {
     // LongType (Tables.scala normalizes it back to TimestampType @ micros).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** Cluster profile: `withDefaults` plus the reference knobs that only
-    * make sense with real executors (etl-on-gcp-vinicius-campos.py:74-83):
-    * dynamic allocation + external shuffle service (executors can scale
-    * down without losing shuffle files) and the AQE coalesce floor/ceiling
-    * the reference pins (`minPartitionNum=1`, `initialPartitionNum=10`
-    * :77-78 — locally we keep the initial partition count at core count
-    * instead; on a 1000-executor cluster the caller sizes
-    * `spark.sql.shuffle.partitions` to 2-3× total cores and AQE coalesces
-    * down from there).
+  /** The reference knobs that only make sense with real executors
+    * (etl-on-gcp-vinicius-campos.py:74-83): dynamic allocation + external
+    * shuffle service (executors can scale down without losing shuffle
+    * files) and the AQE coalesce floor/ceiling the reference pins
+    * (`minPartitionNum=1`, `initialPartitionNum=10` :77-78 — locally we
+    * keep the initial partition count at core count instead; on a
+    * 1000-executor cluster the caller sizes `spark.sql.shuffle.partitions`
+    * to 2-3× total cores and AQE coalesces down from there).
     */
+  val clusterEnvelope: Map[String, String] = Map(
+    "spark.dynamicAllocation.enabled" -> "true",
+    "spark.shuffle.service.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> "1",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "10")
+
+  /** Cluster profile: `withDefaults` + [[clusterEnvelope]]. */
   def cluster(b: SparkSession.Builder): SparkSession.Builder =
-    withDefaults(b)
-      .config("spark.dynamicAllocation.enabled", "true")
-      .config("spark.shuffle.service.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "1")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "10")
+    clusterEnvelope.foldLeft(withDefaults(b)) {
+      case (bb, (k, v)) => bb.config(k, v)
+    }
 
   def local(
       cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),

@@ -10,7 +10,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val modules: Seq[QueryModule] = Seq(Relational, Extensions, EtlParity)
+  private val modules: Seq[QueryModule] =
+    Seq(Relational, Extensions, EtlParity, StreamingGates)
 
   private val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

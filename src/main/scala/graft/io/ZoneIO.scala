@@ -25,7 +25,15 @@ object Readers {
   def read(spark: SparkSession, format: Format, path: String,
            schema: Option[StructType] = None): DataFrame = {
     val r = spark.read.format(format.name)
-    schema.fold(r)(r.schema).load(path)
+    // CSV is headerless + string-typed by default; a zone round-trip needs
+    // the header for names and inference for types (schema overrides both).
+    val r1 = format match {
+      case Format.Csv =>
+        val h = r.option("header", "true")
+        if (schema.isEmpty) h.option("inferSchema", "true") else h
+      case _ => r
+    }
+    schema.fold(r1)(r1.schema).load(path)
   }
 
   def zone(spark: SparkSession, z: Zone, rel: String = ""): DataFrame =
@@ -37,8 +45,14 @@ object Writers {
   /** Overwrite-write in the zone's format (the reference's only write mode —
     * daily full re-run, etl-gcp-vinicius-campos.py:45).
     */
-  def write(df: DataFrame, format: Format, path: String): Unit =
-    df.write.format(format.name).mode(SaveMode.Overwrite).save(path)
+  def write(df: DataFrame, format: Format, path: String): Unit = {
+    val w = df.write.format(format.name)
+    val w1 = format match {
+      case Format.Csv => w.option("header", "true")
+      case _ => w
+    }
+    w1.mode(SaveMode.Overwrite).save(path)
+  }
 
   def zone(df: DataFrame, z: Zone, rel: String = ""): Unit =
     write(df, z.format, z.path(rel))

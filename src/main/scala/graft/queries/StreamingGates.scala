@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Scratch
+import graft.model.Tables
+import graft.streaming.Streams
+
+/** Driver-gated Structured Streaming queries: each runs a real streaming
+  * query (file source → watermarked stateful op → parquet sink,
+  * `Trigger.AvailableNow`) and returns the landed result, gated against a
+  * BATCH oracle restricted to what streaming semantics make terminal:
+  *
+  *  - append-mode windows are emitted only once the final watermark
+  *    (max event time − lateness) passes the window end;
+  *  - event-time-timeout sessions close only once the watermark passes
+  *    last-event + gap.
+  *
+  * This is the batch-equivalence law for watermarked streams: the streamed
+  * output must equal the batch computation filtered to closed state — an
+  * exact, engine-independent predicate the DuckDB oracle can mirror.
+  */
+object StreamingGates extends QueryModule {
+
+  private val gapMs = 1800000L // 30 min session gap (matches ev2)
+
+  /** Stage the (nanos-normalized) events table as a file-stream source and
+    * return (sourceDir, outDir, checkpointDir).
+    */
+  private def stage(s: SparkSession, dir: String): (String, String, String) = {
+    val in = Scratch.fresh("stream-src")
+    Tables.load(s, dir, "events").write.mode("overwrite").parquet(in)
+    (in, Scratch.fresh("stream-out"), Scratch.fresh("stream-ck"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Streaming tumbling-window counts ≡ batch hourly agg over windows the
+    // final watermark closed (window end <= max(ts) - lateness).
+    QueryDef("ev3_stream_window", Some("""
+      WITH mx AS (SELECT max(ts) AS m FROM events),
+      agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+             cnt, sum_value
+      FROM agg, mx
+      WHERE h + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+      ORDER BY event_type, hour_s""")) { (s, dir) =>
+      val (in, out, ck) = stage(s, dir)
+      val q = Streams.windowedCounts(
+          Streams.readEventStream(s, in), "1 hour", "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("event_type"),
+          date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+          col("cnt"), col("sum_value"))
+        .orderBy("event_type", "hour_s")
+    },
+
+    // Streaming sessionization ≡ batch gap-sessionization over CLOSED
+    // sessions: a session is emitted either mid-stream (a later event of
+    // the same user broke the gap — i.e. it is not the user's last
+    // session) or by event-time timeout (last event + gap < final
+    // watermark = max(ts) - lateness).
+    QueryDef("ev4_stream_sessions", Some(s"""
+      WITH g AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms,
+               lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+        FROM events),
+      b AS (SELECT user_id, event_id, ms,
+              CASE WHEN prev IS NULL OR ms - prev > $gapMs THEN 1 ELSE 0 END AS brk
+            FROM g),
+      sn AS (SELECT user_id, ms,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+             FROM b),
+      sess AS (SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_events,
+                 min(ms) AS start_ms, max(ms) AS end_ms
+               FROM sn GROUP BY user_id, sess),
+      sl AS (SELECT *, max(sess) OVER (PARTITION BY user_id) AS last_sess
+             FROM sess),
+      mx AS (SELECT max(epoch_ms(ts)) AS m FROM events)
+      SELECT user_id, n_events, start_ms, end_ms
+      FROM sl, mx
+      WHERE sess < last_sess OR end_ms + $gapMs < m - 3600000
+      ORDER BY user_id, start_ms""")) { (s, dir) =>
+      import s.implicits._
+      val (in, out, ck) = stage(s, dir)
+      val events = Streams.readEventStream(s, in).as[Streams.Event]
+      val q = Streams.sessionize(events, gapMs, lateness = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select("user_id", "n_events", "start_ms", "end_ms")
+        .orderBy("user_id", "start_ms")
+    })
+}

@@ -44,6 +44,22 @@ class ZoneIOSpec extends SparkSpec {
 
   test("orc round-trip") { roundTrip(Format.Orc) }
 
+  test("csv round-trip (header + inferred types; explicit schema override)") {
+    val dir = Scratch.fresh("rt-csv")
+    val in = lineitem.select("l_orderkey", "l_quantity", "l_returnflag").limit(100)
+    Writers.write(in, Format.Csv, dir)
+    val inferred = Readers.read(spark, Format.Csv, dir)
+    assert(inferred.count() == 100)
+    assert(inferred.columns.sorted.sameElements(in.columns.sorted))
+    assert(inferred.schema("l_orderkey").dataType ==
+      org.apache.spark.sql.types.IntegerType ||
+      inferred.schema("l_orderkey").dataType ==
+        org.apache.spark.sql.types.LongType)
+    val explicit = Readers.read(spark, Format.Csv, dir, Some(in.schema))
+    assert(explicit.schema == in.schema)
+    assert(explicit.count() == 100)
+  }
+
   test("overwrite mode truncates, not appends") {
     val dir = Scratch.fresh("rt-overwrite")
     Writers.write(lineitem.limit(100), Format.Parquet, dir)
