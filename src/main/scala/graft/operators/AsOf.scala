@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** As-of (a.k.a. point-in-time) join: for each left row, attach the most
+  * recent right row with `right.ts <= left.ts` within the same key group —
+  * the standard market-data / feature-store lookup that Spark's built-in
+  * joins don't express directly.
+  *
+  * Formulation: tag both sides, union by name, and carry the latest right
+  * row forward with `last(_, ignoreNulls = true)` over a per-key window
+  * ordered by (ts, side) — right rows sort before left rows at equal
+  * timestamps, which yields the inclusive `<=` as-of semantic. This is ONE
+  * shuffle on the key (the window partition), no range-join row explosion,
+  * no per-row probe — at 100 TB it scales exactly like any windowed
+  * aggregation. (A broadcast range join would force the right side small;
+  * a theta join `l.ts >= r.ts` would plan a nested loop and explode.)
+  *
+  * The right row travels as a single struct so all attached columns come
+  * from the SAME matched row (independent per-column `last()` calls could
+  * mix rows when right columns contain nulls).
+  *
+  * Determinism: if several right rows can share (keys, ts), pass
+  * `rightOrder` — the last row under that order wins.
+  */
+object AsOf {
+
+  def joinAsOf(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      rightOrder: Seq[String] = Nil): DataFrame = {
+    val l = left
+      .withColumn("__ats", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__ats"),
+          struct(rightCols.map(col): _*).as("__rv")) ++
+        rightOrder.map(c => col(c).as(s"__ro_$c")): _*)
+      .withColumn("__side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val order: Seq[Column] =
+      col("__ats") +: col("__side") +:
+        // null on left rows; __side already ranks left after right at the
+        // same instant, so nulls_last only breaks ties among right rows
+        rightOrder.map(c => col(s"__ro_$c").asc_nulls_last)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    u.withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+}

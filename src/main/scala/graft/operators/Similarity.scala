@@ -196,4 +196,65 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "sim")
   }
+
+  /** Nearest-centroid cell id (IVF coarse quantizer): argmax cosine over
+    * the centroid literals, ties to the lowest centroid id. Pure projection.
+    */
+  private def cellExpr(vec: Column, cents: Array[(Long, Seq[Double])]): Column = {
+    val sims = cents.map { case (_, cv) => cosine(vec, typedLit(cv)) }
+    val best = if (sims.length == 1) sims.head else greatest(sims.toSeq: _*)
+    cents.zip(sims).foldRight(lit(null).cast("long")) {
+      case (((cid, _), s), els) => when(s === best, lit(cid)).otherwise(els)
+    }
+  }
+
+  /** The `nprobe` nearest cells for a query vector, as an exploded column:
+    * sort struct(-sim, cid) ascending (= sim desc, cid asc — matching the
+    * corpus-side tie rule) and take the first nprobe cell ids.
+    */
+  private def probeCellsExpr(vec: Column, cents: Array[(Long, Seq[Double])],
+                             nprobe: Int): Column = {
+    val arr = array(cents.map { case (cid, cv) =>
+      struct((-cosine(vec, typedLit(cv))).as("ns"), lit(cid).as("cid"))
+    }.toSeq: _*)
+    transform(slice(array_sort(arr), 1, nprobe), s => s.getField("cid"))
+  }
+
+  /** IVF-flat ANN: a coarse quantizer (the centroid list — small by
+    * contract, collected once like LSH planes) partitions the corpus into
+    * cells with a single projection; each query searches only its `nprobe`
+    * nearest cells. Corpus-side cost is independent of nprobe (assignment
+    * is one argmax projection, the probe fan-out lives on the small
+    * broadcast query side), so recall tunes per-query with zero extra
+    * corpus passes — the classic IVF trade. nprobe = #centroids degrades
+    * gracefully to exact brute force.
+    *
+    * Output: (qid, rank, nid, sim).
+    */
+  def knnIvf(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val cents: Array[(Long, Seq[Double])] = centroids
+      .select(col(cidCol).cast("long"), asDouble(col(cvecCol)))
+      .orderBy(col(cidCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cb = Par.spread(corpus)
+      .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", cellExpr(col("cv"), cents))
+    val qb = broadcast(queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell", explode(probeCellsExpr(col("qv"), cents, nprobe))))
+    // A corpus vector lives in exactly one cell and a query's probe cells
+    // are distinct, so (qid, nid) pairs are already unique — no dedup.
+    val scored = cb.join(qb, "cell")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "sim")
+  }
 }

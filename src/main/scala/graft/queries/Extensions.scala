@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, Multimodal, Similarity, TextOps}
 
 /** Mandated extension surface (SURVEY.md §2.4 / BASELINE.json north_star):
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
@@ -410,6 +410,69 @@ object Extensions extends QueryModule {
           "vec_id", "embedding", k = 3)
         .withColumnRenamed("rank", "rnk")
         .orderBy("qid", "rnk")
+    },
+
+    // IVF-flat ANN: 8-centroid coarse quantizer, nprobe=2. The oracle
+    // mirrors the argmax cell assignment (sim DESC, cid ASC tie rule) and
+    // the per-query top-2 probe cells.
+    QueryDef("x3_ivf", Some("""
+      WITH ctr AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 8),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+      asn AS (SELECT v.vec_id, vv, cid,
+                row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                  list_dot_product(vv, cv)
+                    / sqrt(list_dot_product(vv, vv) * list_dot_product(cv, cv))
+                    DESC, cid) AS rk
+              FROM v, ctr),
+      cell AS (SELECT vec_id, vv, cid AS cell FROM asn WHERE rk = 1),
+      q AS (SELECT vec_id AS qid, vv AS qv, cid AS cell FROM asn
+            WHERE vec_id < 10 AND rk <= 2),
+      c AS (SELECT vec_id AS nid, vv AS cv2, cell FROM cell WHERE vec_id >= 10),
+      sc AS (SELECT qid, nid,
+               list_dot_product(qv, cv2)
+                 / sqrt(list_dot_product(qv, qv) * list_dot_product(cv2, cv2)) AS sim
+             FROM q JOIN c USING (cell)),
+      r AS (SELECT qid, nid, sim,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+            FROM sc)
+      SELECT qid, rnk, nid, sim FROM r WHERE rnk <= 3 ORDER BY qid, rnk""")) {
+      (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.knnIvf(
+          e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 3, nprobe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
+    // As-of join: each click event picks up the user's most recent
+    // purchase at-or-before its timestamp. DuckDB's native ASOF JOIN is
+    // the oracle; the Spark side is the union + keyed-window formulation
+    // (one shuffle, no range explosion).
+    QueryDef("a1_asof", Some("""
+      SELECT e.user_id, e.event_id, epoch_ms(e.ts) AS ms,
+             epoch_ms(p.ts) AS last_purchase_ms,
+             p.value AS last_purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') e
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND e.ts >= p.ts
+      ORDER BY e.user_id, e.event_id""")) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          unix_millis(col("ts")).as("last_purchase_ms"),
+          col("value").as("last_purchase_value"))
+      AsOf.joinAsOf(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("last_purchase_ms", "last_purchase_value"))
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"),
+          col("last_purchase_ms"), col("last_purchase_value"))
+        .orderBy("user_id", "event_id")
     },
 
     // HLL sketch: approx distinct tokens per lang. Spark's HyperLogLog++

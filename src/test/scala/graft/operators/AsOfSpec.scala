@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("joinAsOf: inclusive <=, per-key isolation, null when no prior row") {
+    val left = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "l1"),
+      (1L, ts("2026-01-01 12:00:00"), "l2"),
+      (2L, ts("2026-01-01 11:00:00"), "l3"),
+      (3L, ts("2026-01-01 11:00:00"), "l4")) // key with no right rows
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2026-01-01 09:00:00"), 9.0),
+      (1L, ts("2026-01-01 12:00:00"), 12.0), // equal ts → matched (<=)
+      (2L, ts("2026-01-01 11:30:00"), 99.0)) // after l3 → not matched
+      .toDF("k", "ts", "v")
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(out == Map(
+      "l1" -> Some(9.0), "l2" -> Some(12.0), "l3" -> None, "l4" -> None))
+  }
+
+  test("joinAsOf: multi-column payload comes from the SAME matched row") {
+    val left = Seq((1L, ts("2026-01-01 10:00:00"))).toDF("k", "ts")
+    val right = Seq(
+      (1L, ts("2026-01-01 08:00:00"), Some("a"), Some(1.0)),
+      (1L, ts("2026-01-01 09:00:00"), None: Option[String], Some(2.0)))
+      .toDF("k", "ts", "s", "v")
+    // latest row has s = null; a per-column last(ignoreNulls) would
+    // resurrect "a" from the older row — the struct transport must not
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "ts", "ts", Seq("s", "v"))
+      .select("s", "v").as[(Option[String], Option[Double])].head()
+    assert(out == (None, Some(2.0)))
+  }
+
+  test("joinAsOf: rightOrder breaks equal-timestamp ties deterministically") {
+    val left = Seq((1L, ts("2026-01-01 10:00:00"))).toDF("k", "ts")
+    val right = Seq(
+      (1L, ts("2026-01-01 09:00:00"), 5L, "low"),
+      (1L, ts("2026-01-01 09:00:00"), 9L, "high"))
+      .toDF("k", "ts", "seq", "tag")
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "ts", "ts",
+      Seq("tag"), rightOrder = Seq("seq"))
+    assert(out.select("tag").as[String].head() == "high")
+  }
+
+  test("joinAsOf plans one shuffle on the key (window partition)") {
+    val left = Seq((1L, ts("2026-01-01 10:00:00"))).toDF("k", "ts")
+    val right = Seq((1L, ts("2026-01-01 09:00:00"), 1.0)).toDF("k", "ts", "v")
+    val plan = AsOf.joinAsOf(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one keyed exchange:\n$plan")
+    assert(!plan.contains("NestedLoop"), "must not plan a range nested loop")
+  }
+}

@@ -90,4 +90,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rMulti >= rSingle, "adding tables/probes must not lose recall")
     assert(rMulti >= 0.9, f"multi-table recall $rMulti%.3f below 0.9")
   }
+
+  test("knnIvf: nprobe = #cells is exactly brute force; recall grows with nprobe") {
+    val corpus = emb.filter($"vec_id" >= 10)
+    val queries = emb.filter($"vec_id" < 10)
+    val cents = emb.filter($"vec_id" < 8)
+    val k = 3
+    val truth = topKSet(Similarity.knnBruteForce(corpus, queries,
+      "vec_id", "embedding", k))
+    val full = topKSet(Similarity.knnIvf(corpus, queries, "vec_id", "embedding",
+      cents, "vec_id", "embedding", k, nprobe = 8))
+    assert(full == truth, "probing every cell must reduce to brute force")
+    val r1 = (topKSet(Similarity.knnIvf(corpus, queries, "vec_id", "embedding",
+      cents, "vec_id", "embedding", k, nprobe = 1)) & truth).size.toDouble / truth.size
+    val r4 = (topKSet(Similarity.knnIvf(corpus, queries, "vec_id", "embedding",
+      cents, "vec_id", "embedding", k, nprobe = 4)) & truth).size.toDouble / truth.size
+    info(f"IVF recall @k=$k: nprobe=1 $r1%.3f, nprobe=4 $r4%.3f, nprobe=8 1.000")
+    assert(r4 >= r1, "more probes must not lose recall")
+  }
 }
