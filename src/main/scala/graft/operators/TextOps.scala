@@ -18,11 +18,16 @@ object TextOps {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** BPE-ish regex tokenization: splits out word pieces, numbers and
-    * punctuation runs (for token *counting*, not real BPE).
+  /** BPE-ish regex tokenization: alphanumeric runs and non-space
+    * punctuation runs, by extraction (for token *counting*, not real BPE).
+    * The pattern is RE2-compatible (no lookaround), so any engine with the
+    * same regex semantics reproduces it exactly — which is what lets the
+    * token counts hash-match the oracle.
     */
+  val bpePattern = "[A-Za-z0-9]+|[^A-Za-z0-9 ]+"
+
   def regexTokens(text: Column): Column =
-    filter(split(text, "(?=[^a-zA-Z0-9])|\\s+"), t => length(t) > 0)
+    regexp_extract_all(text, lit(bpePattern), lit(0))
 
   /** n-word shingles joined by a single space; empty array when the doc has
     * fewer than n tokens. (Guard matters: Spark `sequence(1, 0)` would

@@ -106,6 +106,24 @@ object Extensions extends QueryModule {
         .orderBy("lang", "predicted")
     },
 
+    // BPE-ish token counting by regex extraction — the pattern is
+    // RE2-compatible (no lookaround) so the oracle engine tokenizes
+    // byte-identically.
+    QueryDef("x5_bpe_tokens", Some(s"""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '${TextOps.bpePattern}')) AS BIGINT)
+          AS n_bpe,
+        CAST(len(list_distinct(regexp_extract_all(text, '${TextOps.bpePattern}')))
+          AS BIGINT) AS n_bpe_distinct
+      FROM documents ORDER BY doc_id LIMIT 100""")) { (s, dir) =>
+      val toks = TextOps.regexTokens(col("text"))
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_bpe"),
+          size(array_distinct(toks)).cast("long").as("n_bpe_distinct"))
+        .orderBy("doc_id").limit(100)
+    },
+
     QueryDef("x5_fingerprint", Some("""
       SELECT substr(md5(text),1,1) AS bucket,
              CAST(count(*) AS BIGINT) AS n_docs,
@@ -547,6 +565,28 @@ object Extensions extends QueryModule {
       feats.toDF()
         .select(Seq(col("id"), col("nBytes").as("n_bytes")) ++
           (0 until 8).map(j => element_at(col("codes"), j + 1).as(s"c$j")): _*)
+        .orderBy("id").limit(100)
+    },
+
+    // Video-style frame sampling: every 2nd 32-byte block of the content
+    // becomes a frame row; gate the per-doc frame count and sampled byte
+    // total (pure integer arithmetic — exact in any engine).
+    QueryDef("x4_frames", Some("""
+      WITH m AS (
+        SELECT doc_id, octet_length(encode(text)) AS len,
+               (octet_length(encode(text)) + 31) // 32 AS nb
+        FROM documents)
+      SELECT doc_id AS id,
+        CAST((nb - 1) // 2 + 1 AS BIGINT) AS n_frames,
+        CAST(32 * ((nb - 1) // 2) +
+          (CASE WHEN ((nb - 1) // 2) * 2 = nb - 1
+                THEN len - 32 * (nb - 1) ELSE 32 END) AS BIGINT) AS sum_fb
+      FROM m ORDER BY id LIMIT 100""")) { (s, dir) =>
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)(s)
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame")).cast("long")).as("sum_fb"))
         .orderBy("id").limit(100)
     })
 }

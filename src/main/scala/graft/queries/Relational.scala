@@ -398,6 +398,45 @@ object Relational extends QueryModule {
         .orderBy("user_id")
     },
 
+    // Order-statistic quantiles (discrete p50/p90): rank-at-ceil(p*n) with
+    // a total tie order, so the quantile is a raw data value both engines
+    // pick identically — no interpolation arithmetic to diverge on.
+    // (Interpolating quantiles differ cross-engine in the FP formula:
+    // lower*(1-g)+higher*g vs lower+(higher-lower)*g.)
+    QueryDef("q6_quantiles", Some("""
+      WITH r AS (
+        SELECT l_returnflag, l_quantity, l_extendedprice,
+          row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY l_quantity, l_orderkey, l_linenumber) AS rnq,
+          row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rnp,
+          count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+      SELECT l_returnflag,
+        max(CASE WHEN rnq = ceil(n * 0.5) THEN l_quantity END) AS p50_qty,
+        max(CASE WHEN rnq = ceil(n * 0.9) THEN l_quantity END) AS p90_qty,
+        max(CASE WHEN rnp = ceil(n * 0.9) THEN l_extendedprice END) AS p90_price
+      FROM r GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
+      val wq = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val wp = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val wn = Window.partitionBy("l_returnflag")
+      t(s, dir, "lineitem")
+        .withColumn("rnq", row_number().over(wq))
+        .withColumn("rnp", row_number().over(wp))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy("l_returnflag")
+        .agg(
+          max(when(col("rnq") === ceil(col("n") * 0.5), col("l_quantity")))
+            .as("p50_qty"),
+          max(when(col("rnq") === ceil(col("n") * 0.9), col("l_quantity")))
+            .as("p90_qty"),
+          max(when(col("rnp") === ceil(col("n") * 0.9), col("l_extendedprice")))
+            .as("p90_price"))
+        .orderBy("l_returnflag")
+    },
+
     // JSON payload extraction (multimodal metadata path, X4).
     QueryDef("m1_props_json", Some("""
       SELECT event_type,
