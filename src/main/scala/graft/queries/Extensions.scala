@@ -247,7 +247,7 @@ object Extensions extends QueryModule {
         UNION
         SELECT e.src, rc.r FROM eg e JOIN reach rc ON e.dst = rc.id)
       SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
-      FROM reach GROUP BY id ORDER BY doc_id""")) { (s, dir) =>
+      FROM reach GROUP BY id ORDER BY doc_id"""), bench = true) { (s, dir) =>
       val docs = t(s, dir, "documents")
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
       Dedup.resolveClusters(docs, "doc_id", pairs)

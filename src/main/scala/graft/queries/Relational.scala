@@ -437,6 +437,33 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // Interval join via bucketized equijoin (operators.RangeJoin): clicks
+    // within ±15 min of a purchase by the same user. The oracle is the
+    // plain inequality join (the oracle engine has a native range-join
+    // algorithm; Spark's scalable form is the bucket equijoin).
+    QueryDef("r7_range_join", Some("""
+      WITH c AS (SELECT user_id, event_id AS cid, epoch_ms(ts) AS ms
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, event_id AS pid,
+              epoch_ms(ts) - 900000 AS s, epoch_ms(ts) + 900000 AS e
+            FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id, cid, CAST(count(*) AS BIGINT) AS n_near,
+             CAST(min(pid) AS BIGINT) AS min_pid
+      FROM c JOIN p ON c.user_id = p.user_id AND c.ms >= p.s AND c.ms <= p.e
+      GROUP BY c.user_id, cid ORDER BY c.user_id, cid""")) { (s, dir) =>
+      val ev = t(s, dir, "events").withColumn("ms", unix_millis(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("cid"), col("ms"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          (col("ms") - 900000L).as("s"), (col("ms") + 900000L).as("e"))
+      graft.operators.RangeJoin.pointInInterval(clicks, purch, Seq("user_id"),
+          "ms", "s", "e", bucketMs = 1800000L)
+        .groupBy("user_id", "cid")
+        .agg(count(lit(1)).as("n_near"), min("pid").as("min_pid"))
+        .orderBy("user_id", "cid")
+    },
+
     // JSON payload extraction (multimodal metadata path, X4).
     QueryDef("m1_props_json", Some("""
       SELECT event_type,
