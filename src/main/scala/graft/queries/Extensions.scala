@@ -529,6 +529,81 @@ object Extensions extends QueryModule {
         .orderBy("da", "db")
     },
 
+    // ---------------- X6: end-to-end corpus curation ----------------
+
+    // The composite pipeline a training-data run actually executes, as ONE
+    // gated query: quality filter (length + type-token ratio) → exact
+    // prefix dedup → near-dup pair generation → cluster resolution → kept
+    // corpus, reported as per-language yields at each stage. Every stage is
+    // an operator gated individually elsewhere; this gate proves they
+    // compose.
+    QueryDef("x6_curation", Some("""
+      WITH RECURSIVE
+      q AS (SELECT doc_id, lang, text FROM documents
+            WHERE len(string_split(text, ' ')) >= 25
+              AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                  >= CAST(0.35 AS DOUBLE)),
+      ex AS (SELECT min(doc_id) AS doc_id FROM q
+             GROUP BY array_to_string(string_split(text, ' ')[1:3], ' ')),
+      exd AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM exd) dd,
+                  LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-1, 1))) AS i) ii),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pr AS (SELECT da, db
+             FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+             WHERE CAST(ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - ni AS DOUBLE)
+                   >= CAST(0.8 AS DOUBLE)),
+      eg AS (SELECT da AS src, db AS dst FROM pr UNION ALL SELECT db, da FROM pr),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM exd
+        UNION
+        SELECT e.src, rc.r FROM eg e JOIN reach rc ON e.dst = rc.id),
+      cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      SELECT d.lang,
+        CAST(count(*) AS BIGINT) AS n_raw,
+        CAST(sum(CASE WHEN qq.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_quality,
+        CAST(sum(CASE WHEN ex2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_exact,
+        CAST(sum(CASE WHEN cl.id IS NOT NULL AND cl.id = cl.cluster
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+      FROM documents d
+      LEFT JOIN (SELECT doc_id FROM q) qq ON d.doc_id = qq.doc_id
+      LEFT JOIN ex ex2 ON d.doc_id = ex2.doc_id
+      LEFT JOIN cl ON d.doc_id = cl.id
+      GROUP BY d.lang ORDER BY d.lang""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks)
+      val quality = docs.filter(nTok >= 25 &&
+        (size(array_distinct(toks)).cast("double") / nTok.cast("double"))
+          >= 0.35)
+      val exact = Dedup.exactKeepFirst(
+          quality.withColumn("key3", array_join(slice(toks, 1, 3), " ")),
+          Seq("key3"), "doc_id")
+        .drop("key3")
+      val pairs = Dedup.jaccardPairs(exact, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      val labels = Dedup.resolveClusters(exact, "doc_id", pairs)
+      val kept = Dedup.dedupByClusters(exact, "doc_id", labels)
+      def stage(df: DataFrame, name: String): DataFrame =
+        df.groupBy("lang").agg(count(lit(1)).as(name))
+      stage(docs, "n_raw")
+        .join(stage(quality, "n_quality0"), Seq("lang"), "left")
+        .join(stage(exact, "n_exact0"), Seq("lang"), "left")
+        .join(stage(kept, "n_final0"), Seq("lang"), "left")
+        .select(col("lang"), col("n_raw"),
+          coalesce(col("n_quality0"), lit(0L)).as("n_quality"),
+          coalesce(col("n_exact0"), lit(0L)).as("n_exact"),
+          coalesce(col("n_final0"), lit(0L)).as("n_final"))
+        .orderBy("lang")
+    },
+
     // ---------------- X4: multimodal binary plumbing ----------------
 
     QueryDef("x4_binary_meta", Some("""

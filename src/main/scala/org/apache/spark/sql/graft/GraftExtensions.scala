@@ -2,30 +2,53 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-/** SparkSessionExtensions installer: exposes the native vector expressions
-  * to the SQL surface (`SELECT vec_cosine(a, b) ...`), so the engine's
-  * custom functions are first-class for spark.sql users, not just the
-  * Column API. Wire with
-  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+/** SparkSessionExtensions installer: exposes the engine's native
+  * expressions to the SQL surface (`SELECT vec_cosine(a, b) ...`,
+  * `word_shingles(text, 3)`, `minhash_agg(shingle, 16)`), so the custom
+  * functions are first-class for spark.sql users, not just the Column API.
+  * Wire with `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.size == 2, "vec_dot takes exactly 2 arguments")
         DotProduct(children(0), children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.size == 2, "vec_cosine takes exactly 2 arguments")
         CosineSimilarity(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "word_shingles(text, n)")
+        WordShingles(children(0), intLit(children(1), "shingle width n"))
+      }))
+    // Aggregate functions resolve like any other: the analyzer wraps a
+    // returned AggregateFunction in an AggregateExpression.
+    ext.injectFunction((
+      FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_agg(input, k)")
+        MinHashAgg(children(0), intLit(children(1), "signature length k"))
       }))
   }
 }

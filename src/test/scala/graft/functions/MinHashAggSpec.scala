@@ -45,6 +45,19 @@ class MinHashAggSpec extends SparkSpec {
     assert("minhash_agg".r.findAllIn(plan).size == 1)
   }
 
+  test("minhash_agg and word_shingles are callable from SQL via GraftExtensions") {
+    words.map(w => ("d", w)).toDF("id", "w").createOrReplaceTempView("mh_sql")
+    val sig = spark.sql(
+      "SELECT minhash_agg(w, 8) AS sig FROM mh_sql GROUP BY id")
+      .select("sig").as[Seq[Long]].head()
+    assert(sig == expected(words, 8))
+    val sh = spark.sql(
+      "SELECT word_shingles('a b c d', 3) AS s")
+      .select("s").as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    spark.catalog.dropTempView("mh_sql")
+  }
+
   test("nulls are ignored; empty slots are Long.MaxValue sentinels") {
     val df = Seq(("d", Option("x")), ("d", None)).toDF("id", "w")
     val sig = df.groupBy("id").agg(MinHashAgg.of(col("w"), 4).as("sig"))
