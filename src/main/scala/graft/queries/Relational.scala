@@ -437,6 +437,33 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // Correlated EXISTS / NOT EXISTS through the engine's SQL entry point
+    // (R6 path): suppliers from nations that have customers, none of them
+    // deeply overdrawn. Catalyst decorrelates both subqueries into
+    // semi/anti joins.
+    QueryDef("j4_exists", Some("""
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = s_nationkey)
+        AND NOT EXISTS (SELECT 1 FROM customer
+                        WHERE c_nationkey = s_nationkey
+                          AND c_acctbal < CAST(-900 AS DOUBLE))
+      ORDER BY s_suppkey""")) { (s, dir) =>
+      Seq("supplier", "customer").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"j4_$n"))
+      val out = s.sql("""
+        SELECT s_suppkey, s_name
+        FROM j4_supplier
+        WHERE EXISTS (SELECT 1 FROM j4_customer WHERE c_nationkey = s_nationkey)
+          AND NOT EXISTS (SELECT 1 FROM j4_customer
+                          WHERE c_nationkey = s_nationkey
+                            AND c_acctbal < CAST(-900 AS DOUBLE))
+        ORDER BY s_suppkey""")
+      Seq("supplier", "customer").foreach(n =>
+        s.catalog.dropTempView(s"j4_$n"))
+      out
+    },
+
     // Interval join via bucketized equijoin (operators.RangeJoin): clicks
     // within ±15 min of a purchase by the same user. The oracle is the
     // plain inequality join (the oracle engine has a native range-join
