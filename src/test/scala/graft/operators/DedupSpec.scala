@@ -64,6 +64,16 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("resolveClusters: pointer jumping converges a 200-node chain in O(log d) rounds") {
+    // plain propagation would need 199 rounds — far over maxRounds=10
+    val n = 200
+    val docs = (1 to n).map(_.toLong).toDF("doc_id")
+    val pairs = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("da", "db")
+    val got = Dedup.resolveClusters(docs, "doc_id", pairs, maxRounds = 10)
+      .as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 1L))
+  }
+
   test("dedupByClusters keeps exactly one canonical doc per cluster") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("da", "db")
