@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus curation. `df.sample()` draws from a
+  * per-partition RNG — resplitting the input changes the sample, which is
+  * unacceptable for reproducible training sets. These operators derive the
+  * draw from a content/id hash, so the same row is in or out of the sample
+  * regardless of partitioning, cluster size, or retries, and the sample is
+  * re-derivable years later from the id alone.
+  */
+object Sample {
+
+  /** Hash-Bernoulli sample at `percent` %: keep a row iff its id hashes
+    * into the first `percent` of 100 buckets. xxhash64 path — codegen'd,
+    * the production choice. Pure filter: no shuffle, pushes past columnar
+    * scans like any predicate.
+    */
+  def bernoulli(df: DataFrame, idCol: String, percent: Int): Column = {
+    require(percent >= 0 && percent <= 100, "percent in [0, 100]")
+    pmod(xxhash64(col(idCol)), lit(100)) < percent
+  }
+
+  /** Engine-portable variant: keep rows whose first two md5 hex digits
+    * compare below `hexCeil` ("40" = 64/256 = 25%). Lowercase hex orders
+    * lexicographically like numerically, so a plain string compare is
+    * reproducible in any engine with md5 — no numeric conversion to
+    * diverge on.
+    */
+  def bernoulliPortable(df: DataFrame, idCol: String, hexCeil: String): Column =
+    substring(md5(col(idCol).cast("string")), 1, 2) < lit(hexCeil)
+
+  /** Stratified fixed-size sample: the `n` rows of each stratum with the
+    * smallest (hash, id) — every stratum contributes exactly
+    * min(n, |stratum|) rows, deterministically, in one window shuffle on
+    * the stratum key. The hash order de-biases the pick; the id tiebreak
+    * makes it total.
+    */
+  def stratified(df: DataFrame, stratumCol: String, idCol: String,
+                 n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

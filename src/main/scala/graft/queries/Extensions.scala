@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{AsOf, Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, Multimodal, Sample, Similarity, TextOps}
 
 /** Mandated extension surface (SURVEY.md §2.4 / BASELINE.json north_star):
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
@@ -527,6 +527,34 @@ object Extensions extends QueryModule {
       Similarity.cosineDupPairs(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 4), "vec_id", "embedding", threshold = 0.4)
         .orderBy("da", "db")
+    },
+
+    // ---------------- X7: deterministic sampling ----------------
+
+    // Hash-Bernoulli ~25% sample: membership derives from md5(doc_id), so
+    // the same docs are sampled under any partitioning / cluster size /
+    // retry — df.sample()'s per-partition RNG can't promise that.
+    QueryDef("x7_sample", Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+      ORDER BY doc_id""")) { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.filter(Sample.bernoulliPortable(d, "doc_id", "40"))
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // Stratified fixed-size sample: 20 docs per language, hash-ordered —
+    // every stratum contributes deterministically, one window shuffle.
+    QueryDef("x7_stratified", Some("""
+      WITH r AS (
+        SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, lang FROM r WHERE rn <= 20
+      ORDER BY lang, doc_id""")) { (s, dir) =>
+      Sample.stratified(t(s, dir, "documents"), "lang", "doc_id", 20)
+        .select("doc_id", "lang").orderBy("lang", "doc_id")
     },
 
     // ---------------- X6: end-to-end corpus curation ----------------

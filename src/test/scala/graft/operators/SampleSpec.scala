@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(sf("documents"))
+
+  test("bernoulli: same membership under any partitioning") {
+    val one = docs.repartition(1)
+    val many = docs.repartition(13)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.filter(Sample.bernoulli(df, "doc_id", 25))
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids(one) == ids(many))
+    val n = ids(one).size.toDouble / docs.count()
+    assert(n > 0.1 && n < 0.4, s"~25% sample, got $n")
+  }
+
+  test("bernoulli is a pure filter — no shuffle") {
+    val plan = docs.filter(Sample.bernoulli(docs, "doc_id", 25))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("bernoulliPortable matches its md5 definition and 0/100 edge cases") {
+    val all = docs.filter(Sample.bernoulliPortable(docs, "doc_id", "zz")).count()
+    val none = docs.filter(Sample.bernoulliPortable(docs, "doc_id", "00")).count()
+    assert(all == docs.count() && none == 0)
+  }
+
+  test("stratified: exactly min(n, stratum size) per stratum, deterministic") {
+    val out = Sample.stratified(docs, "lang", "doc_id", 7)
+    val per = out.groupBy("lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    sizes.foreach { case (lang, sz) =>
+      assert(per(lang) == math.min(7L, sz)) }
+    val again = Sample.stratified(docs.repartition(9), "lang", "doc_id", 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+}
