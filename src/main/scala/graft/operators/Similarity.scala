@@ -220,6 +220,55 @@ object Similarity {
     transform(slice(array_sort(arr), 1, nprobe), s => s.getField("cid"))
   }
 
+  /** Deterministic Lloyd iterations for IVF centroid training. Seeds are
+    * the k lowest-id vectors; assignment is the same argmax-cosine cell
+    * rule as [[knnIvf]]; the mean update accumulates each dimension as
+    * DECIMAL(28,10) — exact and order-independent — before one double
+    * divide on the driver, so the trained centroids are BIT-IDENTICAL
+    * under any partitioning, cluster size, or retry (a plain double sum
+    * would drift with partial-aggregation order and make every downstream
+    * cell assignment nondeterministic). Per iteration: one projection +
+    * one shuffle on (cell, dim); k×dim rows reach the driver (the
+    * centroids live there anyway — they are the quantizer broadcast to
+    * every task). Empty cells keep their previous centroid.
+    */
+  def kmeansCentroids(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[Seq[Double]] = {
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    val base = Par.spread(df)
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+    var cents: Array[Seq[Double]] = base.orderBy("id").limit(k)
+      .collect().map(_.getSeq[Double](1))
+    for (_ <- 0 until iters) {
+      val withIds = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val assigned = base.withColumn("cell", cellExpr(col("v"), withIds))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("x").cast("decimal(28,10)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.toArray.clone())
+      sums.foreach { r =>
+        val cell = r.getLong(0).toInt
+        val dim = r.getInt(1)
+        next(cell)(dim) =
+          r.getDecimal(2).doubleValue() / r.getLong(3).toDouble
+      }
+      cents = next.map(_.toSeq)
+    }
+    cents
+  }
+
+  /** Trained centroids as the (cid, vec) frame [[knnIvf]] consumes. */
+  def centroidsDF(spark: org.apache.spark.sql.SparkSession,
+                  cents: Array[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("cid", "vec")
+  }
+
   /** IVF-flat ANN: a coarse quantizer (the centroid list — small by
     * contract, collected once like LSH planes) partitions the corpus into
     * cells with a single projection; each query searches only its `nprobe`

