@@ -87,6 +87,30 @@ object Multimodal {
       }
   }
 
+  /** "Resize" to a fixed target byte plane: content is truncated or
+    * zero-padded to exactly `targetW * targetH` bytes and the metadata
+    * struct is rewritten to the target dimensions. A real image resize
+    * needs a codec (the [[Decoder]] seam); this byte-plane crop/pad stub
+    * keeps the Spark side honest — the whole operation is a codegen'd
+    * projection (binary substring + concat), no UDF, no shuffle — and is
+    * deterministic, so it gates exactly.
+    *
+    * Output: (id, content resized, meta = (format, targetW, targetH),
+    * origBytes, truncated flag).
+    */
+  def resize(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val n = targetW * targetH
+    val zeros = lit(Array.fill[Byte](n)(0))
+    df.select(
+      col("id"),
+      substring(concat(col("content"), zeros), 1, n).as("content"),
+      struct(col("meta.format").as("format"),
+        lit(targetW).as("width"), lit(targetH).as("height")).as("meta"),
+      length(col("content")).as("origBytes"),
+      (length(col("content")) > n).as("truncated"))
+  }
+
   /** Frame sampling for video-like payloads: every `stride`-th fixed-size
     * block of the content bytes becomes one "frame" row (id, frameNo,
     * frame). Pure projection — no shuffle.

@@ -728,6 +728,29 @@ object Extensions extends QueryModule {
         .orderBy("id").limit(100)
     },
 
+    // Byte-plane resize (crop/pad to a fixed 16x12 target): per-source
+    // counts of truncated vs padded docs and exact in/out byte totals —
+    // all integer arithmetic, so the stub resize gates exactly.
+    QueryDef("x4_resize", Some("""
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN octet_length(encode(text)) > 192
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_trunc,
+        CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_in,
+        CAST(count(*) * 192 AS BIGINT) AS sum_out
+      FROM documents GROUP BY source ORDER BY source""")) { (s, dir) =>
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+      val resized = Multimodal.resize(media.toDF(), targetW = 16, targetH = 12)
+      val src = t(s, dir, "documents").select(col("doc_id").as("id"), col("source"))
+      resized.join(src, "id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("truncated").cast("long")).as("n_trunc"),
+          sum(col("origBytes").cast("long")).as("sum_in"),
+          sum(length(col("content")).cast("long")).as("sum_out"))
+        .orderBy("source")
+    },
+
     // Video-style frame sampling: every 2nd 32-byte block of the content
     // becomes a frame row; gate the per-doc frame count and sampled byte
     // total (pure integer arithmetic — exact in any engine).

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, length}
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
@@ -49,5 +50,28 @@ class MultimodalSpec extends SparkSpec {
     val expected = (content.length + 15) / 16
     val got = frames.filter($"id" === media.head().id).count()
     assert(got == (expected + 1) / 2)
+  }
+
+  test("resize crops or zero-pads to exactly the target plane, no shuffle") {
+    val media = Multimodal.fromText(docs.limit(20), "doc_id", "text")
+    val out = Multimodal.resize(media.toDF(), targetW = 8, targetH = 4)
+    val rows = out.select(col("id"), length(col("content")),
+      col("meta.width"), col("meta.height"), col("origBytes"), col("truncated"))
+      .as[(Long, Int, Int, Int, Int, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, len, w, h, orig, trunc) =>
+      assert(len == 32 && w == 8 && h == 4)
+      assert(trunc == (orig > 32))
+    }
+    // padded tail is zero bytes
+    val shortDoc = media.toDF().filter(length(col("content")) < 32)
+    if (shortDoc.count() > 0) {
+      val r = Multimodal.resize(shortDoc, 8, 4)
+        .select("content", "origBytes").head()
+      val bytes = r.getAs[Array[Byte]](0)
+      val orig = r.getInt(1)
+      assert(bytes.drop(orig).forall(_ == 0))
+    }
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 }
