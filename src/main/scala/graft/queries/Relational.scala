@@ -437,6 +437,48 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // Bucketed co-located join (operators.Colocate): both sides written
+    // bucket+sorted on the join key into the warehouse, then merge-joined
+    // exchange-free (the shuffle-elimination itself is asserted in
+    // ColocateSpec; this gates the end-to-end values through the bucketed
+    // write + catalog read path).
+    QueryDef("c1_bucketed_join", Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, dir) =>
+      graft.operators.Colocate.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "graft_gate", "li_bk", Seq("l_orderkey"), 8)
+      graft.operators.Colocate.writeBucketed(
+        t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+        "graft_gate", "ord_bk", Seq("l_orderkey"), 8)
+      s.table("graft_gate.li_bk")
+        .join(s.table("graft_gate.ord_bk").hint("merge"), "l_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum("l_extendedprice").as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Salted skew join (operators.Colocate.saltedJoin): semantically the
+    // plain join — the salt spreads a hot key's rows across sub-partitions
+    // and replicates the small side — so it gates against the plain SQL.
+    QueryDef("c2_salted_join", Some("""
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_suppkey", "l_quantity")
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.Colocate.saltedJoin(li, sup, Seq("l_suppkey"), factor = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty"))
+        .orderBy("s_nationkey")
+    },
+
     // Correlated EXISTS / NOT EXISTS through the engine's SQL entry point
     // (R6 path): suppliers from nations that have customers, none of them
     // deeply overdrawn. Catalyst decorrelates both subqueries into
