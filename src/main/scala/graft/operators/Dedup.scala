@@ -203,6 +203,33 @@ object Dedup {
     scorePairs(pairIntersections(cand, sh, idCol), cnt, idCol, threshold)
   }
 
+  /** Edit-distance near-dup pairs over a bounded prefix: candidates come
+    * from the shared-shingle inverted index (never all pairs), then the
+    * verify computes Levenshtein distance between the first `prefixLen`
+    * characters. Bounding the operand length matters twice at scale: the
+    * DP is O(prefixLen²) per pair, and unbounded document-length operands
+    * would make a single candidate pair arbitrarily expensive. Exact
+    * integer distance — reproducible in any engine with the classic
+    * Levenshtein definition.
+    *
+    * Output: (da, db, dist) with da < db, dist <= maxDist.
+    */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, prefixLen: Int, maxDist: Int): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = sharedShingleIntersections(sh, idCol).select("da", "db")
+    val pre = df.select(col(idCol),
+      substring(col(textCol), 1, prefixLen).as("__pre"))
+    cand
+      .join(pre.select(col(idCol).as("da"), col("__pre").as("pa")), "da")
+      .join(pre.select(col(idCol).as("db"), col("__pre").as("pb")), "db")
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .filter(col("dist") <= maxDist)
+      .select("da", "db", "dist")
+  }
+
   /** SimHash bucketing: docs sharing a 16-bit SimHash are near-dup
     * candidates. Returns (docId, simhash). One shuffle-free projection —
     * bucket-join downstream as needed.

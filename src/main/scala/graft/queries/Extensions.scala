@@ -290,6 +290,24 @@ object Extensions extends QueryModule {
         .orderBy("lang")
     },
 
+    // Edit-distance near-dup: shingle-blocked candidates, Levenshtein over
+    // a 60-char prefix (bounded DP — the scale guard), exact integer gate.
+    QueryDef("x2_editdist", Some(s"""
+      WITH $shCte
+      SELECT da, db, CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+      FROM inter
+      JOIN (SELECT doc_id, substr(text, 1, 60) AS pre FROM documents) a
+        ON a.doc_id = da
+      JOIN (SELECT doc_id, substr(text, 1, 60) AS pre FROM documents) b
+        ON b.doc_id = db
+      WHERE levenshtein(a.pre, b.pre) <= 12
+      ORDER BY da, db""")) { (s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, prefixLen = 60, maxDist = 12)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy("da", "db")
+    },
+
     QueryDef("x2_simhash", Some("""
       WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok
                   FROM documents),

@@ -437,6 +437,29 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // Window-function breadth: ntile buckets, percent_rank (exact — an
+    // integer-derived single division), and lead over a per-key order.
+    QueryDef("w3_rank_funcs", Some("""
+      WITH w AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,
+          percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS pr,
+          lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS next_ord
+        FROM orders)
+      SELECT o_custkey, o_orderkey, quartile, pr, next_ord
+      FROM w WHERE o_custkey < 50
+      ORDER BY o_custkey, o_orderkey""")) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("next_ord", lead(col("o_orderkey"), 1).over(w))
+        .filter(col("o_custkey") < 50)
+        .select("o_custkey", "o_orderkey", "quartile", "pr", "next_ord")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Bucketed co-located join (operators.Colocate): both sides written
     // bucket+sorted on the join key into the warehouse, then merge-joined
     // exchange-free (the shuffle-elimination itself is asserted in
