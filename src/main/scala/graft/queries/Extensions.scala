@@ -568,6 +568,19 @@ object Extensions extends QueryModule {
         .orderBy("user_id", "event_id")
     },
 
+    // KLL-style quantile sketch (approx_percentile): like the HLL gate,
+    // sketch internals are engine-specific → rows-only; the exact
+    // order-statistic companion is q6_quantiles.
+    QueryDef("x5_approx_pctl", None) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+            .as("p90_approx"))
+        .orderBy("l_returnflag")
+    },
+
     // HLL sketch: approx distinct tokens per lang. Spark's HyperLogLog++
     // differs from other engines' sketches by construction → rows-only gate;
     // the exact companion is x5_token_stats.
