@@ -437,6 +437,20 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // Calendar extraction breadth: day-of-week × event type. Engines
+    // disagree on week origin (here Sunday=1..7 vs Sunday=0..6), so the
+    // oracle normalizes with +1 — a fixed integer map, still exact.
+    QueryDef("ev5_dow", Some("""
+      SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY event_type, dow""")) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("cnt"), dsum("value").as("sum_value"))
+        .orderBy("event_type", "dow")
+    },
+
     // Window-function breadth: ntile buckets, percent_rank (exact — an
     // integer-derived single division), and lead over a per-key order.
     QueryDef("w3_rank_funcs", Some("""
