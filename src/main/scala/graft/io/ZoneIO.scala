@@ -104,3 +104,42 @@ object Writers {
       .write.mode(SaveMode.Overwrite).saveAsTable(s"$database.$table")
   }
 }
+
+/** Small-files compaction. Streaming sinks and fine-grained partitioned
+  * writes leave behind thousands of KB-scale files; every downstream scan
+  * then pays a per-file open + footer read and schedules splinter tasks —
+  * at warehouse scale the metadata overhead dwarfs the data. Compaction
+  * rewrites a directory into ~`targetBytes` outputs sized from the ACTUAL
+  * on-disk byte count (listed through the Hadoop FileSystem, so any
+  * warehouse scheme works), not a guessed partition number.
+  */
+object Compact {
+
+  /** Total bytes of data files under `dir` (Spark bookkeeping excluded). */
+  def dataBytes(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+    }
+    total
+  }
+
+  /** Rewrite `srcDir` into `destDir` as ceil(bytes / targetBytes) files.
+    * Returns the output file count. (Overwrite semantics, same format.)
+    */
+  def compactTo(spark: SparkSession, srcDir: String, destDir: String,
+                format: Format, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val total = dataBytes(spark, srcDir)
+    val parts = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    Writers.write(
+      Readers.read(spark, format, srcDir).repartition(parts),
+      format, destDir)
+    parts
+  }
+}

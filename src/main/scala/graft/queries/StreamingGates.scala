@@ -64,6 +64,34 @@ object StreamingGates extends QueryModule {
         .orderBy("event_type", "hour_s")
     },
 
+    // Stream-stream interval join ≡ the batch time-bounded join: inner
+    // join results emit as matched (no watermark wait), so with complete
+    // AvailableNow inputs the streamed pairs equal the batch join exactly.
+    QueryDef("ev6_stream_join", Some("""
+      SELECT c.user_id, c.event_id AS l_id, p.event_id AS r_id,
+             epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES
+      ORDER BY c.user_id, l_id, r_id""")) { (s, dir) =>
+      val (in, out, ck) = stage(s, dir)
+      val clicks = Streams.readEventStream(s, in)
+        .filter(col("event_type") === "click")
+      val purchases = Streams.readEventStream(s, in)
+        .filter(col("event_type") === "purchase")
+      val q = Streams.intervalJoin(clicks, purchases, "user_id",
+          windowMs = 30 * 60 * 1000L, lateness = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("l_key").as("user_id"), col("l_id"), col("r_id"),
+          (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("lag_ms"))
+        .orderBy("user_id", "l_id", "r_id")
+    },
+
     // Streaming sessionization ≡ batch gap-sessionization over CLOSED
     // sessions: a session is emitted either mid-stream (a later event of
     // the same user broke the gap — i.e. it is not the user's last

@@ -102,6 +102,28 @@ object Streams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream-stream inner join with an event-time range: left events joined
+    * to right events of the same key within `[l.ts, l.ts + windowMs]`.
+    * Both sides carry watermarks and the join condition bounds event time
+    * on both, so Spark can evict join state once the watermark passes the
+    * range — without the time bound the state would grow forever. Matched
+    * pairs emit as they are found (inner join does not wait for the
+    * watermark), so with complete inputs the result equals the batch join.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   windowMs: Long, lateness: String): DataFrame = {
+    val l = left.select(col(keyCol).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+      .withWatermark("l_ts", lateness)
+    val r = right.select(col(keyCol).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+      .withWatermark("r_ts", lateness)
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+  }
+
   /** Append-mode parquet sink with checkpointing — the streaming version of
     * the batch zone write.
     */

@@ -98,6 +98,22 @@ class ZoneIOSpec extends SparkSpec {
     assert(allFiles == days.toInt, "one directory per partition value")
   }
 
+  test("compactTo collapses a splintered directory, preserving rows") {
+    val src = Scratch.fresh("compact-src")
+    val dest = Scratch.fresh("compact-dest")
+    lineitem.repartition(40).write.mode("overwrite").parquet(src)
+    val before = new java.io.File(src).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(before >= 30, s"fixture should splinter, got $before files")
+    val parts = Compact.compactTo(spark, src, dest, Format.Parquet,
+      targetBytes = Compact.dataBytes(spark, src)) // everything in ~1 file
+    assert(parts == 1)
+    val after = new java.io.File(dest).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(after == 1)
+    assert(spark.read.parquet(dest).count() == lineitem.count())
+  }
+
   test("loadTable truncate-loads a warehouse table (S9)") {
     val dir = Scratch.fresh("rt-table")
     val z = Zone(dir, Format.Avro)
