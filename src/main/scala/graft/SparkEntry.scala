@@ -11,7 +11,7 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] =
-    Seq(Relational, Extensions, EtlParity, StreamingGates)
+    Seq(Relational, Extensions, EtlParity, StreamingGates, Maintenance)
 
   private val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -305,4 +305,26 @@ object Dedup {
   def dedupByClusters(df: DataFrame, idCol: String, labels: DataFrame): DataFrame =
     df.join(labels.filter(col("id") === col("cluster"))
         .select(col("id").as(idCol)), idCol)
+
+  /** Benchmark decontamination: per training doc, the fraction of its
+    * distinct n-gram shingles that also occur anywhere in `bench` (the
+    * eval/benchmark corpus). Training docs with a high fraction leak the
+    * benchmark and must be dropped before training.
+    *
+    * Scale posture: eval suites are tiny next to a 100 TB corpus, so the
+    * benchmark shingle set is broadcast — the corpus-side shingles never
+    * shuffle for the membership probe; the only corpus shuffle is the
+    * per-doc groupBy. Output: (idCol, n_sh, n_hit, frac).
+    */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val tsh = shingleSet(train, idCol, textCol, n)
+    val bsh = shingleSet(bench, idCol, textCol, n)
+      .select("shingle").distinct().withColumn("__hit", lit(1L))
+    tsh.join(broadcast(bsh), Seq("shingle"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_sh"),
+        coalesce(sum("__hit"), lit(0L)).as("n_hit"))
+      .withColumn("frac", col("n_hit").cast("double") / col("n_sh").cast("double"))
+  }
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Snapshot-maintenance operators: MERGE-style upsert, slowly-changing
+  * dimension (type 2) history build, and CDC snapshot diff. These are the
+  * warehouse-side mutations a pipeline like the reference's truncate-load
+  * (SURVEY.md §2.1 S9) grows into once full reloads stop being affordable —
+  * at 100 TB you merge deltas, you don't rewrite the table.
+  *
+  * Scale posture: each operator is a single hash-shuffle on the key columns
+  * (union+window or one join), no driver-side state, no cross join. All
+  * three are deterministic given the documented input contracts, which the
+  * oracle gates rely on.
+  */
+object Snapshot {
+
+  /** MERGE upsert: rows of `updates` replace same-keyed rows of `base`;
+    * unmatched update rows are inserts. Both inputs must be snapshots —
+    * at most one row per key — which makes the keep-highest-priority
+    * window deterministic (at most two candidates per key, distinct
+    * priorities). One shuffle on `keys`; schemas must match.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = base.columns.toSeq
+    val tagged = base.select(cols.map(col): _*).withColumn("__src", lit(0))
+      .unionByName(updates.select(cols.map(col): _*).withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__src").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+
+  /** Type-2 SCD history from an event log: one row per run of equal
+    * `attrCol` values per key, ordered by (`tsCol`, `ordCol`) — `ordCol`
+    * must break ties totally or versioning is nondeterministic. Emits
+    * (key, attr, valid_from, valid_to, version, is_current) where
+    * `valid_to` is the next version's start (null while current).
+    * Two window passes over the same (key, ts, ord) sort — Catalyst
+    * plans them in one shuffle + one sort.
+    */
+  def scd2(events: DataFrame, keyCol: String, attrCol: String,
+           tsCol: String, ordCol: String): DataFrame = {
+    val byTime = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
+    val changes = events
+      .withColumn("__prev", lag(col(attrCol), 1).over(byTime))
+      // first event of a key or a value change opens a new version
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .select(col(keyCol), col(attrCol), col(tsCol).as("valid_from"),
+        col(ordCol).as("__ord"))
+    val byStart = Window.partitionBy(col(keyCol))
+      .orderBy(col("valid_from"), col("__ord"))
+    changes
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
+      .withColumn("version", row_number().over(byStart))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__ord")
+  }
+
+  /** CDC diff of two keyed snapshots: emits only changed keys, with
+    * `op` = 'I' (key only in `after`), 'D' (only in `before`) or 'U'
+    * (present in both, any non-key column differing). Carries the after
+    * image for I/U and the before image for D. Unchanged keys are dropped,
+    * so the output is delta-sized, not snapshot-sized. One shuffle (full
+    * outer join on `keys`); null-safe comparison column by column.
+    */
+  def diff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = before.columns.toSeq
+    val dataCols = cols.filterNot(keys.contains)
+    val b = before.select(cols.map(c => col(c).as(s"__b_$c")): _*)
+    val a = after.select(cols.map(c => col(c).as(s"__a_$c")): _*)
+    val on = keys.map(k => col(s"__b_$k") <=> col(s"__a_$k")).reduce(_ && _)
+    val inBefore = keys.map(k => col(s"__b_$k").isNotNull).reduce(_ && _)
+    val inAfter = keys.map(k => col(s"__a_$k").isNotNull).reduce(_ && _)
+    val changed = dataCols
+      .map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val op = when(!inBefore, "I").when(!inAfter, "D")
+      .when(changed, "U")
+    val image = cols.map { c =>
+      when(col("op") === "D", col(s"__b_$c"))
+        .otherwise(col(s"__a_$c")).as(c)
+    }
+    b.join(a, on, "full_outer")
+      .withColumn("op", op)
+      .filter(col("op").isNotNull)
+      .select(col("op") +: image: _*)
+  }
+}

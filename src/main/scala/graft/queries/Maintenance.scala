@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators.{Dedup, Snapshot, ZOrder}
+
+/** Warehouse-maintenance and layout operators gated against DuckDB:
+  * MERGE upsert, SCD2 history build, CDC snapshot diff, z-order layout,
+  * and benchmark decontamination. These are the mutations and layout
+  * passes a truncate-load pipeline (SURVEY.md §2.1 S9) grows into at
+  * scale, where full reloads and single-column sort orders stop working.
+  */
+object Maintenance extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Narrow order columns used by the snapshot gates. */
+  private val oCols = Seq("o_orderkey", "o_orderstatus", "o_totalprice",
+    "o_orderpriority")
+
+  /** Updates: keys % 5 get status 'U' and doubled price (FP-exact). */
+  private def updates(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+
+  /** Inserts: keys % 13 re-keyed past the live range, priority 'NEW'. */
+  private def inserts(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderpriority", lit("NEW"))
+
+  private val updCte = """
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice,
+             'NEW' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 13 = 0)"""
+
+  /** DuckDB interleave of 10-bit px/sy — same bit arithmetic as
+    * [[ZOrder.zValue]], spelled out as integer ops.
+    */
+  private val zExpr = (0 until 10).flatMap { b =>
+    Seq(s"(((px >> $b) & 1) << ${2 * b})", s"(((sy >> $b) & 1) << ${2 * b + 1})")
+  }.mkString(" | ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // MERGE upsert: updates replace, inserts append, untouched rows survive.
+    QueryDef("e1_upsert", Some(s"""
+      WITH $updCte,
+      merged AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey))
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM merged WHERE o_orderkey % 7 = 0
+      ORDER BY o_orderkey""")) { (s, dir) =>
+      val orders = t(s, dir, "orders").select(oCols.map(col): _*)
+      Snapshot.upsert(orders,
+          updates(orders).unionByName(inserts(orders)), Seq("o_orderkey"))
+        .filter(col("o_orderkey") % 7 === 0)
+        .orderBy("o_orderkey")
+    },
+
+    // SCD2: event_type change runs per user become versioned validity rows.
+    QueryDef("e2_scd2", Some("""
+      WITH e AS (SELECT user_id, event_type, ts, event_id
+                 FROM events WHERE user_id % 25 = 0),
+      c AS (SELECT user_id, event_type, ts AS valid_from, event_id,
+                   lag(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM e),
+      v AS (SELECT user_id, event_type, valid_from, event_id
+            FROM c WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER w AS valid_to,
+             row_number() OVER w AS version,
+             (lead(valid_from) OVER w IS NULL) AS is_current
+      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+      ORDER BY user_id, version""")) { (s, dir) =>
+      Snapshot.scd2(
+          t(s, dir, "events").filter(col("user_id") % 25 === 0),
+          "user_id", "event_type", "ts", "event_id")
+        .withColumn("version", col("version").cast("long"))
+        .orderBy("user_id", "version")
+    },
+
+    // CDC diff: delta rows only — I for new keys, U for changed, D for gone.
+    QueryDef("e3_cdc_diff", Some(s"""
+      WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                        o_orderpriority FROM orders),
+      a AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice,
+               'NEW' AS o_orderpriority
+        FROM orders WHERE o_orderkey % 13 = 0)
+      SELECT 'D' AS op, b.* FROM b
+      WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.o_orderkey = b.o_orderkey)
+      UNION ALL
+      SELECT 'I' AS op, a.* FROM a
+      WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.o_orderkey = a.o_orderkey)
+      UNION ALL
+      SELECT 'U' AS op, a.*
+      FROM a JOIN b USING (o_orderkey)
+      WHERE a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+         OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+         OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+      ORDER BY o_orderkey""")) { (s, dir) =>
+      val before = t(s, dir, "orders").select(oCols.map(col): _*)
+      val after = before.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .unionByName(inserts(before))
+      Snapshot.diff(before, after, Seq("o_orderkey")).orderBy("o_orderkey")
+    },
+
+    // Z-order layout: per z-range bucket, BOTH key ranges stay bounded —
+    // the footer-stats pruning property the layout exists for.
+    QueryDef("z1_zorder", Some(s"""
+      WITH m AS (SELECT l_partkey % 1024 AS px, l_suppkey % 1024 AS sy
+                 FROM lineitem),
+      z AS (SELECT px, sy, ($zExpr) AS z FROM m)
+      SELECT z >> 16 AS bucket, count(*) AS n,
+             min(px) AS min_px, max(px) AS max_px,
+             min(sy) AS min_sy, max(sy) AS max_sy
+      FROM z GROUP BY 1 ORDER BY bucket""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select((col("l_partkey") % 1024).as("px"),
+          (col("l_suppkey") % 1024).as("sy"))
+        .withColumn("z", ZOrder.zValue(col("px"), col("sy"), 10))
+        .groupBy(shiftright(col("z"), 16).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("px").as("min_px"), max("px").as("max_px"),
+          min("sy").as("min_sy"), max("sy").as("max_sy"))
+        .orderBy("bucket")
+    },
+
+    // Benchmark decontamination: shingle-overlap fraction of each training
+    // doc against the benchmark split's shingle vocabulary.
+    QueryDef("x6_decontam", Some("""
+      WITH tsh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS shingle
+        FROM (SELECT doc_id, string_split(text,' ') AS toks
+              FROM documents WHERE doc_id % 17 <> 0) dd,
+             LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-1,1))) AS i) ii),
+      bsh AS (
+        SELECT DISTINCT array_to_string(toks[i:i+2],' ') AS shingle
+        FROM (SELECT string_split(text,' ') AS toks
+              FROM documents WHERE doc_id % 17 = 0) dd,
+             LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-1,1))) AS i) ii),
+      sc AS (
+        SELECT t.doc_id, count(*) AS n_sh,
+               CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM tsh t LEFT JOIN bsh b ON t.shingle = b.shingle
+        GROUP BY t.doc_id)
+      SELECT doc_id, n_sh, n_hit,
+             CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) AS frac
+      FROM sc
+      WHERE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+      ORDER BY doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", n = 3)
+        .filter(col("frac") >= 0.5)
+        .orderBy("doc_id")
+    }
+  )
+}
