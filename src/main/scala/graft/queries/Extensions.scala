@@ -124,6 +124,28 @@ object Extensions extends QueryModule {
         .orderBy("doc_id").limit(100)
     },
 
+    // Vocabulary build — the tokenizer-prep pass: bigram term + document
+    // frequencies with a min-df cut. One explode + one groupBy shuffle;
+    // partial aggregation absorbs the token stream map-side.
+    QueryDef("x5_vocab", Some("""
+      WITH sh AS (
+        SELECT doc_id, array_to_string(toks[i:i+1],' ') AS bigram
+        FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents) dd,
+             LATERAL (SELECT unnest(range(1, greatest(len(dd.toks),1))) AS i) ii)
+      SELECT bigram, CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM sh GROUP BY bigram HAVING count(DISTINCT doc_id) >= 3
+      ORDER BY bigram""")) { (s, dir) =>
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.graft.WordShingles.of(col("text"), 2))
+            .as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 3)
+        .orderBy("bigram")
+    },
+
     QueryDef("x5_fingerprint", Some("""
       SELECT substr(md5(text),1,1) AS bucket,
              CAST(count(*) AS BIGINT) AS n_docs,

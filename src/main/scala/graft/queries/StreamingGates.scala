@@ -92,6 +92,34 @@ object StreamingGates extends QueryModule {
         .orderBy("user_id", "l_id", "r_id")
     },
 
+    // Streaming dedup ≡ batch distinct: the doubled input collapses back
+    // to the original rows (identical duplicates land inside one
+    // AvailableNow batch, well within the lateness window), so per-type
+    // aggregates of the deduped stream equal the batch aggregates of the
+    // original table.
+    QueryDef("ev7_stream_dedup", Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+             min(event_id) AS min_id, max(event_id) AS max_id
+      FROM events GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
+      val in = Scratch.fresh("stream-src")
+      val ev = Tables.load(s, dir, "events")
+      ev.unionByName(ev).write.mode("overwrite").parquet(in)
+      val (out, ck) = (Scratch.fresh("stream-out"), Scratch.fresh("stream-ck"))
+      val q = Streams.dedupWithinWatermark(
+          Streams.readEventStream(s, in), Seq("event_id"), lateness = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_v"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("event_type")
+    },
+
     // Streaming sessionization ≡ batch gap-sessionization over CLOSED
     // sessions: a session is emitted either mid-stream (a later event of
     // the same user broke the gap — i.e. it is not the user's last

@@ -124,6 +124,18 @@ object Streams {
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
   }
 
+  /** Streaming exact dedup on `keys`: per-key state is retained only until
+    * the watermark passes the row's event time plus `lateness`, so state is
+    * bounded by the lateness window instead of growing with the stream —
+    * the streaming counterpart of [[graft.operators.Dedup.exactKeepFirst]].
+    * Duplicates arriving within the lateness window of each other are
+    * guaranteed dropped.
+    */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String],
+                           lateness: String): DataFrame =
+    df.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Append-mode parquet sink with checkpointing — the streaming version of
     * the batch zone write.
     */

@@ -83,6 +83,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops in-window duplicates, evicts old state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.dedupWithinWatermark(in.toDF(), Seq("event_id"),
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(1), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // same-batch duplicate
+        Event(2, ts(2), 2, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(2, ts(2), 2, "view", 2.0)) // cross-batch, in window
+      q.processAllAvailable()
+      val out = spark.table("dd").select("event_id").as[Long].collect().toSeq
+      assert(out.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("file-source stream over the events parquet matches batch counts") {
     // stream the sf0.001 events dir and compare total rows with batch read
     val dir = Scratch.fresh("stream-in")
