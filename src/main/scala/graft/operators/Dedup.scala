@@ -265,12 +265,23 @@ object Dedup {
   def resolveClusters(df: DataFrame, idCol: String, pairs: DataFrame,
                       maxRounds: Int = 25): DataFrame = {
     val ids = df.select(col(idCol).cast("long").as("id"))
-    // Undirected: each edge in both directions.
-    val edges = pairs.select(col("da").cast("long").as("src"),
-        col("db").cast("long").as("dst"))
-      .union(pairs.select(col("db").cast("long"), col("da").cast("long")))
+    // Undirected: each edge in both directions — via ONE explode, not a
+    // union, so the (expensive) pair-generation subtree is evaluated once
+    // when the cache materializes, not once per union branch.
+    val edges = pairs.select(explode(array(
+        struct(col("da").cast("long").as("src"), col("db").cast("long").as("dst")),
+        struct(col("db").cast("long").as("src"), col("da").cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = ids.select(col("id"), col("id").as("cluster")).localCheckpoint()
+    // Convergence test: labels only ever decrease, so the exact label sum
+    // is strictly monotone — one scan-free aggregate over the checkpointed
+    // table per round replaces a join + count job. Decimal(38,0) keeps the
+    // sum exact at any corpus size.
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -289,8 +300,9 @@ object Dedup {
           .as("b"), "cluster")
         .select(col("id"), col("cc").as("cluster"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .filter(col("cluster") =!= col("prev")).count()
+      val nextSum = labelSum(next)
+      changed = if (nextSum.compareTo(prevSum) == 0) 0L else 1L
+      prevSum = nextSum
       labels = next
       round += 1
     }
