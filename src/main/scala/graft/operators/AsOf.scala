@@ -22,14 +22,19 @@ import org.apache.spark.sql.functions._
   * mix rows when right columns contain nulls).
   *
   * Determinism: if several right rows can share (keys, ts), pass
-  * `rightOrder` — the last row under that order wins.
+  * `rightOrder` — the last row under that order wins (backward mode; the
+  * first wins in forward mode, the natural mirror).
+  *
+  * `forward = true` flips the direction: attach the EARLIEST right row with
+  * `right.ts >= left.ts` (the next-event lookup) — same plan, the window
+  * scan just runs over descending timestamps.
   */
 object AsOf {
 
   def joinAsOf(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightCols: Seq[String],
-      rightOrder: Seq[String] = Nil): DataFrame = {
+      rightOrder: Seq[String] = Nil, forward: Boolean = false): DataFrame = {
     val l = left
       .withColumn("__ats", col(leftTs))
       .withColumn("__side", lit(1))
@@ -40,11 +45,16 @@ object AsOf {
         rightOrder.map(c => col(c).as(s"__ro_$c")): _*)
       .withColumn("__side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
+    // Right rows sort before left rows at equal timestamps in BOTH
+    // directions (inclusive <= / >=); __ro is null on left rows, so
+    // nulls_last only breaks ties among right rows.
     val order: Seq[Column] =
-      col("__ats") +: col("__side") +:
-        // null on left rows; __side already ranks left after right at the
-        // same instant, so nulls_last only breaks ties among right rows
-        rightOrder.map(c => col(s"__ro_$c").asc_nulls_last)
+      if (forward)
+        col("__ats").desc +: col("__side") +:
+          rightOrder.map(c => col(s"__ro_$c").desc_nulls_last)
+      else
+        col("__ats") +: col("__side") +:
+          rightOrder.map(c => col(s"__ro_$c").asc_nulls_last)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(order: _*)

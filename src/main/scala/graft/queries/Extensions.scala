@@ -124,6 +124,49 @@ object Extensions extends QueryModule {
         .orderBy("doc_id").limit(100)
     },
 
+    // TF-IDF salient terms — log-free rarity score tf·N/df (one multiply,
+    // one divide, same order in both engines → bit-identical doubles; log
+    // variants differ across libm implementations so hashing would break).
+    // Top-3 bigrams per doc under a total (score desc, bigram) tie order.
+    QueryDef("x5_tfidf", Some("""
+      WITH sh AS (
+        SELECT doc_id, array_to_string(toks[i:i+1],' ') AS bigram
+        FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents) dd,
+             LATERAL (SELECT unnest(range(1, greatest(len(dd.toks),1))) AS i) ii),
+      tf AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf
+             FROM sh GROUP BY 1, 2),
+      df AS (SELECT bigram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             FROM sh GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      sc AS (SELECT doc_id, bigram,
+               CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)
+                 AS score
+             FROM tf JOIN df USING (bigram), n),
+      rk AS (SELECT doc_id, bigram, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, bigram) AS rnk
+             FROM sc)
+      SELECT doc_id, bigram, score, rnk FROM rk WHERE rnk <= 3
+      ORDER BY doc_id, rnk""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sh = spread(docs).select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.WordShingles.of(col("text"), 2))
+          .as("bigram"))
+      val tf = sh.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+      val dfreq = sh.groupBy("bigram").agg(countDistinct("doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("bigram"))
+      tf.join(dfreq, "bigram").crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * col("n_docs").cast("double")
+            / col("df").cast("double"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "bigram", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    },
+
     // Vocabulary build — the tokenizer-prep pass: bigram term + document
     // frequencies with a min-df cut. One explode + one groupBy shuffle;
     // partial aggregation absorbs the token stream map-side.
@@ -587,6 +630,31 @@ object Extensions extends QueryModule {
         .select(col("user_id"), col("event_id"),
           unix_millis(col("ts")).as("ms"),
           col("last_purchase_ms"), col("last_purchase_value"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Forward as-of: each click picks up the user's NEXT purchase at-or-
+    // after its timestamp — same one-shuffle window plan, descending scan.
+    QueryDef("a2_asof_fwd", Some("""
+      SELECT e.user_id, e.event_id, epoch_ms(e.ts) AS ms,
+             epoch_ms(p.ts) AS next_purchase_ms,
+             p.value AS next_purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') e
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND e.ts <= p.ts
+      ORDER BY e.user_id, e.event_id""")) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          unix_millis(col("ts")).as("next_purchase_ms"),
+          col("value").as("next_purchase_value"))
+      AsOf.joinAsOf(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("next_purchase_ms", "next_purchase_value"), forward = true)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"),
+          col("next_purchase_ms"), col("next_purchase_value"))
         .orderBy("user_id", "event_id")
     },
 

@@ -50,6 +50,29 @@ class AsOfSpec extends SparkSpec {
     assert(out.select("tag").as[String].head() == "high")
   }
 
+  test("joinAsOf forward: inclusive >=, next row wins, first-under-order tie") {
+    val left = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "l1"),
+      (1L, ts("2026-01-01 12:00:00"), "l2"), // equal ts → matched (>=)
+      (2L, ts("2026-01-01 11:00:00"), "l3")) // no later right row
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2026-01-01 11:00:00"), 11.0),
+      (1L, ts("2026-01-01 12:00:00"), 12.0),
+      (2L, ts("2026-01-01 10:00:00"), 99.0)) // before l3 → not matched
+      .toDF("k", "ts", "v")
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "ts", "ts", Seq("v"),
+        forward = true)
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(out == Map("l1" -> Some(11.0), "l2" -> Some(12.0), "l3" -> None))
+    val tie = AsOf.joinAsOf(
+      Seq((1L, ts("2026-01-01 10:00:00"))).toDF("k", "ts"),
+      Seq((1L, ts("2026-01-01 11:00:00"), 5L, "low"),
+        (1L, ts("2026-01-01 11:00:00"), 9L, "high")).toDF("k", "ts", "seq", "tag"),
+      Seq("k"), "ts", "ts", Seq("tag"), rightOrder = Seq("seq"), forward = true)
+    assert(tie.select("tag").as[String].head() == "low")
+  }
+
   test("joinAsOf plans one shuffle on the key (window partition)") {
     val left = Seq((1L, ts("2026-01-01 10:00:00"))).toDF("k", "ts")
     val right = Seq((1L, ts("2026-01-01 09:00:00"), 1.0)).toDF("k", "ts", "v")
