@@ -149,6 +149,61 @@ object Maintenance extends QueryModule {
         .orderBy("bucket")
     },
 
+    // Resample + forward-fill: per-user hourly grid over each user's own
+    // span, carrying the last observed value across empty hours.
+    QueryDef("ts1_gapfill", Some("""
+      WITH e AS (SELECT user_id, ts, value, event_id
+                 FROM events WHERE user_id % 25 = 0),
+      ph AS (SELECT user_id, date_trunc('hour', ts) AS h, value,
+                    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+             FROM e),
+      pv AS (SELECT user_id, h, value FROM ph WHERE rn = 1),
+      sp AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                    date_trunc('hour', max(ts)) AS h1
+             FROM e GROUP BY user_id),
+      grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+               FROM sp)
+      SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+             last_value(pv.value IGNORE NULLS) OVER
+               (PARTITION BY g.user_id ORDER BY g.h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM grid g LEFT JOIN pv ON pv.user_id = g.user_id AND pv.h = g.h
+      ORDER BY g.user_id, hour_s""")) { (s, dir) =>
+      graft.operators.TimeSeries.resampleFfill(
+          t(s, dir, "events").filter(col("user_id") % 25 === 0),
+          "user_id", "ts", "value", "event_id",
+          unit = "hour", step = "interval 1 hour")
+        .select(col("user_id"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+          col("value").as("v"))
+        .orderBy("user_id", "hour_s")
+    },
+
+    // Partitioned write + planning-time pruning, end to end: land events
+    // Hive-partitioned by event_type, read one partition back, aggregate.
+    QueryDef("s3_partition_prune", Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+             min(event_id) AS min_id, max(event_id) AS max_id
+      FROM events WHERE event_type = 'click'""")) { (s, dir) =>
+      val out = graft.Scratch.fresh("part-prune")
+      t(s, dir, "events").write.mode("overwrite")
+        .partitionBy("event_type").parquet(out)
+      val pruned = s.read.parquet(out).filter(col("event_type") === "click")
+      val scan = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      val scanned = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+        .flatMap(_.files.map(_.getPath.toString))
+      require(scanned.nonEmpty && scanned.forall(_.contains("event_type=click")),
+        "partition pruning must restrict the scan to the click partition")
+      pruned.agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_v"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+    },
+
     // Benchmark decontamination: shingle-overlap fraction of each training
     // doc against the benchmark split's shingle vocabulary.
     QueryDef("x6_decontam", Some("""

@@ -520,6 +520,58 @@ object Relational extends QueryModule {
     // (R6 path): suppliers from nations that have customers, none of them
     // deeply overdrawn. Catalyst decorrelates both subqueries into
     // semi/anti joins.
+    // Time-range rolling window: trailing 1-hour sum per user — a RANGE
+    // frame over event-time millis (peers at the same instant aggregate
+    // together in both engines; decimal accumulation keeps the sliding
+    // sum order-independent).
+    QueryDef("w4_rolling", Some("""
+      SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER
+               (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS roll_sum
+      FROM events WHERE user_id % 10 = 0
+      ORDER BY user_id, event_id""")) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ms"))
+        .rangeBetween(-3600000L, 0L)
+      t(s, dir, "events")
+        .filter(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"), col("value"))
+        .withColumn("roll_sum",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .drop("value")
+        .orderBy("user_id", "event_id")
+    },
+
+    // GROUPING SETS with grouping_id — the generalized rollup/cube form,
+    // through the SQL entry path (R6).
+    QueryDef("g3_grouping_sets", Some("""
+      SELECT coalesce(l_returnflag, '?') AS rf,
+             coalesce(l_linestatus, '?') AS ls,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                              (l_returnflag, l_linestatus), ())
+      ORDER BY gid, rf, ls""")) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("g3_lineitem")
+      val out = s.sql("""
+        SELECT coalesce(l_returnflag, '?') AS rf,
+               coalesce(l_linestatus, '?') AS ls,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM g3_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus), ())
+        ORDER BY gid, rf, ls""")
+      s.catalog.dropTempView("g3_lineitem")
+      out
+    },
+
     QueryDef("j4_exists", Some("""
       SELECT s_suppkey, s_name
       FROM supplier
