@@ -274,13 +274,24 @@ object Dedup {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col("id"), col("id").as("cluster")).localCheckpoint()
+    // Propagate only over the pair-connected subgraph: near-dup pairs are
+    // a vanishing fraction of a 100 TB corpus, so the iterated label table
+    // holds edge endpoints (≈ 2×|pairs| rows), NOT every doc — isolated
+    // docs are trivially their own cluster and rejoin as singletons at the
+    // end. Labels stay closed over subgraph ids (mins of subgraph ids), so
+    // the pointer-jump self-join below loses nothing.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
     // Convergence test: labels only ever decrease, so the exact label sum
     // is strictly monotone — one scan-free aggregate over the checkpointed
     // table per round replaces a join + count job. Decimal(38,0) keeps the
     // sum exact at any corpus size.
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      // sum over zero rows is null — an empty subgraph (no pairs at all)
+      // must still converge on the first round
+      val d = l.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var prevSum = labelSum(labels)
     var round = 0
     var changed = 1L
@@ -308,7 +319,10 @@ object Dedup {
     }
     require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
     edges.unpersist()
-    labels
+    // Singletons: every doc with no near-dup edge is its own cluster.
+    labels.unionByName(
+      ids.join(labels.select("id"), Seq("id"), "left_anti")
+        .withColumn("cluster", col("id")))
   }
 
   /** Deduped corpus: keep exactly the canonical (minimum-id) doc of every
