@@ -136,6 +136,44 @@ object Streams {
     df.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Latest committed snapshot version directory under `dir` (written by
+    * [[mergeSink]]), if any.
+    */
+  def latestSnapshot(spark: SparkSession, dir: String): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d+"))
+      .sortBy(_.drop(1).toLong)
+      .lastOption
+      .map(v => s"$dir/$v")
+  }
+
+  /** Streaming MERGE sink: each micro-batch is applied as a keyed upsert
+    * ([[graft.operators.Snapshot.upsert]]) onto a versioned parquet
+    * snapshot — batch `i` reads the latest snapshot and writes `dir/v{i}`,
+    * never rewriting a version in place, so a retried batch simply
+    * overwrites its own version (idempotent) and readers always see a
+    * complete snapshot. Caller contract: at most one row per key per batch
+    * (compact CDC batches upstream — e.g. with
+    * [[graft.operators.Dedup.exactKeepFirst]] — or the upsert winner
+    * within the batch is undefined).
+    */
+  def mergeSink(df: DataFrame, keys: Seq[String],
+                dir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      val s = batch.sparkSession
+      val base = latestSnapshot(s, dir)
+        .map(s.read.parquet(_))
+        .getOrElse(s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
+      graft.operators.Snapshot.upsert(base, batch.toDF(), keys)
+        .write.mode("overwrite").parquet(s"$dir/v$id")
+      ()
+    }
+
   /** Append-mode parquet sink with checkpointing — the streaming version of
     * the batch zone write.
     */

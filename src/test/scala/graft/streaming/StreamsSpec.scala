@@ -102,6 +102,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mergeSink applies micro-batches as versioned snapshot upserts") {
+    implicit val sqlCtx = spark.sqlContext
+    val snap = Scratch.fresh("stream-merge")
+    val ck = Scratch.fresh("stream-merge-ck")
+    val in = MemoryStream[(Long, String, Double)]
+    val q = Streams.mergeSink(in.toDF().toDF("k", "s", "v"), Seq("k"), snap)
+      .option("checkpointLocation", ck).start()
+    try {
+      in.addData((1L, "a", 1.0), (2L, "b", 2.0))
+      q.processAllAvailable()
+      in.addData((2L, "B", 20.0), (3L, "c", 3.0)) // update + insert
+      q.processAllAvailable()
+      val latest = Streams.latestSnapshot(spark, snap).get
+      assert(latest.endsWith("/v1"))
+      val rows = spark.read.parquet(latest)
+        .as[(Long, String, Double)].collect().toSet
+      assert(rows == Set((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0)))
+      // v0 still readable — versions are immutable
+      assert(spark.read.parquet(s"$snap/v0").count() == 2)
+    } finally q.stop()
+  }
+
   test("file-source stream over the events parquet matches batch counts") {
     // stream the sf0.001 events dir and compare total rows with batch read
     val dir = Scratch.fresh("stream-in")
