@@ -57,8 +57,9 @@ object Etl {
   private def zipDir(dir: Path, zipPath: Path): Unit = {
     val zout = new java.util.zip.ZipOutputStream(
       Files.newOutputStream(zipPath))
+    val walk = Files.walk(dir) // must close: holds open directory handles
     try {
-      Files.walk(dir).filter(Files.isRegularFile(_))
+      walk.filter(Files.isRegularFile(_))
         .filter(p => !p.getFileName.toString.startsWith("_") &&
           !p.getFileName.toString.startsWith("."))
         .sorted()
@@ -68,7 +69,10 @@ object Etl {
           Files.copy(p, zout)
           zout.closeEntry()
         }
-    } finally zout.close()
+    } finally {
+      walk.close()
+      zout.close()
+    }
   }
 
   /** The full O1-O10 DAG over a scratch root. Returns the run plus the
@@ -90,9 +94,12 @@ object Etl {
     val handle =
       new java.util.concurrent.atomic.AtomicReference[JobHandle[Long]]()
 
-    def rmtree(p: Path): Unit = if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+    def rmtree(p: Path): Unit = if (Files.exists(p)) {
+      val walk = Files.walk(p) // must close: holds open directory handles
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
 
     val tasks = Seq(
       // O1: idempotent zone namespace creation (ref :64-75).

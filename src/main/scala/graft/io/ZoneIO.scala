@@ -88,13 +88,22 @@ object Writers {
     val catalog = spark.sessionState.catalog
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
     val ident = TableIdentifier(table, Some(database))
-    val location: java.net.URI =
-      if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
-      else catalog.defaultTablePath(ident)
+    // Only a MANAGED table's location may be destroyed: an EXTERNAL table
+    // points at data this load does not own (DROP TABLE leaves it intact
+    // by design, and so must we).
+    val location: Option[java.net.URI] =
+      if (catalog.tableExists(ident)) {
+        val meta = catalog.getTableMetadata(ident)
+        if (meta.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED)
+          Some(meta.location)
+        else None
+      } else Some(catalog.defaultTablePath(ident))
     spark.sql(s"DROP TABLE IF EXISTS $database.$table")
-    val path = new org.apache.hadoop.fs.Path(location)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
+    location.foreach { loc =>
+      val path = new org.apache.hadoop.fs.Path(loc)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
   }
 
   def loadTable(spark: SparkSession, source: Zone, rel: String,

@@ -17,7 +17,7 @@ object Sample {
     * the production choice. Pure filter: no shuffle, pushes past columnar
     * scans like any predicate.
     */
-  def bernoulli(df: DataFrame, idCol: String, percent: Int): Column = {
+  def bernoulli(idCol: String, percent: Int): Column = {
     require(percent >= 0 && percent <= 100, "percent in [0, 100]")
     pmod(xxhash64(col(idCol)), lit(100)) < percent
   }
@@ -28,7 +28,7 @@ object Sample {
     * reproducible in any engine with md5 — no numeric conversion to
     * diverge on.
     */
-  def bernoulliPortable(df: DataFrame, idCol: String, hexCeil: String): Column =
+  def bernoulliPortable(idCol: String, hexCeil: String): Column =
     substring(md5(col(idCol).cast("string")), 1, 2) < lit(hexCeil)
 
   /** Stratified fixed-size sample: the `n` rows of each stratum with the

@@ -69,11 +69,15 @@ object Snapshot {
   def diff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = before.columns.toSeq
     val dataCols = cols.filterNot(keys.contains)
+    // Presence markers, not key nullability: a legitimately-null key
+    // column would otherwise misclassify matched rows as inserts.
     val b = before.select(cols.map(c => col(c).as(s"__b_$c")): _*)
+      .withColumn("__b_present", lit(true))
     val a = after.select(cols.map(c => col(c).as(s"__a_$c")): _*)
+      .withColumn("__a_present", lit(true))
     val on = keys.map(k => col(s"__b_$k") <=> col(s"__a_$k")).reduce(_ && _)
-    val inBefore = keys.map(k => col(s"__b_$k").isNotNull).reduce(_ && _)
-    val inAfter = keys.map(k => col(s"__a_$k").isNotNull).reduce(_ && _)
+    val inBefore = col("__b_present").isNotNull
+    val inAfter = col("__a_present").isNotNull
     val changed = dataCols
       .map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))

@@ -717,7 +717,7 @@ object Extensions extends QueryModule {
       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
       ORDER BY doc_id""")) { (s, dir) =>
       val d = t(s, dir, "documents")
-      d.filter(Sample.bernoulliPortable(d, "doc_id", "40"))
+      d.filter(Sample.bernoulliPortable("doc_id", "40"))
         .select("doc_id", "lang").orderBy("doc_id")
     },
 
@@ -879,7 +879,8 @@ object Extensions extends QueryModule {
       WITH m AS (
         SELECT doc_id, octet_length(encode(text)) AS len,
                (octet_length(encode(text)) + 31) // 32 AS nb
-        FROM documents)
+        FROM documents
+        WHERE octet_length(encode(text)) > 0)
       SELECT doc_id AS id,
         CAST((nb - 1) // 2 + 1 AS BIGINT) AS n_frames,
         CAST(32 * ((nb - 1) // 2) +

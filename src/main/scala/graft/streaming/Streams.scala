@@ -121,7 +121,7 @@ object Streams {
     l.join(r,
       col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowMs MILLISECONDS"))
   }
 
   /** Streaming exact dedup on `keys`: per-key state is retained only until
@@ -139,16 +139,25 @@ object Streams {
   /** Latest committed snapshot version directory under `dir` (written by
     * [[mergeSink]]), if any.
     */
-  def latestSnapshot(spark: SparkSession, dir: String): Option[String] = {
+  def latestSnapshot(spark: SparkSession, dir: String): Option[String] =
+    latestSnapshotBefore(spark, dir, Long.MaxValue)
+
+  /** Latest snapshot version strictly below `bound` — the correct upsert
+    * base for batch `bound`: a replayed batch must never read its own
+    * (possibly partial) output as the base.
+    */
+  def latestSnapshotBefore(spark: SparkSession, dir: String,
+                           bound: Long): Option[String] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) None
     else fs.listStatus(path).toSeq
       .map(_.getPath.getName)
       .filter(_.matches("v\\d+"))
-      .sortBy(_.drop(1).toLong)
-      .lastOption
-      .map(v => s"$dir/$v")
+      .map(_.drop(1).toLong)
+      .filter(_ < bound)
+      .sorted.lastOption
+      .map(v => s"$dir/v$v")
   }
 
   /** Streaming MERGE sink: each micro-batch is applied as a keyed upsert
@@ -165,7 +174,10 @@ object Streams {
                 dir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
       val s = batch.sparkSession
-      val base = latestSnapshot(s, dir)
+      // Base strictly below this batch's own version: a crash-replayed
+      // batch would otherwise read its own partial output (and overwrite
+      // the directory it is reading).
+      val base = latestSnapshotBefore(s, dir, id)
         .map(s.read.parquet(_))
         .getOrElse(s.createDataFrame(
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))

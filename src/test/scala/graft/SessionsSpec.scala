@@ -26,8 +26,19 @@ class SessionsSpec extends AnyFunSuite {
 
   test("cluster builder composes without clobbering the base defaults") {
     val b = Sessions.cluster(SparkSession.builder())
-    // builder is opaque; the composition contract is what we assert: the
-    // same builder instance chains (no exception, fluent type)
-    assert(b.isInstanceOf[SparkSession.Builder])
+    // the Builder keeps its pending configs in a (private) options map;
+    // read it reflectively so the composition is actually verified
+    def fields(c: Class[_]): Seq[java.lang.reflect.Field] =
+      if (c == null) Nil else c.getDeclaredFields.toSeq ++ fields(c.getSuperclass)
+    val f = fields(b.getClass).find(_.getName.endsWith("options"))
+      .getOrElse(fail("Builder options field not found"))
+    f.setAccessible(true)
+    val opts = f.get(b).asInstanceOf[scala.collection.mutable.HashMap[String, String]]
+    Sessions.clusterEnvelope.foreach { case (k, v) =>
+      assert(opts.get(k).contains(v), s"cluster knob $k")
+    }
+    // base withDefaults settings must survive the envelope fold
+    assert(opts.get("spark.sql.session.timeZone").contains("UTC"))
+    assert(opts.get("spark.sql.adaptive.enabled").contains("true"))
   }
 }

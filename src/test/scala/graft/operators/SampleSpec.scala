@@ -12,7 +12,7 @@ class SampleSpec extends SparkSpec {
     val one = docs.repartition(1)
     val many = docs.repartition(13)
     def ids(df: org.apache.spark.sql.DataFrame) =
-      df.filter(Sample.bernoulli(df, "doc_id", 25))
+      df.filter(Sample.bernoulli("doc_id", 25))
         .select("doc_id").as[Long].collect().toSet
     assert(ids(one) == ids(many))
     val n = ids(one).size.toDouble / docs.count()
@@ -20,14 +20,14 @@ class SampleSpec extends SparkSpec {
   }
 
   test("bernoulli is a pure filter — no shuffle") {
-    val plan = docs.filter(Sample.bernoulli(docs, "doc_id", 25))
+    val plan = docs.filter(Sample.bernoulli("doc_id", 25))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
 
   test("bernoulliPortable matches its md5 definition and 0/100 edge cases") {
-    val all = docs.filter(Sample.bernoulliPortable(docs, "doc_id", "zz")).count()
-    val none = docs.filter(Sample.bernoulliPortable(docs, "doc_id", "00")).count()
+    val all = docs.filter(Sample.bernoulliPortable("doc_id", "zz")).count()
+    val none = docs.filter(Sample.bernoulliPortable("doc_id", "00")).count()
     assert(all == docs.count() && none == 0)
   }
 

@@ -65,6 +65,16 @@ class SnapshotSpec extends SparkSpec {
       ("I", 9L, "new", 90.0)))
   }
 
+  test("diff: null KEY rows match null-safely, not as perpetual inserts") {
+    val b = Seq((Option(1L), "a"), (Option.empty[Long], "x")).toDF("k", "s")
+    val unchanged = Snapshot.diff(b, b, Seq("k"))
+    assert(unchanged.count() == 0)
+    val a = Seq((Option(1L), "a"), (Option.empty[Long], "y")).toDF("k", "s")
+    val out = Snapshot.diff(b, a, Seq("k"))
+      .as[(String, Option[Long], String)].collect().toSeq
+    assert(out == Seq(("U", None, "y")))
+  }
+
   test("diff treats null data values null-safely") {
     val b = Seq((1L, Option("a")), (2L, Option.empty[String])).toDF("k", "s")
     val a = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("k", "s")
