@@ -46,4 +46,22 @@ object Sample {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Mixture sampling: like [[stratified]] but with a per-stratum quota —
+    * the way a training mix hits its target domain/language proportions.
+    * Strata absent from `quota` contribute `default` rows. Same single
+    * window shuffle; the quota lookup is a codegen'd CASE chain.
+    */
+  def mixture(df: DataFrame, stratumCol: String, idCol: String,
+              quota: Map[String, Int], default: Int): DataFrame = {
+    val nCol = quota.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nCol)
+      .drop("__rn")
+  }
 }

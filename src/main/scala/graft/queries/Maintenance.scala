@@ -204,6 +204,51 @@ object Maintenance extends QueryModule {
         min("event_id").as("min_id"), max("event_id").as("max_id"))
     },
 
+    // Sequence packing: concat-then-chunk token budgeting per language
+    // shard — per pack: docs, tokens, and the spilled-over tail of the
+    // last doc (packs are budget-sized except each shard's final one).
+    QueryDef("x6_pack", Some("""
+      WITH d AS (
+        SELECT lang, doc_id, len(string_split(text,' ')) AS n_tokens
+        FROM documents),
+      c AS (SELECT lang, doc_id, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d),
+      p AS (SELECT lang, doc_id, n_tokens,
+              CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id FROM c)
+      SELECT lang, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(graft.operators.TextOps.tokens(col("text"))).cast("long"))
+      graft.operators.Pack.packSequences(docs, "doc_id", "n_tokens",
+          "lang", budget = 256L)
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("lang", "pack_id")
+    },
+
+    // Mixture sampling: per-language quotas shape the training mix; the
+    // draw is the same hash order as stratified sampling, so the mix is
+    // partition-invariant and re-derivable.
+    QueryDef("x7_mixture", Some("""
+      WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, lang FROM r
+      WHERE rn <= (CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 25 ELSE 10 END)
+      ORDER BY doc_id""")) { (s, dir) =>
+      graft.operators.Sample.mixture(t(s, dir, "documents"),
+          "lang", "doc_id", Map("en" -> 50, "zh" -> 25), default = 10)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination: shingle-overlap fraction of each training
     // doc against the benchmark split's shingle vocabulary.
     QueryDef("x6_decontam", Some("""
