@@ -35,7 +35,18 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      finally spark.catalog.clearCache() // operators may persist intermediates
+      finally {
+        // Operators may persist intermediates (clearCache) AND leave
+        // localCheckpoint RDD blocks behind (NOT covered by clearCache —
+        // they live in the BlockManager as plain persisted RDDs). Leaked
+        // blocks eat storage memory and starved the next query's
+        // memory-sensitive joins in the r02 driver run (x2_dedup_resolve's
+        // checkpoints inflated every query after it 2.5-7x). Blocking
+        // unpersist so the next timing starts from a clean BlockManager.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -40,11 +40,14 @@ object Sessions {
     // ObjectHashAggregate (the exec for TypedImperativeAggregates like
     // MinHashAgg) falls back to SORT-based aggregation after only 128
     // distinct keys per task — a full sort of every shingle row once the
-    // corpus has more than 128 docs per partition. MinHash buffers are k
-    // longs (~1 KB at production k=128), so 256k in-flight groups per task
-    // is ~256 MB worst case — hash-aggregate territory; the sort fallback
-    // still guards beyond that.
-    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+    // corpus has more than 128 docs per partition. Budget: a MinHash buffer
+    // is k longs (~1 KB at production k=128), and the threshold is
+    // *per task*, so in-flight memory ≈ threshold × 1 KB × concurrent
+    // tasks. At 64k that is ~64 MB/task → ~2 GB across 32 local cores —
+    // comfortable in the 8 GB test heap; the sort fallback still guards
+    // pathological group counts beyond it. Cluster profiles should
+    // re-derive: threshold ≈ (executor heap × 0.2) / (k × 8 B × cores).
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     // events.ts is parquet TIMESTAMP(NANOS): surfaced as nanos-since-epoch
     // LongType (Tables.scala normalizes it back to TimestampType @ micros).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

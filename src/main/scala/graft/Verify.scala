@@ -22,7 +22,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // drop operator-persisted intermediates
+      finally {
+        // Drop operator-persisted intermediates AND localCheckpoint RDD
+        // blocks (clearCache misses the latter; leaked blocks slow every
+        // subsequent query's memory-sensitive stages).
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

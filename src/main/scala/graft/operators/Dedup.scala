@@ -212,14 +212,28 @@ object Dedup {
     * integer distance — reproducible in any engine with the classic
     * Levenshtein definition.
     *
+    * `maxDocFreq` mirrors [[jaccardPairs]]: drop shingles appearing in more
+    * than that many docs from *candidate generation only* (0 = keep all).
+    * Without the cut, boilerplate shingles make the inverted-index self-join
+    * quadratic on high-background-similarity corpora — the exact hazard the
+    * jaccardPairs cut exists for. Verification always runs on the explicit
+    * candidate pairs, so pairs that survive are scored identically.
+    *
     * Output: (da, db, dist) with da < db, dist <= maxDist.
     */
   def editDistancePairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, prefixLen: Int, maxDist: Int): DataFrame = {
+      n: Int, prefixLen: Int, maxDist: Int, maxDocFreq: Long = 0L): DataFrame = {
     val sh = shingleSet(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = sharedShingleIntersections(sh, idCol).select("da", "db")
+    val shCand =
+      if (maxDocFreq <= 0) sh
+      else {
+        val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq).select("shingle")
+        sh.join(rare, "shingle")
+      }
+    val cand = sharedShingleIntersections(shCand, idCol).select("da", "db")
     val pre = df.select(col(idCol),
       substring(col(textCol), 1, prefixLen).as("__pre"))
     cand
@@ -264,6 +278,14 @@ object Dedup {
     */
   def resolveClusters(df: DataFrame, idCol: String, pairs: DataFrame,
                       maxRounds: Int = 25): DataFrame = {
+    // The long casts below must be lossless: a string/decimal id would cast
+    // to null silently and every downstream join would drop rows with no
+    // error. Restrict to integral id columns (min-label propagation needs a
+    // total order closed under min anyway).
+    requireIntegral(df.schema(idCol).dataType, s"$idCol (resolveClusters id)")
+    requireIntegral(pairs.schema("da").dataType, "pairs.da (resolveClusters)")
+    requireIntegral(pairs.schema("db").dataType, "pairs.db (resolveClusters)")
+    val sc = df.sparkSession.sparkContext
     val ids = df.select(col(idCol).cast("long").as("id"))
     // Undirected: each edge in both directions — via ONE explode, not a
     // union, so the (expensive) pair-generation subtree is evaluated once
@@ -280,8 +302,25 @@ object Dedup {
     // docs are trivially their own cluster and rejoin as singletons at the
     // end. Labels stay closed over subgraph ids (mins of subgraph ids), so
     // the pointer-jump self-join below loses nothing.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
+    // localCheckpoint truncates lineage, but its persisted RDD blocks are
+    // NOT freed by catalog.clearCache — without cleanup every round leaks a
+    // label-table copy into the BlockManager for the life of the session,
+    // and the leaked storage measurably starves later memory-sensitive
+    // stages (observed: queries running after this operator in one session
+    // slowed 2.5-7x). Keep exactly one live checkpoint: unpersist the
+    // superseded round's blocks as soon as the next round is materialized.
+    var liveCkpt: scala.collection.Set[Int] = Set.empty[Int]
+    def checkpointed(d: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = d.localCheckpoint()
+      val added = sc.getPersistentRDDs.keySet -- before
+      liveCkpt.foreach(i =>
+        sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
+      liveCkpt = added
+      out
+    }
+    var labels = checkpointed(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")))
     // Convergence test: labels only ever decrease, so the exact label sum
     // is strictly monotone — one scan-free aggregate over the checkpointed
     // table per round replaces a join + count job. Decimal(38,0) keeps the
@@ -306,11 +345,10 @@ object Dedup {
       // Pointer jump: label(id) := label(label(id)). Every label value is
       // itself an id (labels are mins of ids), so the self-join keeps all
       // rows; label monotonicity makes the jumped label the smaller one.
-      val next = prop.as("a")
+      val next = checkpointed(prop.as("a")
         .join(prop.select(col("id").as("cluster"), col("cluster").as("cc"))
           .as("b"), "cluster")
-        .select(col("id"), col("cc").as("cluster"))
-        .localCheckpoint()
+        .select(col("id"), col("cc").as("cluster")))
       val nextSum = labelSum(next)
       changed = if (nextSum.compareTo(prevSum) == 0) 0L else 1L
       prevSum = nextSum
@@ -328,9 +366,83 @@ object Dedup {
   /** Deduped corpus: keep exactly the canonical (minimum-id) doc of every
     * cluster. One broadcast-able join of the corpus against its cluster map.
     */
-  def dedupByClusters(df: DataFrame, idCol: String, labels: DataFrame): DataFrame =
+  def dedupByClusters(df: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
+    requireIntegral(df.schema(idCol).dataType, s"$idCol (dedupByClusters id)")
     df.join(labels.filter(col("id") === col("cluster"))
         .select(col("id").as(idCol)), idCol)
+  }
+
+  /** Integral-only guard for the id columns the cluster-resolution path
+    * casts to long: a string/decimal id would cast to null *silently*, the
+    * cluster map would be garbage, and the dedup join would drop every row
+    * with no error. Fail loudly at plan time instead.
+    */
+  private def requireIntegral(dt: org.apache.spark.sql.types.DataType,
+                              what: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"integral id column required for $what, got $dt " +
+        "(a lossy cast to long would silently null out ids)")
+  }
+
+  /** Segment-level exact dedup across the whole corpus: split every doc
+    * into consecutive `segWords`-word segments, keep only the FIRST
+    * occurrence of each distinct segment corpus-wide (first = smallest
+    * (doc id, position)), and rebuild each doc from its surviving segments.
+    * This is the line/paragraph-dedup step of web-corpus curation (drop
+    * boilerplate repeated across pages) expressed at segment granularity —
+    * the corpus here has no newlines, so segments are fixed word windows.
+    *
+    * Scale posture: two shuffles — one window over the segment hash space
+    * (keep-first; AQE skew handling splits hot boilerplate segments'
+    * partitions) and one groupBy(doc) to reassemble. Nothing driver-side;
+    * segment text itself is the window key, so identical segments co-locate
+    * regardless of corpus size.
+    *
+    * Output: (idCol, n_seg, n_kept, text_kept) for every input doc —
+    * docs whose every segment was seen earlier keep n_kept = 0 and an
+    * empty text.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segWords: Int): DataFrame = {
+    require(segWords > 0, "segWords must be positive")
+    val toks = TextOps.tokens(col(textCol))
+    val nseg = ceil(size(toks).cast("double") / segWords).cast("int")
+    val segs = Par.spread(df)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nseg - 1),
+          i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")))
+          .as(Seq("pos", "seg")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col(idCol), col("pos"))
+    val kept = segs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val tot = segs.groupBy(idCol).agg(count(lit(1)).cast("long").as("n_seg"))
+    val reb = kept.groupBy(idCol).agg(
+      count(lit(1)).cast("long").as("n_kept"),
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getItem("seg"))).as("text_kept"))
+    tot.join(reb, Seq(idCol), "left")
+      .select(col(idCol), col("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  /** Incremental (new-batch-vs-corpus) exact dedup: rows of `newBatch`
+    * whose content hash does not already occur in `corpus`. The daily-crawl
+    * pattern — dedup the delta against the standing corpus without ever
+    * re-shuffling the corpus content itself, only its hashes.
+    *
+    * Scale posture: both sides reduce to md5 digests before the anti-join,
+    * so the shuffle moves 32-char digests, not documents; AQE broadcasts
+    * the digest set when the new batch (or corpus digest set) is small.
+    */
+  def incrementalDedup(newBatch: DataFrame, corpus: DataFrame,
+                       textCol: String): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("__h")).distinct()
+    newBatch.join(seen, md5(col(textCol)) === col("__h"), "left_anti")
+  }
 
   /** Benchmark decontamination: per training doc, the fraction of its
     * distinct n-gram shingles that also occur anywhere in `bench` (the

@@ -20,7 +20,7 @@ class SessionsSpec extends AnyFunSuite {
     assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
     assert(s.conf.get("spark.sql.codegen.cache.maxEntries") == "5000")
     assert(s.conf.get(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == "262144")
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == "65536")
     assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
   }
 
