@@ -47,6 +47,22 @@ object Sample {
       .drop("__rn")
   }
 
+  /** Deterministic global shuffle: impose a reproducible pseudo-random
+    * total order on the corpus — the training-order materialization step.
+    * The sort key is md5(seed | id), so the permutation is a pure function
+    * of (seed, id): stable under repartitioning, retries, and cluster
+    * size, and a different seed gives an independent epoch order.
+    *
+    * Scale posture: a global sort IS the operator — Spark plans it as one
+    * range exchange (sampled range boundaries, fully parallel), which is
+    * exactly how you'd want 100 TB laid out for sequential training reads.
+    * The id tiebreak makes the order total even under hash collisions.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat(lit(s"$seed|"), col(idCol).cast("string"))))
+      .orderBy(col("shuffle_key"), col(idCol))
+
   /** Mixture sampling: like [[stratified]] but with a per-stratum quota —
     * the way a training mix hits its target domain/language proportions.
     * Strata absent from `quota` contribute `default` rows. Same single

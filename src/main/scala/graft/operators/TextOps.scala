@@ -64,6 +64,64 @@ object TextOps {
   /** MD5 content fingerprint (hex string) — portable across engines. */
   def md5Fingerprint(text: Column): Column = md5(text)
 
+  /** Pattern redaction (PII scrub): replace every match of each pattern
+    * with its replacement token, in pattern order. Patterns must be
+    * RE2-compatible (no lookaround, no backrefs) so any engine reproduces
+    * the rewrite exactly. Pure codegen'd projection — the 100 TB shape of a
+    * PII pass is "one narrow map over the corpus", and this is it.
+    */
+  def redact(text: Column, patterns: Seq[(String, String)]): Column =
+    patterns.foldLeft(text) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+
+  /** Total match count across the redaction patterns — the audit metric a
+    * privacy pass reports per document.
+    */
+  def redactHits(text: Column, patterns: Seq[String]): Column =
+    patterns.map(re => regexp_count(text, lit(re))).reduce(_ + _)
+
+  /** Default PII pattern set: emails, international-ish phone numbers,
+    * IPv4 addresses. ASCII-only, RE2-safe.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9][0-9()\\- ]{7,}[0-9]" -> "<PHONE>",
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>")
+
+  /** Per-document repetition metrics (Gopher-style quality rules): the
+    * duplicate-word fraction and the share of all bigrams taken by the
+    * single most frequent bigram. High values flag boilerplate / template
+    * spam that length or stopword ratios miss.
+    *
+    * Scale posture: one explode + two-level groupBy on (doc, bigram) —
+    * map-side partial aggregation absorbs the per-doc skew; no UDFs.
+    * Docs with fewer than 2 tokens have no bigrams and are dropped (inner
+    * join) — the curation contract for sub-sentence fragments is a length
+    * filter upstream, not a repetition score.
+    *
+    * Output: (idCol, n_words, n_distinct, dup_word_frac, top_bigram_n,
+    * top_bigram_frac).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = Par.spread(df).select(col(idCol), tokens(col(textCol)).as("toks"))
+    val words = base.select(col(idCol),
+      size(col("toks")).cast("long").as("n_words"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    val bg = base
+      .select(col(idCol), explode(shingles(col("toks"), 2)).as("bg"))
+      .groupBy(idCol, "bg").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max(col("c")).as("top_bigram_n"),
+        sum(col("c")).as("n_bigrams"))
+    words.join(bg, Seq(idCol))
+      .select(col(idCol), col("n_words"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") /
+          col("n_words").cast("double")).as("dup_word_frac"),
+        col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") /
+          col("n_bigrams").cast("double")).as("top_bigram_frac"))
+  }
+
   /** Rolling polynomial hash: base-31 recurrence over character codes,
     * reduced mod 1e9+7 at every step so it never overflows a 64-bit long
     * (Spark 4 runs ANSI mode — unchecked long overflow throws) and stays

@@ -735,6 +735,116 @@ object Extensions extends QueryModule {
         .select("doc_id", "lang").orderBy("lang", "doc_id")
     },
 
+    // Deterministic global shuffle: training-order materialization as a
+    // reproducible pseudo-random total order (md5(seed|id) sort key). At
+    // scale this is one range exchange; here the top-200 prefix gates it.
+    QueryDef("x7_shuffle", Some("""
+      SELECT doc_id, md5('42|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents ORDER BY shuffle_key, doc_id LIMIT 200""")) { (s, dir) =>
+      Sample.deterministicShuffle(t(s, dir, "documents"), "doc_id", "42")
+        .select("doc_id", "shuffle_key").limit(200)
+    },
+
+    // ---------------- segment dedup / incremental dedup ----------------
+
+    // Corpus-wide segment-level exact dedup (the line/paragraph-dedup step
+    // of web curation, on fixed 8-word segments): keep only the first
+    // occurrence of every distinct segment, rebuild docs from survivors.
+    QueryDef("x6_segment_dedup", Some("""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      segs AS (
+        SELECT doc_id, i AS pos, array_to_string(ws[(i*8+1):(i*8+8)],' ') AS seg
+        FROM toks, LATERAL (SELECT unnest(range(CAST(ceil(len(ws)/8.0) AS BIGINT))) AS i) ii),
+      kept AS (SELECT doc_id, pos, seg FROM (
+          SELECT doc_id, pos, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+          FROM segs) WHERE rn = 1),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg
+              FROM segs GROUP BY doc_id),
+      reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(seg, ' ' ORDER BY pos) AS text_kept
+              FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, n_seg,
+             coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+             coalesce(text_kept, '') AS text_kept
+      FROM tot t LEFT JOIN reb ON t.doc_id = reb.doc_id
+      ORDER BY t.doc_id"""), bench = true) { (s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id")
+    },
+
+    // Incremental (delta-vs-corpus) exact dedup: new docs whose content
+    // hash is unseen in the standing corpus. Hash-only anti-join — the
+    // corpus never re-shuffles its documents, only 32-char digests.
+    QueryDef("x1_incremental", Some("""
+      SELECT n.doc_id, n.lang, n.source, n.n_chars
+      FROM documents n
+      WHERE n.doc_id % 10 < 2
+        AND NOT EXISTS (SELECT 1 FROM documents c
+                        WHERE c.doc_id % 10 >= 2 AND md5(c.text) = md5(n.text))
+      ORDER BY n.doc_id""")) { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val newBatch = d.filter(col("doc_id") % 10 < 2)
+      val corpus = d.filter(col("doc_id") % 10 >= 2)
+      Dedup.incrementalDedup(newBatch, corpus, "text")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // ---------------- X5: repetition + redaction ----------------
+
+    // Gopher-style repetition metrics: duplicate-word fraction and the
+    // most-frequent-bigram share — boilerplate/template-spam signals that
+    // length and stopword ratios miss.
+    QueryDef("x5_repetition", Some("""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      w AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+            FROM toks),
+      bg AS (SELECT doc_id, array_to_string(ws[i:i+1],' ') AS bg
+             FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws),1))) AS i) ii),
+      bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+      bga AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+                     CAST(sum(c) AS BIGINT) AS n_bigrams
+              FROM bgc GROUP BY doc_id)
+      SELECT w.doc_id, n_words, n_distinct,
+        CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE)/CAST(n_words AS DOUBLE)
+          AS dup_word_frac,
+        top_bigram_n,
+        CAST(top_bigram_n AS DOUBLE)/CAST(n_bigrams AS DOUBLE)
+          AS top_bigram_frac
+      FROM w JOIN bga ON w.doc_id = bga.doc_id
+      ORDER BY w.doc_id LIMIT 100""")) { (s, dir) =>
+      TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id").limit(100)
+    },
+
+    // Pattern redaction (PII scrub shape): replace-all semantics with a
+    // per-doc audit count. The corpus has no real PII, so the gate adds a
+    // corpus-hitting name pattern to prove the rewrite actually fires;
+    // the email pattern exercises the zero-hit path.
+    QueryDef("x5_redact", Some("""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '\b(customer|supplier)\b'))
+             + len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          AS n_hits,
+        regexp_replace(
+          regexp_replace(text, '\b(customer|supplier)\b', '<NAME>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+          AS text_redacted
+      FROM documents ORDER BY doc_id LIMIT 100""")) { (s, dir) =>
+      val pats = Seq(
+        "\\b(customer|supplier)\\b" -> "<NAME>",
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>")
+      spread(t(s, dir, "documents")).select(
+        col("doc_id"),
+        TextOps.redactHits(col("text"), pats.map(_._1)).cast("long")
+          .as("n_hits"),
+        TextOps.redact(col("text"), pats).as("text_redacted"))
+        .orderBy("doc_id").limit(100)
+    },
+
     // ---------------- X6: end-to-end corpus curation ----------------
 
     // The composite pipeline a training-data run actually executes, as ONE

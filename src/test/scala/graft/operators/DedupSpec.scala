@@ -109,6 +109,46 @@ class DedupSpec extends SparkSpec {
     assert(k64.nonEmpty)
   }
 
+  test("segmentDedup keeps first occurrence corpus-wide and rebuilds docs") {
+    val df = Seq(
+      (1L, "a b c d"),            // segs (W=2): "a b", "c d"
+      (2L, "a b x y"),            // "a b" already seen -> kept "x y"
+      (3L, "c d a b"))            // both seen -> empty doc
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 2L, 0L, "")))
+  }
+
+  test("segmentDedup: last short segment kept; pos order preserved") {
+    val df = Seq((1L, "a b c d e"), (2L, "z z a b c")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1: "a b","c d","e"; doc 2: "z z","a b","c" -> drops "a b" only
+    assert(out == Seq((1L, 3L, 3L, "a b c d e"), (2L, 3L, 2L, "z z c")))
+  }
+
+  test("incrementalDedup: only content-new rows of the batch survive") {
+    val corpus = Seq((10L, "seen text"), (11L, "other text")).toDF("doc_id", "text")
+    val batch = Seq((1L, "seen text"), (2L, "fresh text"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus, "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(2L))
+  }
+
+  test("resolveClusters rejects non-integral id columns loudly") {
+    val df = Seq(("a", "t")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("da", "db")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.resolveClusters(df, "doc_id", pairs)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
   test("simhash emits 16-bit strings and groups identical docs together") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),

@@ -43,4 +43,16 @@ class SampleSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("deterministicShuffle: a partition-invariant permutation; seed reorders") {
+    val ordered = Sample.deterministicShuffle(docs, "doc_id", "s1")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ordered.toSet == docs.select("doc_id").as[Long].collect().toSet)
+    val repart = Sample.deterministicShuffle(docs.repartition(9), "doc_id", "s1")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(repart == ordered)
+    val other = Sample.deterministicShuffle(docs, "doc_id", "s2")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(other != ordered && other.toSet == ordered.toSet)
+  }
 }

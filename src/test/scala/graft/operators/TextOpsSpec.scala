@@ -56,6 +56,37 @@ class TextOpsSpec extends SparkSpec {
     assert(toks.contains("hello"))
   }
 
+  test("repetitionStats: dup-word and top-bigram fractions match by hand") {
+    val df = Seq(
+      (1L, "a a a a"),       // 4 words, 1 distinct; bigrams: "a a" x3
+      (2L, "a b c d"))       // all distinct; bigrams each once
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 1L, 0.75, 3L, 1.0),
+      (2L, 4L, 4L, 0.0, 1L, 1.0 / 3.0)))
+  }
+
+  test("redact replaces every match and counts hits per pattern set") {
+    val pats = Seq("\\bfoo\\b" -> "<X>", "[0-9]+" -> "<N>")
+    val df = Seq("foo 12 foo food 9").toDF("text")
+    val out = df.select(
+      TextOps.redact(col("text"), pats).as("r"),
+      TextOps.redactHits(col("text"), pats.map(_._1)).as("n"))
+      .as[(String, Int)].head()
+    assert(out == ("<X> <N> <X> food <N>", 4))
+  }
+
+  test("piiPatterns scrub emails, phones and IPs") {
+    val df = Seq("mail a.b@example.com call +1 (202) 555-0143 ip 10.0.0.1 end")
+      .toDF("text")
+    val r = df.select(TextOps.redact(col("text"), TextOps.piiPatterns).as("r"))
+      .as[String].head()
+    assert(r == "mail <EMAIL> call <PHONE> ip <IP> end")
+  }
+
   test("property: vocabCount never exceeds token count (scalacheck gen)") {
     val gen = Gen.nonEmptyListOf(Gen.choose(0, 9).map(i => s"w$i"))
     val texts = (0 until 30).flatMap(i =>
