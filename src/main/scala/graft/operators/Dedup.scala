@@ -465,4 +465,35 @@ object Dedup {
         coalesce(sum("__hit"), lit(0L)).as("n_hit"))
       .withColumn("frac", col("n_hit").cast("double") / col("n_sh").cast("double"))
   }
+
+  /** Sketch-based decontamination: like [[contamination]], but the
+    * benchmark shingle set is a Bloom filter instead of an exact broadcast
+    * set — the shape for when the reference vocabulary is itself huge (an
+    * 8 MB sketch stands in for billions of shingles). Per-doc hit counts
+    * are an UPPER bound (false positives at ~`fpp`, never false
+    * negatives), so `frac_ub < threshold` safely clears a doc and only
+    * docs above threshold need the exact probe.
+    *
+    * Scale posture: the sketch is built by one mergeable aggregation
+    * (partials OR their bit sets) and collected to the driver — it is
+    * config-sized, the same thing Spark's own runtime filters ship as a
+    * subquery result. The corpus side then probes a literal: a pure
+    * codegen'd projection, zero shuffle beyond the per-doc groupBy.
+    */
+  def contaminationBloom(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int, expectedItems: Long,
+                         fpp: Double): DataFrame = {
+    import org.apache.spark.sql.graft.BloomOps
+    val bsh = shingleSet(bench, idCol, textCol, n).select("shingle").distinct()
+    val sketch = bsh
+      .agg(BloomOps.bloomAgg(col("shingle"), expectedItems, fpp).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val hit = BloomOps.mightContain(lit(sketch), col("shingle"))
+    shingleSet(train, idCol, textCol, n)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_hit_ub"))
+      .withColumn("frac_ub",
+        col("n_hit_ub").cast("double") / col("n_sh").cast("double"))
+  }
 }

@@ -280,6 +280,21 @@ object Maintenance extends QueryModule {
           "doc_id", "text", n = 3)
         .filter(col("frac") >= 0.5)
         .orderBy("doc_id")
+    },
+
+    // Sketch-based decontamination: same split, but the benchmark shingle
+    // vocabulary is a Bloom filter (upper-bound hit counts, no false
+    // negatives). Sketch bits are engine-specific → rows-only gate; the
+    // exact companion is x6_decontam; DedupSpec asserts the containment.
+    QueryDef("x6_decontam_bloom", None) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationBloom(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", n = 3,
+          expectedItems = 100000L, fpp = 0.01)
+        .filter(col("frac_ub") >= 0.5)
+        .orderBy("doc_id")
     }
   )
 }

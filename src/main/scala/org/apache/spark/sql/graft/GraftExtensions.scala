@@ -50,5 +50,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "minhash_agg(input, k)")
         MinHashAgg(children(0), intLit(children(1), "signature length k"))
       }))
+    // Spark's internal Bloom-filter pair (the runtime-filter machinery),
+    // exposed for sketch-based membership at the SQL surface. The caller
+    // hashes values to long (xxhash64) on both build and probe sides.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "bloom_agg(hashed_long, est_items, num_bits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "bloom_might_contain(bloom, hashed_long)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
   }
 }

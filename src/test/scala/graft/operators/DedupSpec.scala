@@ -149,6 +149,49 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("integral id column"))
   }
 
+  test("contaminationBloom: upper-bounds exact hits, never misses one") {
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val exact = Dedup.contamination(train, bench, "doc_id", "text", 3)
+      .select(col("doc_id"), col("n_sh"), col("n_hit"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val bloom = Dedup.contaminationBloom(train, bench, "doc_id", "text", 3,
+        expectedItems = 100000L, fpp = 0.01)
+      .select(col("doc_id"), col("n_sh"), col("n_hit_ub"))
+      .as[(Long, Long, Long)].collect()
+    assert(bloom.nonEmpty && bloom.length == exact.size)
+    bloom.foreach { case (id, nSh, ub) =>
+      val (exSh, exHit) = exact(id)
+      assert(nSh == exSh)
+      assert(ub >= exHit, s"false negative for doc $id: $ub < $exHit")
+    }
+    // False-positive mass stays near the configured fpp (generous 10x cap
+    // to keep the assertion robust on a small corpus).
+    val extra = bloom.map { case (id, _, ub) => ub - exact(id)._2 }.sum.toDouble
+    val total = bloom.map(_._2).sum.toDouble
+    assert(extra / total <= 0.1, s"fp mass ${extra / total}")
+  }
+
+  test("bloom_agg / bloom_might_contain work from the SQL surface") {
+    spark.range(1000).createOrReplaceTempView("bf_build")
+    val bf = spark.sql("""
+      SELECT bloom_agg(xxhash64(CAST(id AS STRING)),
+                       CAST(1000 AS BIGINT), CAST(16384 AS BIGINT)) AS bf
+      FROM bf_build""").head.getAs[Array[Byte]]("bf")
+    spark.catalog.dropTempView("bf_build")
+    val probes = spark.range(2000).selectExpr("CAST(id AS STRING) AS s")
+    probes.createOrReplaceTempView("bf_probe")
+    val hits = spark.sql("""
+      SELECT count(*) AS n FROM bf_probe
+      WHERE bloom_might_contain(x'%s', xxhash64(s))"""
+        .format(bf.map("%02x".format(_)).mkString))
+      .head.getLong(0)
+    spark.catalog.dropTempView("bf_probe")
+    // all 1000 members must hit; false positives bounded well under the
+    // extra 1000 non-members
+    assert(hits >= 1000 && hits < 1100, s"hits=$hits")
+  }
+
   test("simhash emits 16-bit strings and groups identical docs together") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
