@@ -417,7 +417,11 @@ object Dedup {
       .partitionBy(col("seg")).orderBy(col(idCol), col("pos"))
     val kept = segs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-    val tot = segs.groupBy(idCol).agg(count(lit(1)).cast("long").as("n_seg"))
+    // n_seg is a pure function of the token count — computing it from the
+    // exploded segments would re-run the whole explode branch (a second
+    // full corpus pass) for a per-doc scalar. Plain narrow projection (no
+    // spread: splitting one text per row is not CPU-heavy work).
+    val tot = df.select(col(idCol), nseg.cast("long").as("n_seg"))
     val reb = kept.groupBy(idCol).agg(
       count(lit(1)).cast("long").as("n_kept"),
       concat_ws(" ",
