@@ -204,6 +204,99 @@ object Maintenance extends QueryModule {
         min("event_id").as("min_id"), max("event_id").as("max_id"))
     },
 
+    // Row-level quality quarantine: per-rule violation counts plus the
+    // clean-row count — the split-don't-fail sibling of the R5 check gate.
+    // Rule evaluation is a codegen'd projection; only violating rows
+    // shuffle for the audit.
+    QueryDef("r8_quarantine", Some("""
+      WITH a AS (
+        SELECT 'bounded_price' AS rule,
+          CAST(sum(CASE WHEN NOT (o_totalprice < CAST(300000 AS DOUBLE))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n
+        FROM orders
+        UNION ALL
+        SELECT 'positive_price',
+          CAST(sum(CASE WHEN NOT (o_totalprice > CAST(0 AS DOUBLE))
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'known_status',
+          CAST(sum(CASE WHEN NOT (o_orderstatus IN ('O','F','P'))
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT '__valid',
+          CAST(sum(CASE WHEN o_totalprice > CAST(0 AS DOUBLE)
+                         AND o_totalprice < CAST(300000 AS DOUBLE)
+                         AND o_orderstatus IN ('O','F','P')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders)
+      SELECT rule, n FROM a ORDER BY rule""")) { (s, dir) =>
+      graft.checks.Quarantine.audit(t(s, dir, "orders"), Seq(
+        "positive_price" -> (col("o_totalprice") > 0d),
+        "bounded_price" -> (col("o_totalprice") < 300000d),
+        "known_status" -> col("o_orderstatus").isin("O", "F", "P")))
+        .orderBy("rule")
+    },
+
+    // Schema evolution: two parquet batches with different column sets,
+    // merged at read (mergeSchema) — the data-lake reality where a crawl
+    // adds columns over time. Footer merging is distributed; the oracle
+    // recomputes the union-by-name semantics closed-form.
+    QueryDef("s4_schema_merge", Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_lang,
+        CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_source,
+        CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+          AS sum_chars
+      FROM documents""")) { (s, dir) =>
+      val out = graft.Scratch.fresh("schema-merge")
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$out/batch=1")
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$out/batch=2")
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$out/batch=1", s"$out/batch=2")
+      require(merged.columns.sorted.toSeq ==
+        Seq("doc_id", "lang", "n_chars", "source"),
+        s"mergeSchema must union the batch schemas, got ${merged.columns.toSeq}")
+      merged.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("lang").isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_lang"),
+        sum(when(col("source").isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_source"),
+        coalesce(sum("n_chars"), lit(0L)).cast("long").as("sum_chars"))
+    },
+
+    // Dynamic partition overwrite: rewrite ONLY the partitions present in
+    // the incoming batch, leaving sibling partitions untouched — the
+    // incremental-reprocess semantics a daily pipeline needs once
+    // truncate-load stops scaling. The oracle recomputes the post-rewrite
+    // state closed-form; a static-mode wipe of the other language
+    // partitions would fail the per-lang counts.
+    QueryDef("s5_dynamic_overwrite", Some("""
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END)
+             AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val out = graft.Scratch.fresh("dyn-overwrite")
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+      docs.filter(col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("lang")
+    },
+
     // Sequence packing: concat-then-chunk token budgeting per language
     // shard — per pack: docs, tokens, and the spilled-over tail of the
     // last doc (packs are budget-sized except each shard's final one).

@@ -159,5 +159,37 @@ object StreamingGates extends QueryModule {
       s.read.parquet(out)
         .select("user_id", "n_events", "start_ms", "end_ms")
         .orderBy("user_id", "start_ms")
+    },
+
+    // Streaming MERGE sink: CDC-compacted events upserted onto a versioned
+    // parquet snapshot via foreachBatch; the latest snapshot must equal the
+    // batch per-user argmax. The upstream compaction (one row per key per
+    // batch, mergeSink's caller contract) is the keyed keep-latest window;
+    // staging as one file pins AvailableNow to one deterministic batch.
+    QueryDef("ev8_stream_merge", Some("""
+      WITH r AS (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_id, event_type, value FROM r WHERE rn = 1
+      ORDER BY user_id""")) { (s, dir) =>
+      val in = Scratch.fresh("merge-src")
+      val snap = Scratch.fresh("merge-snap")
+      val ck = Scratch.fresh("merge-ck")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.load(s, dir, "events")
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__rn").coalesce(1).write.mode("overwrite").parquet(in)
+      val q = Streams.mergeSink(Streams.readEventStream(s, in),
+          Seq("user_id"), snap)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(Streams.latestSnapshot(s, snap)
+          .getOrElse(sys.error("mergeSink wrote no snapshot")))
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
     })
 }
