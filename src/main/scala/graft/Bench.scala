@@ -46,6 +46,9 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        // Settle GC debt outside the timed window so one query's garbage
+        // doesn't surface as a collection pause inside the next timing.
+        System.gc()
       }
       (System.nanoTime() - t0) / 1e9
     }

@@ -433,6 +433,58 @@ object Dedup {
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
+  /** Content-defined chunk dedup: like [[segmentDedup]], but chunk
+    * boundaries come from the CONTENT (a word is a boundary iff the first
+    * hex digit of its md5 falls in a 1/8 band), not from fixed positions —
+    * so inserting or deleting words early in a document does not shift
+    * every downstream chunk, and the unchanged tail still dedups against
+    * the original. This is the content-defined-chunking idea from dedup
+    * storage systems applied at word granularity; expected chunk length is
+    * the reciprocal of the boundary probability (~8 words).
+    *
+    * Scale posture: explode → one per-doc window (running boundary count —
+    * shuffle on doc id) → chunk assembly groupBy → corpus-wide keep-first
+    * window on chunk text (AQE splits hot boilerplate chunks) → reassembly.
+    * All keyed shuffles; the chunk table feeds two branches (totals +
+    * keep-first) and is persisted once, spilling to disk at scale.
+    *
+    * Output: (idCol, n_chunks, n_kept, text_kept) for every input doc.
+    */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Par.spread(df)
+      .select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "word")))
+      .withColumn("brk",
+        when(substring(md5(col("word")), 1, 1).isin("0", "1"), 1L)
+          .otherwise(0L))
+    // chunk id = boundaries strictly before this word: a boundary word
+    // closes its chunk; the next word starts the new one.
+    val wChunk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ch = toks
+      .withColumn("chunk", coalesce(sum("brk").over(wChunk), lit(0L)))
+      .groupBy(idCol, "chunk")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getItem("word"))).as("ctext"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wKeep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ctext")).orderBy(col(idCol), col("chunk"))
+    val kept = ch.withColumn("__rn", row_number().over(wKeep))
+      .filter(col("__rn") === 1)
+    val tot = ch.groupBy(idCol).agg(count(lit(1)).cast("long").as("n_chunks"))
+    val reb = kept.groupBy(idCol).agg(
+      count(lit(1)).cast("long").as("n_kept"),
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("chunk"), col("ctext")))),
+          x => x.getItem("ctext"))).as("text_kept"))
+    tot.join(reb, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Incremental (new-batch-vs-corpus) exact dedup: rows of `newBatch`
     * whose content hash does not already occur in `corpus`. The daily-crawl
     * pattern — dedup the delta against the standing corpus without ever

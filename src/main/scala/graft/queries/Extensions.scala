@@ -773,6 +773,41 @@ object Extensions extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Content-defined chunk dedup: boundaries from word content (md5 band),
+    // not positions — early insertions don't shift downstream chunks, so
+    // shifted copies still dedup. Expected chunk ~8 words.
+    QueryDef("x6_cdc_dedup", Some("""
+      WITH w AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS word,
+               CASE WHEN substr(md5(ws[i]),1,1) IN ('0','1')
+                    THEN 1 ELSE 0 END AS brk
+        FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             LATERAL (SELECT unnest(range(1, len(ws)+1)) AS i) ii),
+      c AS (SELECT doc_id, pos, word,
+              coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+            FROM w),
+      ch AS (SELECT doc_id, chunk, string_agg(word, ' ' ORDER BY pos) AS ctext
+             FROM c GROUP BY doc_id, chunk),
+      kept AS (SELECT doc_id, chunk, ctext FROM (
+          SELECT doc_id, chunk, ctext,
+                 row_number() OVER (PARTITION BY ctext
+                   ORDER BY doc_id, chunk) AS rn
+          FROM ch) WHERE rn = 1),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+              FROM ch GROUP BY doc_id),
+      reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(ctext, ' ' ORDER BY chunk) AS text_kept
+              FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, n_chunks,
+             coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+             coalesce(text_kept, '') AS text_kept
+      FROM tot t LEFT JOIN reb ON t.doc_id = reb.doc_id
+      ORDER BY t.doc_id""")) { (s, dir) =>
+      Dedup.cdcChunkDedup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Incremental (delta-vs-corpus) exact dedup: new docs whose content
     // hash is unseen in the standing corpus. Hash-only anti-join — the
     // corpus never re-shuffles its documents, only 32-char digests.

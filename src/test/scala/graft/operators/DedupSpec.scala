@@ -149,6 +149,23 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("integral id column"))
   }
 
+  test("cdcChunkDedup: identity on unique docs, full dedup of copies, " +
+    "shift-robust against a prefix insertion") {
+    val a = "the quick brown fox jumps over the lazy dog near a riverbank " +
+      "while seventeen violet machines hum quietly beneath ancient stars"
+    val df = Seq((1L, a), (2L, a), (3L, s"zzz $a")).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkDedup(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val (d1, d2, d3) = (out(0), out(1), out(2))
+    // unique doc reconstructs exactly
+    assert(d1._4 == a && d1._2 == d1._3)
+    // exact copy dedups completely
+    assert(d2._3 == 0L && d2._4 == "")
+    // prefix insertion only disturbs the first chunk: the unchanged tail
+    // still dedups against doc 1 (fixed segments would keep everything)
+    assert(d3._3 <= 2L, s"shifted copy kept ${d3._3} of ${d3._2} chunks")
+  }
+
   test("contaminationBloom: upper-bounds exact hits, never misses one") {
     val train = docs.filter(col("doc_id") % 17 =!= 0)
     val bench = docs.filter(col("doc_id") % 17 === 0)
