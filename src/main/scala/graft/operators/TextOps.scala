@@ -89,6 +89,31 @@ object TextOps {
     "\\+?[0-9][0-9()\\- ]{7,}[0-9]" -> "<PHONE>",
     "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>")
 
+  /** Winnowing fingerprints (the MOSS algorithm): hash every k-gram, slide
+    * a w-position window over the hash sequence, keep each window's
+    * minimum — the classic guarantee that any match of length >= w+k-1
+    * between two documents shares at least one selected fingerprint, at
+    * ~2/(w+1) selection density. md5 hex compares lexicographically like
+    * numerically (fixed-width lowercase), so the minima are engine-portable
+    * with no numeric conversion. Trailing partial windows are kept (both
+    * engines compute the same frame, and they only ever *add* the tail
+    * k-grams' own hashes).
+    *
+    * Scale posture: one per-doc window (shuffle on doc id) + distinct.
+    * Output: distinct (idCol, fp) pairs.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    require(w > 0, "window w must be positive")
+    val sh = Par.spread(df).select(col(idCol),
+      posexplode(shingles(tokens(col(textCol)), k)).as(Seq("pos", "sh")))
+      .select(col(idCol), col("pos"), md5(col("sh")).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    sh.select(col(idCol), min(col("h")).over(win).as("fp")).distinct()
+  }
+
   /** Per-document repetition metrics (Gopher-style quality rules): the
     * duplicate-word fraction and the share of all bigrams taken by the
     * single most frequent bigram. High values flag boilerplate / template

@@ -212,6 +212,26 @@ object Extensions extends QueryModule {
         .orderBy("doc_id").limit(50)
     },
 
+    // Winnowing fingerprints (MOSS): sliding-window minima over 3-gram
+    // md5 hashes at w=4 — any shared run of >= 6 words between two docs
+    // shares a fingerprint. Lexicographic hex minima are engine-portable.
+    QueryDef("x5_winnow", Some("""
+      WITH sh AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(toks[i:i+2],' ')) AS h
+        FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents) dd,
+             LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-1,1))) AS i) ii),
+      w AS (SELECT doc_id,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM sh)
+      SELECT DISTINCT doc_id, fp FROM w
+      ORDER BY doc_id, fp LIMIT 500""")) { (s, dir) =>
+      TextOps.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4)
+        .orderBy("doc_id", "fp").limit(500)
+    },
+
     // ---------------- X1: exact dedup ----------------
 
     QueryDef("x1_dedup", Some("""

@@ -87,6 +87,25 @@ class TextOpsSpec extends SparkSpec {
     assert(r == "mail <EMAIL> call <PHONE> ip <IP> end")
   }
 
+  test("winnowing: fingerprints are window minima; copies share all, " +
+    "a shared run shares at least one") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = s"unrelated words here then $a and a different tail entirely"
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(df, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, String)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    // identical docs -> identical fingerprint sets
+    assert(fps(1L) == fps(2L))
+    // winnowing guarantee: a shared run of >= w+k-1 words shares >= 1 fp
+    assert(fps(3L).intersect(fps(1L)).nonEmpty)
+    // every fingerprint is one of the doc's own 3-gram hashes
+    val hashes = df.filter($"doc_id" === 1L)
+      .select(explode(TextOps.shingles(TextOps.tokens($"text"), 3)).as("s"))
+      .select(md5($"s")).as[String].collect().toSet
+    assert(fps(1L).subsetOf(hashes))
+  }
+
   test("property: vocabCount never exceeds token count (scalacheck gen)") {
     val gen = Gen.nonEmptyListOf(Gen.choose(0, 9).map(i => s"w$i"))
     val texts = (0 until 30).flatMap(i =>
