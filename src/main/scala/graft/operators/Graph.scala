@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph ranking over an edge list — the authority-weighting
+  * signal web-corpus curation pipelines attach to documents (rank a page's
+  * domain by the link graph, weight its documents accordingly). Companion
+  * to [[Dedup.resolveClusters]]: same shuffle-parallel joins-and-aggregate
+  * iteration shape, different fixpoint.
+  */
+object Graph {
+
+  /** PageRank in PURE INTEGER arithmetic: ranks are longs in units of
+    * `1/scale`, every step is integer division (`div`) and integer
+    * multiply-add, so the result is bit-identical in any engine and under
+    * any partitioning — double-precision PageRank cannot gate exactly
+    * because partial-sum order perturbs the low bits.
+    *
+    * Per iteration, with damping fixed at 0.85 = 17/20:
+    * {{{ rank'(v) = (3*scale) div 20  +  (17 * sum over in-edges u→v of
+    *                (rank(u) div outdeg(u))) div 20 }}}
+    * Dangling mass and div-truncation remainders are dropped (documented
+    * deviation from the stochastic formulation — ranks are a stable
+    * *ordering* signal, not probabilities; the oracle replays the identical
+    * recurrence).
+    *
+    * Scale posture: each iteration is one equijoin of the edge list with
+    * the (node-sized) rank table plus one aggregation — both hash-shuffles
+    * on node id; the edge list (with outdeg attached) is computed once and
+    * persisted across iterations. Nothing on the driver but the loop
+    * counter. Overflow headroom: 17 * Σ contrib < 17 * n * scale must stay
+    * under 2^63 — the default scale=1e9 is safe past 5×10^8 nodes.
+    *
+    * @param edges directed (src, dst) long columns; pass both directions
+    *              for an undirected graph
+    * @param iters fixed iteration count (callers wanting convergence-test
+    *              semantics wrap this the way resolveClusters does)
+    * @return (id, rank) for every node appearing in `edges`
+    */
+  def pageRankInt(edges: DataFrame, iters: Int,
+                  scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    // Edge list with out-degree attached — the loop-invariant operand.
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ew = e.join(outdeg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = (3L * scale) / 20L
+    // `rnk` internally: `rank` is a window-function name to the SQL parser
+    // inside expr(), and `div` has no Column-API operator.
+    var ranks = nodes.withColumn("rnk", lit(scale))
+    for (_ <- 1 to iters) {
+      val inflow = ew.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("rnk div outdeg").as("c"))
+        .groupBy("id").agg(sum("c").as("inflow"))
+      ranks = nodes.join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(17 * coalesce(inflow, 0)) div 20")).as("rnk"))
+    }
+    ranks.select(col("id"), col("rnk").as("rank"))
+  }
+}

@@ -111,6 +111,25 @@ object Multimodal {
       (length(col("content")) > n).as("truncated"))
   }
 
+  /** Exact media dedup by content digest: keep the smallest-id row per
+    * distinct payload. The md5 is computed where the bytes already are
+    * (codegen'd projection), so the keep-first window shuffles 32-char
+    * digests + ids — never the payloads themselves; the surviving rows'
+    * content is re-attached by an id equijoin. At 100 TB of media that is
+    * the difference between shuffling the corpus and shuffling a digest
+    * table ~10^6× smaller. `WindowGroupLimit` drops losing duplicates
+    * map-side before the exchange.
+    */
+  def dedupBinary(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__chash")).orderBy(col(idCol))
+    val keep = df.select(col(idCol), md5(col(contentCol)).as("__chash"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol))
+    df.join(keep, Seq(idCol))
+  }
+
   /** Frame sampling for video-like payloads: every `stride`-th fixed-size
     * block of the content bytes becomes one "frame" row (id, frameNo,
     * frame). Pure projection — no shuffle.

@@ -38,4 +38,34 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval×interval OVERLAP join: pairs of intervals (inclusive ends)
+    * that intersect. Same discretization idea as [[pointInInterval]], with
+    * one extra subtlety: two long intervals can share MANY buckets, so a
+    * plain bucket equijoin would emit duplicate pairs. Instead of a
+    * `distinct` over the (potentially huge) join output, each candidate is
+    * kept only in the bucket containing `greatest(start_l, start_r)` — the
+    * first bucket the two intervals share — so every overlapping pair
+    * survives exactly once and the dedup costs a codegen'd filter, not a
+    * shuffle.
+    *
+    * Both inputs must carry epoch-integer `startCol`/`endCol`. Output:
+    * all columns of both sides (keys merged). One shuffle on
+    * (keys, bucket); replication factor = interval length / bucket width.
+    */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucket: Long): DataFrame = {
+    require(bucket > 0, "bucket must be positive")
+    val l = left.withColumn("__bucket",
+      explode(sequence(expr(s"$lStart DIV $bucket"), expr(s"$lEnd DIV $bucket"))))
+    val r = right.withColumn("__bucket",
+      explode(sequence(expr(s"$rStart DIV $bucket"), expr(s"$rEnd DIV $bucket"))))
+    l.join(r, keys :+ "__bucket")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bucket") ===
+        expr(s"greatest($lStart, $rStart) DIV $bucket"))
+      .drop("__bucket")
+  }
 }

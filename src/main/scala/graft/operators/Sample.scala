@@ -31,6 +31,25 @@ object Sample {
   def bernoulliPortable(idCol: String, hexCeil: String): Column =
     substring(md5(col(idCol).cast("string")), 1, 2) < lit(hexCeil)
 
+  /** Deterministic train/val/test assignment: each row's split label is a
+    * pure function of its id hash, so the same document lands in the same
+    * split across reruns, repartitioning, and corpus growth (new docs never
+    * move old docs between splits — the property that keeps eval sets
+    * uncontaminated as a corpus is re-curated). `cuts` are ascending
+    * 2-hex-digit md5-prefix ceilings paired with labels; rows above the
+    * last ceiling get `rest`. E.g. ("e6"->"train", "f3"->"val"), "test"
+    * ≈ 90/5/5. Engine-portable (lowercase-hex string compare) and a pure
+    * projection — no shuffle, pushes past scans like any predicate.
+    */
+  def hashSplit(idCol: String, cuts: Seq[(String, String)], rest: String): Column = {
+    require(cuts.nonEmpty && cuts.map(_._1) == cuts.map(_._1).sorted,
+      "cuts must be ascending hex ceilings")
+    val h = substring(md5(col(idCol).cast("string")), 1, 2)
+    cuts.foldRight(lit(rest): Column) {
+      case ((ceil, label), acc) => when(h < lit(ceil), label).otherwise(acc)
+    }
+  }
+
   /** Stratified fixed-size sample: the `n` rows of each stratum with the
     * smallest (hash, id) — every stratum contributes exactly
     * min(n, |stratum|) rows, deterministically, in one window shuffle on

@@ -147,6 +147,60 @@ object TextOps {
           col("n_bigrams").cast("double")).as("top_bigram_frac"))
   }
 
+  /** Corpus-frequency quality signals (the CCNet-style "does this document
+    * look like the corpus" measure, log-free so it gates exactly): per
+    * document, over its DISTINCT tokens — how many are rare corpus-wide
+    * (document frequency < `minDf`) and the mean document frequency. Docs
+    * dominated by rare/unseen tokens are OCR garbage, lorem ipsum, or
+    * another language; docs of only ultra-common tokens are boilerplate.
+    *
+    * Scale posture: the document-frequency table is vocabulary-sized (not
+    * corpus-sized) and is built by one groupBy over distinct (doc, token)
+    * pairs; the probe side joins tokens against it (sort-merge at scale,
+    * AQE-broadcast when the vocab is small) and re-aggregates per doc. Two
+    * keyed shuffles + one vocab join — no UDFs, no driver state.
+    *
+    * Output: (idCol, n_tok, n_rare, rare_frac, mean_df) — `mean_df` as one
+    * double division of two exact longs (IEEE-deterministic).
+    */
+  def corpusFreqQuality(df: DataFrame, idCol: String, textCol: String,
+                        minDf: Long): DataFrame = {
+    val dtok = Par.spread(df)
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val dfTab = dtok.groupBy("tok").agg(count(lit(1)).as("df"))
+    dtok.join(dfTab, "tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("df") < minDf, 1L).otherwise(0L)).as("n_rare"),
+        sum("df").as("__sum_df"))
+      .select(col(idCol), col("n_tok"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_tok").cast("double"))
+          .as("rare_frac"),
+        (col("__sum_df").cast("double") / col("n_tok").cast("double"))
+          .as("mean_df"))
+  }
+
+  /** Linear quality-model scoring: a fixed-weight linear model over the
+    * standard per-doc quality features (type-token ratio, stopword ratio,
+    * average token length) — the shape of "apply a trained quality
+    * classifier to the corpus" with the training externalized (weights are
+    * config). The score is one fixed-order multiply-add chain of exact
+    * ratios, so identical expression trees produce identical IEEE doubles
+    * in any engine — unlike sigmoid/log scoring, it gates exactly.
+    * Monotone in the logit, so threshold-filtering on it IS
+    * classifier-filtering. Pure codegen projection: no shuffle.
+    */
+  def linearQualityScore(text: Column, bias: Double, wTtr: Double,
+                         wStop: Double, wAvgLen: Double,
+                         stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = vocabCount(toks, stopwords).cast("double") / nTok
+    val avgLen = (length(text) - size(toks) + 1).cast("double") / nTok
+    lit(bias) + lit(wTtr) * ttr + lit(wStop) * stopRatio + lit(wAvgLen) * avgLen
+  }
+
   /** Rolling polynomial hash: base-31 recurrence over character codes,
     * reduced mod 1e9+7 at every step so it never overflows a 64-bit long
     * (Spark 4 runs ANSI mode — unchecked long overflow throws) and stays

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{AsOf, Dedup, Multimodal, Sample, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, Graph, Multimodal, Sample, Similarity, TextOps}
 
 /** Mandated extension surface (SURVEY.md §2.4 / BASELINE.json north_star):
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
@@ -1058,5 +1058,112 @@ object Extensions extends QueryModule {
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame")).cast("long")).as("sum_fb"))
         .orderBy("id").limit(100)
+    },
+
+    // Exact media dedup by content digest (Multimodal.dedupBinary): the
+    // keep-first window shuffles digests, never payloads. Gate: kept-set
+    // size and byte total — exact integers.
+    QueryDef("x4_dedup", Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes
+      FROM documents
+      WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+      """)) { (s, dir) =>
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.dedupBinary(media.toDF(), "id", "content")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(length(col("content")).cast("long")).as("sum_bytes"))
+    },
+
+    // Deterministic train/val/test split (Sample.hashSplit): ~90/5/5 by
+    // md5-prefix buckets — the same doc lands in the same split forever,
+    // so eval sets stay uncontaminated as the corpus is re-curated.
+    QueryDef("x7_split", Some("""
+      WITH s AS (
+        SELECT source,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'e6' THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'f3' THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents)
+      SELECT source, split, CAST(count(*) AS BIGINT) AS n
+      FROM s GROUP BY source, split ORDER BY source, split""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("split", Sample.hashSplit("doc_id",
+          Seq("e6" -> "train", "f3" -> "val"), "test"))
+        .groupBy("source", "split").agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")
+    },
+
+    // Corpus-frequency quality (TextOps.corpusFreqQuality): per doc, the
+    // rare-token fraction and mean document frequency over its distinct
+    // tokens — the log-free CCNet-style "looks like the corpus" signal.
+    QueryDef("x5_dfquality", Some("""
+      WITH dtok AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)),
+      dfv AS (SELECT tok, count(*) AS df FROM dtok GROUP BY tok)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        CAST(sum(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        CAST(sum(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS rare_frac,
+        CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
+      FROM dtok JOIN dfv USING(tok)
+      GROUP BY doc_id ORDER BY doc_id LIMIT 200""")) { (s, dir) =>
+      TextOps.corpusFreqQuality(t(s, dir, "documents"), "doc_id", "text",
+          minDf = 3L)
+        .orderBy("doc_id").limit(200)
+    },
+
+    // Linear quality-model scoring (TextOps.linearQualityScore): fixed
+    // weights over (ttr, stop_ratio, avg_tok_len) in one fixed-order
+    // multiply-add chain — identical IEEE doubles in any engine.
+    QueryDef("x5_qmodel", Some("""
+      SELECT doc_id,
+        -2.0 + 3.0 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                      / CAST(len(string_split(text,' ')) AS DOUBLE))
+             + 5.0 * (CAST(len(list_filter(string_split(text,' '),
+                        tk -> tk IN ('the','a','of','and','to','is'))) AS DOUBLE)
+                      / CAST(len(string_split(text,' ')) AS DOUBLE))
+             + 0.25 * (CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+                       / CAST(len(string_split(text,' ')) AS DOUBLE)) AS score
+      FROM documents ORDER BY doc_id LIMIT 100""")) { (s, dir) =>
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextOps.linearQualityScore(col("text"), bias = -2.0, wTtr = 3.0,
+            wStop = 5.0, wAvgLen = 0.25, stopwords = enStop).as("score"))
+        .orderBy("doc_id").limit(100)
+    },
+
+    // Integer-exact PageRank (Graph.pageRankInt) over the co-order supplier
+    // graph: suppliers sharing an order are linked; 3 iterations of the
+    // damping-17/20 integer recurrence. The oracle unrolls the identical
+    // recurrence — bit-exact longs, no float drift.
+    QueryDef("x8_pagerank", Some(s"""
+      WITH pr AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      eg AS (SELECT src, dst FROM pr UNION ALL SELECT dst AS src, src AS dst FROM pr),
+      nodes AS (SELECT DISTINCT src AS id FROM eg),
+      deg AS (SELECT src, count(*) AS outdeg FROM eg GROUP BY src),
+      r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM nodes)""" +
+      (1 to 3).map { i =>
+        s""",
+      r$i AS (SELECT n.id,
+        CAST(150000000 + (17 * coalesce(f.i, 0)) // 20 AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS id, sum(r.rank // d.outdeg) AS i
+          FROM eg e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON r.id = e.src
+          GROUP BY e.dst) f ON f.id = n.id)"""
+      }.mkString + """
+      SELECT id, rank FROM r3 ORDER BY id""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRankInt(edges, iters = 3).orderBy("id")
     })
 }

@@ -622,6 +622,39 @@ object Relational extends QueryModule {
         .orderBy("user_id", "cid")
     },
 
+    // Interval×interval overlap join (operators.RangeJoin.intervalOverlap):
+    // daily per-user activity intervals from two user cohorts, paired when
+    // they intersect. The bucket equijoin + first-shared-bucket filter
+    // replaces the nested-loop theta join; the oracle runs the plain
+    // inequality join. Overlap length in ms is exact integer arithmetic.
+    QueryDef("r9_interval_overlap", Some("""
+      WITH iv AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+               min(epoch_ms(ts)) AS s, max(epoch_ms(ts)) AS e
+        FROM events GROUP BY 1, 2),
+      a AS (SELECT user_id AS ua, s AS sa, e AS ea FROM iv WHERE user_id % 10 = 3),
+      b AS (SELECT user_id AS ub, s AS sb, e AS eb FROM iv WHERE user_id % 10 = 7)
+      SELECT ua, ub, CAST(count(*) AS BIGINT) AS n_ov,
+             CAST(sum(least(ea, eb) - greatest(sa, sb)) AS BIGINT) AS ov_ms
+      FROM a JOIN b ON sa <= eb AND sb <= ea
+      GROUP BY ua, ub ORDER BY ua, ub""")) { (s, dir) =>
+      val iv = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          unix_millis(col("ts")).as("ms"))
+        .groupBy("user_id", "d").agg(min("ms").as("s"), max("ms").as("e"))
+      val a = iv.filter(pmod(col("user_id"), lit(10)) === 3)
+        .select(col("user_id").as("ua"), col("s").as("sa"), col("e").as("ea"))
+      val b = iv.filter(pmod(col("user_id"), lit(10)) === 7)
+        .select(col("user_id").as("ub"), col("s").as("sb"), col("e").as("eb"))
+      graft.operators.RangeJoin.intervalOverlap(a, b, Seq.empty,
+          "sa", "ea", "sb", "eb", bucket = 21600000L)
+        .groupBy("ua", "ub")
+        .agg(count(lit(1)).as("n_ov"),
+          sum(least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+            .as("ov_ms"))
+        .orderBy("ua", "ub")
+    },
+
     // JSON payload extraction (multimodal metadata path, X4).
     QueryDef("m1_props_json", Some("""
       SELECT event_type,

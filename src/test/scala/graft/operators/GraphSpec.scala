@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRankInt: hand-computed recurrence on a 2-node chain") {
+    // 1 -> 2, directed. outdeg(1)=1; node 2 dangles (mass dropped).
+    // r0 = 1e9 each; node 1 never has inflow -> base = 150000000.
+    // iter1: r(2) = 15e7 + (17 * 1e9) div 20      = 1000000000
+    // iter2: r(2) = 15e7 + (17 * 15e7) div 20     =  277500000
+    // iter3: unchanged (r(1) is stationary).
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graph.pageRankInt(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 150000000L, 2L -> 277500000L))
+  }
+
+  test("pageRankInt: a symmetric cycle is a fixpoint at scale") {
+    // Undirected pair: each node's whole rank flows to the other, so
+    // rank stays exactly `scale` every iteration.
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRankInt(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1000000000L, 2L -> 1000000000L))
+  }
+
+  test("pageRankInt: bit-identical under repartitioning (integer arithmetic)") {
+    val li = spark.read.parquet(sf("lineitem"))
+      .select($"l_orderkey", $"l_suppkey")
+    val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+      .filter($"a.l_suppkey" < $"b.l_suppkey")
+      .select($"a.l_suppkey".as("src"), $"b.l_suppkey".as("dst")).distinct()
+    val edges = pairs.unionByName(pairs.select($"dst".as("src"), $"src".as("dst")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.pageRankInt(df, iters = 3).as[(Long, Long)].collect().toMap
+    val a = run(edges.repartition(1))
+    val b = run(edges.repartition(7))
+    assert(a == b)
+    assert(a.nonEmpty)
+    // sf0.001's co-order graph is near-regular, so ranks may all tie;
+    // differentiation is asserted on the star graph below instead.
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 1L)).toDF("src", "dst")
+    val sr = run(star)
+    assert(sr(9L) > sr(2L))
+  }
+
+  test("pageRankInt: total rank never exceeds n*scale (mass only leaks)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val out = Graph.pageRankInt(edges, iters = 5).as[(Long, Long)].collect()
+    assert(out.map(_._2).sum <= 3L * 1000000000L)
+    assert(out.forall(_._2 >= 150000000L))
+  }
+}

@@ -52,6 +52,24 @@ class MultimodalSpec extends SparkSpec {
     assert(got == (expected + 1) / 2)
   }
 
+  test("dedupBinary keeps exactly the min-id row per distinct payload") {
+    val df = Seq(
+      (3L, "xx"), (1L, "xx"),   // dup payload — keep id 1
+      (2L, "yy"), (5L, "zz"))
+      .toDF("id", "t")
+      .select(col("id"), encode(col("t"), "UTF-8").as("content"))
+    val kept = Multimodal.dedupBinary(df, "id", "content")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 5L))
+    // digest-only shuffle: over a real (non-constant-foldable) source, the
+    // window subtree projects (id, md5(content)) — the payload column never
+    // sits below the window exchange, only digests shuffle
+    val media = Multimodal.fromText(docs.limit(50), "doc_id", "text").toDF()
+    val plan = Multimodal.dedupBinary(media, "id", "content")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("md5"))
+  }
+
   test("resize crops or zero-pads to exactly the target plane, no shuffle") {
     val media = Multimodal.fromText(docs.limit(20), "doc_id", "text")
     val out = Multimodal.resize(media.toDF(), targetW = 8, targetH = 4)

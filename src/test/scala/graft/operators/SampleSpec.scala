@@ -44,6 +44,31 @@ class SampleSpec extends SparkSpec {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("hashSplit: total, partition-invariant, roughly 90/5/5") {
+    val splitCol = Sample.hashSplit("doc_id",
+      Seq("e6" -> "train", "f3" -> "val"), "test")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), splitCol.as("sp"))
+        .as[(Long, String)].collect().toMap
+    val one = labels(docs.repartition(1))
+    val many = labels(docs.repartition(13))
+    assert(one == many)
+    assert(one.size == docs.count())
+    val byLabel = one.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet.subsetOf(Set("train", "val", "test")))
+    val frac = byLabel("train").toDouble / one.size
+    assert(frac > 0.8 && frac < 0.97, s"~90% train, got $frac")
+    // pure projection — no shuffle
+    val plan = docs.select(splitCol).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("hashSplit rejects unsorted cut points") {
+    intercept[IllegalArgumentException] {
+      Sample.hashSplit("doc_id", Seq("f3" -> "a", "e6" -> "b"), "c")
+    }
+  }
+
   test("deterministicShuffle: a partition-invariant permutation; seed reorders") {
     val ordered = Sample.deterministicShuffle(docs, "doc_id", "s1")
       .select("doc_id").as[Long].collect().toSeq

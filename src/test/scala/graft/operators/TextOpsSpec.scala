@@ -106,6 +106,36 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(1L).subsetOf(hashes))
   }
 
+  test("corpusFreqQuality: counts match a brute-force recount") {
+    val df = Seq(
+      (1L, "a b c"),       // a,b common; c only here and doc 3
+      (2L, "a b b"),       // distinct: a,b
+      (3L, "c zz"),        // zz is unique
+      (4L, "a")).toDF("doc_id", "text")
+    // df: a=3, b=2, c=2, zz=1
+    val out = TextOps.corpusFreqQuality(df, "doc_id", "text", minDf = 2L)
+      .select("doc_id", "n_tok", "n_rare", "mean_df")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 0L, (3 + 2 + 2) / 3.0)))
+    assert(out(2L) == ((2L, 0L, (3 + 2) / 2.0)))
+    assert(out(3L) == ((2L, 1L, (2 + 1) / 2.0)))
+    assert(out(4L) == ((1L, 0L, 3.0)))
+  }
+
+  test("linearQualityScore: exact at the weights, monotone in stop ratio") {
+    val df = Seq("the the the the", "zz qq ww rr").toDF("text")
+    val scores = df.select(TextOps.linearQualityScore(col("text"),
+        bias = 0.0, wTtr = 0.0, wStop = 1.0, wAvgLen = 0.0,
+        stopwords = Seq("the")).as("s"))
+      .as[Double].collect()
+    assert(scores(0) == 1.0 && scores(1) == 0.0)
+    // pure projection — no shuffle
+    val plan = df.select(TextOps.linearQualityScore(col("text"), 0, 1, 1, 1,
+      Seq("the"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("property: vocabCount never exceeds token count (scalacheck gen)") {
     val gen = Gen.nonEmptyListOf(Gen.choose(0, 9).map(i => s"w$i"))
     val texts = (0 until 30).flatMap(i =>
