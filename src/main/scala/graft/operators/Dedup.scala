@@ -372,6 +372,26 @@ object Dedup {
         .select(col("id").as(idCol)), idCol)
   }
 
+  /** Deduped corpus keeping the BEST doc of every cluster instead of the
+    * minimum-id one: per cluster, the row maximizing `scoreCol` (min id
+    * tiebreak — total order, so the pick is deterministic). This is the
+    * resolution real curation runs — near-dup clusters keep their
+    * highest-quality member, not an arbitrary canonical. One join of the
+    * corpus against its cluster map + one keep-first window on cluster id;
+    * `WindowGroupLimit` prunes losers map-side before the exchange.
+    */
+  def dedupByClustersBest(df: DataFrame, idCol: String, scoreCol: String,
+                          labels: DataFrame): DataFrame = {
+    requireIntegral(df.schema(idCol).dataType, s"$idCol (dedupByClustersBest id)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.join(labels.withColumnRenamed("id", idCol), idCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "cluster")
+  }
+
   /** Integral-only guard for the id columns the cluster-resolution path
     * casts to long: a string/decimal id would cast to null *silently*, the
     * cluster map would be garbage, and the dedup join would drop every row

@@ -82,6 +82,44 @@ object Sample {
         md5(concat(lit(s"$seed|"), col(idCol).cast("string"))))
       .orderBy(col("shuffle_key"), col(idCol))
 
+  /** Importance-weighted deterministic sampling: keep a row with
+    * probability `weight` (a [0,1] column — e.g. a quality score), decided
+    * by comparing the row's md5-uniform draw against the weight. The draw
+    * is the first 8 hex digits of md5(id); the threshold is
+    * floor(weight * (2^32-1)) rendered as 8 lowercase hex digits, so the
+    * comparison is a plain string compare — reproducible in any engine,
+    * partition-invariant, and re-derivable from (id, weight) alone. This
+    * is "sample the corpus proportional to quality" — the curation step
+    * between hard filtering (keep/drop) and uniform sampling. Pure
+    * projection filter: no shuffle.
+    */
+  def weightedBernoulli(idCol: String, weight: Column): Column =
+    substring(md5(col(idCol).cast("string")), 1, 8) <
+      lower(lpad(hex(floor(weight * lit(4294967295.0)).cast("long")), 8, "0"))
+
+  /** Token-budget mixture: per stratum, admit docs in deterministic hash
+    * order until the stratum's token budget is exhausted — how a training
+    * mix hits "N billion tokens per domain" rather than a document quota
+    * ([[mixture]]). A doc is admitted iff the budget was not already spent
+    * when it arrived (its own tokens may overrun — budgets are hit within
+    * one doc, the standard convention). One window shuffle on the stratum
+    * key; the running sum is a cumulative window aggregate, no driver
+    * state. Strata absent from `budgets` get `default` tokens.
+    */
+  def tokenBudget(df: DataFrame, stratumCol: String, idCol: String,
+                  tokenCol: String, budgets: Map[String, Long],
+                  default: Long): DataFrame = {
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") - col(tokenCol) < budgetCol)
+      .drop("__cum")
+  }
+
   /** Mixture sampling: like [[stratified]] but with a per-stratum quota —
     * the way a training mix hits its target domain/language proportions.
     * Strata absent from `quota` contribute `default` rows. Same single

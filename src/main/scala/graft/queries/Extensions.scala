@@ -375,6 +375,42 @@ object Extensions extends QueryModule {
         .orderBy("lang")
     },
 
+    // Cluster resolution keeping the BEST member (here: most tokens, min-id
+    // tiebreak) instead of the min-id canonical — the pick real curation
+    // makes. Same recursive-CTE cluster map as x2_dedup_resolve, plus an
+    // argmax window.
+    QueryDef("x2_keep_best", Some(s"""
+      WITH RECURSIVE $shCte,
+      pr AS (
+        SELECT da, db
+        FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        WHERE CAST(ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - ni AS DOUBLE)
+              >= CAST(0.8 AS DOUBLE)),
+      eg AS (SELECT da AS src, db AS dst FROM pr
+             UNION ALL SELECT db, da FROM pr),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, rc.r FROM eg e JOIN reach rc ON e.dst = rc.id),
+      cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      scored AS (
+        SELECT doc_id, cluster,
+               CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        FROM documents JOIN cl ON doc_id = id),
+      best AS (
+        SELECT doc_id, n_tok, row_number() OVER
+          (PARTITION BY cluster ORDER BY n_tok DESC, doc_id) AS rn
+        FROM scored)
+      SELECT doc_id, n_tok FROM best WHERE rn = 1 ORDER BY doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      val labels = Dedup.resolveClusters(docs, "doc_id", pairs)
+      Dedup.dedupByClustersBest(docs, "doc_id", "n_tok", labels)
+        .select("doc_id", "n_tok")
+        .orderBy("doc_id")
+    },
+
     // Edit-distance near-dup: shingle-blocked candidates, Levenshtein over
     // a 60-char prefix (bounded DP — the scale guard), exact integer gate.
     QueryDef("x2_editdist", Some(s"""

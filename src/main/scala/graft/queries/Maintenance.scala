@@ -388,6 +388,53 @@ object Maintenance extends QueryModule {
           expectedItems = 100000L, fpp = 0.01)
         .filter(col("frac_ub") >= 0.5)
         .orderBy("doc_id")
+    },
+
+    // Importance-weighted sampling (Sample.weightedBernoulli): keep each
+    // doc with probability = its type-token ratio — "sample proportional
+    // to quality". The md5-draw vs hex-threshold compare is exact in both
+    // engines; a pure filter, no shuffle.
+    QueryDef("x7_weighted", Some("""
+      WITH wgt AS (
+        SELECT doc_id, lang,
+          CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+            / CAST(len(string_split(text,' ')) AS DOUBLE) AS w
+        FROM documents)
+      SELECT doc_id, lang FROM wgt
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) <
+            lower(lpad(to_hex(CAST(floor(w * 4294967295.0) AS BIGINT)), 8, '0'))
+      ORDER BY doc_id""")) { (s, dir) =>
+      val toks = graft.operators.TextOps.tokens(col("text"))
+      val ttr = size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double")
+      t(s, dir, "documents")
+        .filter(graft.operators.Sample.weightedBernoulli("doc_id", ttr))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Token-budget mixture (Sample.tokenBudget): per language, admit docs
+    // in deterministic hash order until the language's token budget is
+    // spent — training mixes are specified in tokens, not documents.
+    QueryDef("x7_token_budget", Some("""
+      WITH tk AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+               sum(CAST(len(string_split(text,' ')) AS BIGINT)) OVER
+                 (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents)
+      SELECT doc_id, lang, n_tok FROM tk
+      WHERE cum - n_tok < (CASE lang WHEN 'en' THEN 2000 ELSE 800 END)
+      ORDER BY doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok",
+          size(graft.operators.TextOps.tokens(col("text"))).cast("long"))
+      graft.operators.Sample.tokenBudget(docs, "lang", "doc_id", "n_tok",
+          Map("en" -> 2000L), default = 800L)
+        .select("doc_id", "lang", "n_tok")
+        .orderBy("doc_id")
     }
   )
 }

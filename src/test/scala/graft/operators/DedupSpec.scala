@@ -83,6 +83,21 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("dedupByClustersBest keeps the highest-score doc, min-id tiebreak") {
+    val df = Seq(
+      (1L, "a", 5L), (2L, "a", 9L), (3L, "a", 9L),  // cluster {1,2,3}: 2 wins (9, min id)
+      (4L, "b", 1L))                                 // singleton survives
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("da", "db")
+    val labels = Dedup.resolveClusters(df, "doc_id", pairs)
+    val kept = Dedup.dedupByClustersBest(df, "doc_id", "score", labels)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+    // cluster count preserved: one survivor per cluster
+    assert(kept.size ==
+      labels.select("cluster").distinct().count())
+  }
+
   test("resolveClusters on the corpus: clusters match pair connectivity") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
     val labels = Dedup.resolveClusters(docs, "doc_id", pairs)

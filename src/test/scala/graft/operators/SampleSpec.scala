@@ -63,6 +63,52 @@ class SampleSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("weightedBernoulli: edge weights, monotone inclusion, partition-invariant") {
+    // weight 0 keeps nothing, weight 1 keeps (essentially) everything
+    val none = docs.filter(Sample.weightedBernoulli("doc_id", lit(0.0))).count()
+    val all = docs.filter(Sample.weightedBernoulli("doc_id", lit(1.0))).count()
+    assert(none == 0 && all == docs.count())
+    // a higher weight can only ADD rows (same draw, larger threshold)
+    def ids(w: Double) =
+      docs.filter(Sample.weightedBernoulli("doc_id", lit(w)))
+        .select("doc_id").as[Long].collect().toSet
+    val lo = ids(0.3)
+    val hi = ids(0.7)
+    assert(lo.subsetOf(hi))
+    assert(lo.size < hi.size)
+    // membership is a pure function of (id, weight)
+    val repart = docs.repartition(13)
+      .filter(Sample.weightedBernoulli("doc_id", lit(0.3)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(repart == lo)
+    // ~w of the corpus survives at weight w
+    val frac = lo.size.toDouble / docs.count()
+    assert(frac > 0.15 && frac < 0.45, s"~30% at w=0.3, got $frac")
+  }
+
+  test("tokenBudget: per-stratum budgets hit within one doc, deterministic") {
+    val df = docs.withColumn("n_tok",
+      size(split(col("text"), " ")).cast("long"))
+    val out = Sample.tokenBudget(df, "lang", "doc_id", "n_tok",
+      Map("en" -> 500L), default = 200L)
+    val got = out.groupBy("lang").agg(sum("n_tok").as("tok"),
+        max("n_tok").as("mx"))
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (lang, tok, mx) =>
+      val budget = if (lang == "en") 500L else 200L
+      // admitted docs started within budget: total < budget + one doc
+      assert(tok < budget + mx, s"$lang: $tok vs budget $budget (max doc $mx)")
+    }
+    // deterministic under repartitioning
+    val again = Sample.tokenBudget(df.repartition(9), "lang", "doc_id",
+        "n_tok", Map("en" -> 500L), default = 200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // never empty while a stratum has docs: the first doc always admits
+    val langs = docs.select("lang").distinct().count()
+    assert(out.select("lang").distinct().count() == langs)
+  }
+
   test("hashSplit rejects unsorted cut points") {
     intercept[IllegalArgumentException] {
       Sample.hashSplit("doc_id", Seq("f3" -> "a", "e6" -> "b"), "c")
