@@ -269,6 +269,92 @@ object Similarity {
       .toDF("cid", "vec")
   }
 
+  /** Squared L2 distance in the fixed three-dot-product form
+    * `a·a - 2(a·b) + b·b` — each dot a sequential fold, the combination a
+    * fixed expression tree, so the value is bit-identical in any engine
+    * with a sequential-fold dot product (the same cross-engine contract as
+    * [[cosine]]). PQ uses L2, the standard product-quantization metric.
+    */
+  private def dist2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Product-quantization codebooks: the embedding space is split into `m`
+    * equal-width subspaces and each gets its own k-centroid quantizer,
+    * trained by the same decimal-exact Lloyd iterations as IVF
+    * ([[kmeansCentroids]] over the subvector table — `iters = 0` keeps the
+    * deterministic lowest-id seeds as the codebook). Codebooks are
+    * config-sized (m × k × dim/m doubles) and live on the driver, exactly
+    * like IVF centroids and LSH planes.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, iters: Int): Seq[Array[Seq[Double]]] = {
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    require(m >= 1 && dim % m == 0, s"m must divide the dimension ($dim)")
+    val sub = dim / m
+    (0 until m).map { j =>
+      kmeansCentroids(
+        df.select(col(idCol),
+          slice(asDouble(col(vecCol)), j * sub + 1, sub).as(vecCol)),
+        idCol, vecCol, k, iters)
+    }
+  }
+
+  /** Per-subspace code: argmin squared-L2 over the codebook entries, ties
+    * to the lowest code. Pure projection against codebook literals.
+    */
+  private def codeExpr(subVec: Column, codebook: Array[Seq[Double]]): Column = {
+    val d2s = codebook.map(cv => dist2(subVec, typedLit(cv)))
+    val best = if (d2s.length == 1) d2s.head else least(d2s.toSeq: _*)
+    codebook.indices.zip(d2s).foldRight(lit(null).cast("int")) {
+      case ((c, d), els) => when(d === best, lit(c)).otherwise(els)
+    }
+  }
+
+  /** PQ-compressed ANN (asymmetric distance computation): the corpus is
+    * reduced to m small integer codes per vector — at production scale the
+    * scan reads m bytes instead of dim floats, a 10-100× I/O compression,
+    * which is the whole point of PQ — and each query scores candidates by
+    * summing per-subspace distances to the CODEBOOK entry the code names
+    * (never decompressing the corpus vector). The query side is broadcast;
+    * per-(query, code) distances are codegen'd CASE chains over codebook
+    * literals, so the corpus pass stays a single projection + top-k
+    * window, no shuffle beyond the partial top-k.
+    *
+    * Recall < 1 by construction (quantization error); rank by estimated
+    * distance with nid tiebreak keeps the output total-ordered and exact
+    * to gate. Output: (qid, rank, nid, est_d2).
+    */
+  def knnPq(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Array[Seq[Double]]], k: Int): DataFrame = {
+    require(codebooks.nonEmpty, "need at least one codebook")
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    // Corpus → codes: one projection; this frame is what a production
+    // pipeline would persist as the compressed index.
+    val coded = Par.spread(corpus)
+      .select(Seq(col(idCol).as("nid")) ++
+        codebooks.zipWithIndex.map { case (cb, j) =>
+          codeExpr(slice(asDouble(col(vecCol)), j * sub + 1, sub), cb)
+            .as(s"c$j") }: _*)
+    val qb = broadcast(queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv")))
+    // est_d2 = Σ_j d2(qsub_j, codebook_j[c_j]) — fixed left-to-right sum.
+    val est = codebooks.zipWithIndex.map { case (cb, j) =>
+      val qsub = slice(col("qv"), j * sub + 1, sub)
+      cb.indices.foldRight(lit(null).cast("double")) {
+        case (c, els) =>
+          when(col(s"c$j") === c, dist2(qsub, typedLit(cb(c)))).otherwise(els)
+      }
+    }.reduce(_ + _)
+    val scored = coded.crossJoin(qb).withColumn("est_d2", est)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("est_d2"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "est_d2")
+  }
+
   /** IVF-flat ANN: a coarse quantizer (the centroid list — small by
     * contract, collected once like LSH planes) partitions the corpus into
     * cells with a single projection; each query searches only its `nprobe`

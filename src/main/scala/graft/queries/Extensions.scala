@@ -662,6 +662,52 @@ object Extensions extends QueryModule {
         .orderBy("qid", "rnk")
     },
 
+    // PQ-compressed ANN (Similarity.pqTrain/knnPq): m=2 subspaces × k=4
+    // codes, lowest-id seeds as the codebook (iters=0 — Lloyd replay is
+    // already proven by x3_ivf_trained), asymmetric-distance scoring over
+    // the compressed code scan. The oracle replays codebook build, corpus
+    // encoding, the per-(query, code) LUT, and the 2-term distance sum
+    // (FP addition is commutative, so the 2-addend grouped sum is exact).
+    QueryDef("x3_pq", Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+      sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vv AS sv
+             FROM (SELECT vec_id, vv FROM v ORDER BY vec_id LIMIT 4)),
+      cb AS (SELECT cid, 0 AS j, sv[1:32] AS cv FROM sd
+             UNION ALL SELECT cid, 1, sv[33:64] FROM sd),
+      c AS (SELECT vec_id AS nid, vv FROM v WHERE vec_id >= 10),
+      cd AS (SELECT nid, j, cid,
+               row_number() OVER (PARTITION BY nid, j ORDER BY
+                 list_dot_product(sv2, sv2) - 2.0*list_dot_product(sv2, cv)
+                   + list_dot_product(cv, cv) ASC, cid) AS rk
+             FROM (SELECT nid, CASE j WHEN 0 THEN vv[1:32] ELSE vv[33:64] END AS sv2,
+                          j, cid, cv
+                   FROM c, cb)),
+      codes AS (SELECT nid, j, cid FROM cd WHERE rk = 1),
+      q AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id < 10),
+      lut AS (SELECT qid, j, cid,
+                list_dot_product(qs, qs) - 2.0*list_dot_product(qs, cv)
+                  + list_dot_product(cv, cv) AS d2
+              FROM (SELECT qid, CASE j WHEN 0 THEN qv[1:32] ELSE qv[33:64] END AS qs,
+                           j, cid, cv
+                    FROM q, cb)),
+      est AS (SELECT l.qid, s.nid, sum(l.d2) AS est_d2
+              FROM codes s JOIN lut l ON l.j = s.j AND l.cid = s.cid
+              GROUP BY l.qid, s.nid),
+      r AS (SELECT qid, nid, est_d2,
+              row_number() OVER (PARTITION BY qid ORDER BY est_d2 ASC, nid) AS rnk
+            FROM est)
+      SELECT qid, rnk, nid, est_d2 FROM r WHERE rnk <= 3 ORDER BY qid, rnk""")) {
+      (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 2, k = 4, iters = 0)
+      Similarity.knnPq(
+          e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", cbs, k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
     // As-of join: each click event picks up the user's most recent
     // purchase at-or-before its timestamp. DuckDB's native ASOF JOIN is
     // the oracle; the Spark side is the union + keyed-window formulation

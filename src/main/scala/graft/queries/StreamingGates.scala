@@ -161,6 +161,35 @@ object StreamingGates extends QueryModule {
         .orderBy("user_id", "start_ms")
     },
 
+    // Stream-static enrichment (Streams.enrichWithDim): events stream
+    // joined to a batch-precomputed per-user activity segment (broadcast,
+    // stateless — no watermark, no state store), landed, then aggregated
+    // per (segment, type). ≡ the batch join exactly, since the join adds
+    // no streaming state.
+    QueryDef("ev9_stream_enrich", Some("""
+      WITH dim AS (
+        SELECT user_id, CAST(floor(count(*) / 10.0) AS BIGINT) AS seg
+        FROM events GROUP BY user_id)
+      SELECT seg, event_type, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+      FROM events JOIN dim USING (user_id)
+      GROUP BY seg, event_type ORDER BY seg, event_type""")) { (s, dir) =>
+      val (in, out, ck) = stage(s, dir)
+      val dim = Tables.load(s, dir, "events").groupBy("user_id")
+        .agg(floor(count(lit(1)) / lit(10.0)).cast("long").as("seg"))
+      val q = Streams.enrichWithDim(
+          Streams.readEventStream(s, in), dim, Seq("user_id"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy("seg", "event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_v"))
+        .orderBy("seg", "event_type")
+    },
+
     // Streaming MERGE sink: CDC-compacted events upserted onto a versioned
     // parquet snapshot via foreachBatch; the latest snapshot must equal the
     // batch per-user argmax. The upstream compaction (one row per key per

@@ -136,6 +136,17 @@ object Streams {
     df.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static enrichment: join each streaming row to a precomputed
+    * dimension table (a profile/feature table refreshed out of band). The
+    * static side is broadcast — stateless on the stream, no watermark, no
+    * state store; at cluster scale the dim ships once per executor and the
+    * stream never shuffles for the join. This is the standard "enrich
+    * events with a profile" topology.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys)
+
   /** Latest committed snapshot version directory under `dir` (written by
     * [[mergeSink]]), if any.
     */

@@ -110,6 +110,52 @@ class SimilaritySpec extends SparkSpec {
     assert(cells > 0)
   }
 
+  test("pqTrain/knnPq: codebook shapes, deterministic codes, sane recall") {
+    val corpus = emb.filter($"vec_id" >= 10)
+    val queries = emb.filter($"vec_id" < 10)
+    // near-random embeddings need a fine quantizer: 16 subspaces of 4 dims
+    // (coarse 4x4 PQ is chance-level here, like single-table LSH)
+    val cbs = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 16, k = 8, iters = 1)
+    assert(cbs.length == 16 && cbs.forall(_.length == 8))
+    assert(cbs.forall(_.forall(_.length == 4)), "64-dim / m=16 = 4-wide subvectors")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.knnPq(c, queries, "vec_id", "embedding", cbs, k = 3)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    val a = run(corpus.repartition(1))
+    val b = run(corpus.repartition(13))
+    assert(a == b, "PQ ranking must be partition-invariant")
+    // every query gets exactly k results (ADC scans the whole code table)
+    val perQ = a.groupBy(_._1).view.mapValues(_.size)
+    assert(perQ.values.forall(_ == 3))
+    // recall on near-random data is margin-limited; report, don't gate
+    val truth = topKSet(Similarity.knnBruteForce(corpus, queries,
+      "vec_id", "embedding", 3))
+    val recall = (a.map(t => (t._1, t._3)) & truth).size.toDouble / truth.size
+    info(f"PQ recall @k=3, m=16, k*=8, 1 iter: $recall%.3f")
+    // The ADC guarantee: est(q, u) = sum_j d2(qsub_j, cent[code_j(u)]) >=
+    // sum_j min_c d2(qsub_j, cent_c) = est(q, q) when q is itself a corpus
+    // vector — so the self pair attains the global-minimum estimate and
+    // anything ranked above it must tie exactly (same code vector).
+    val selfQ = corpus.filter($"vec_id" < 20)
+    val full = Similarity.knnPq(corpus, selfQ, "vec_id", "embedding", cbs,
+        k = 10000)
+      .select("qid", "nid", "est_d2").as[(Long, Long, Double)].collect()
+    val byQ = full.groupBy(_._1)
+    byQ.foreach { case (qid, rows) =>
+      val minEst = rows.map(_._3).min
+      val selfEst = rows.find(_._2 == qid).get._3
+      assert(selfEst == minEst,
+        s"q$qid: self est $selfEst above global min $minEst")
+    }
+  }
+
+  test("pqTrain rejects m not dividing the dimension") {
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(emb, "vec_id", "embedding", m = 7, k = 2, iters = 0)
+    }
+  }
+
   test("knnIvf: nprobe = #cells is exactly brute force; recall grows with nprobe") {
     val corpus = emb.filter($"vec_id" >= 10)
     val queries = emb.filter($"vec_id" < 10)

@@ -124,6 +124,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichWithDim: stream-static join matches the batch join, stateless") {
+    val dir = Scratch.fresh("enrich-in")
+    val batch = graft.model.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    batch.write.mode("overwrite").parquet(dir)
+    val dim = batch.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_total"))
+    val outDir = Scratch.fresh("enrich-out")
+    val ckDir = Scratch.fresh("enrich-ck")
+    val q = Streams.enrichWithDim(
+        Streams.readEventStream(spark, dir), dim, Seq("user_id"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+    // inner join against a complete dim: row count preserved, every row
+    // carries its user's profile value
+    assert(streamed.count() == batch.count())
+    val bad = streamed.join(dim.withColumnRenamed("n_total", "expect"), "user_id")
+      .filter(org.apache.spark.sql.functions.col("n_total") =!=
+        org.apache.spark.sql.functions.col("expect")).count()
+    assert(bad == 0)
+  }
+
   test("file-source stream over the events parquet matches batch counts") {
     // stream the sf0.001 events dir and compare total rows with batch read
     val dir = Scratch.fresh("stream-in")
