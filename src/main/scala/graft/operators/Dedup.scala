@@ -43,19 +43,34 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard >= threshold, via a shared-shingle inverted
     * index: a pair is only materialized if it shares at least one shingle
-    * (complete for any threshold > 0). `maxDocFreq` drops shingles appearing
-    * in more than that many docs *from candidate generation only* — the
-    * standard frequency cut that keeps the inverted index from exploding on
-    * boilerplate shingles at scale (0 = keep all, exact semantics). Reported
-    * Jaccard is always computed on the UNFILTERED shingle sets, so the cut
-    * can lose pairs whose only shared shingles are frequent, but never
-    * reports an inflated score or invents a pair.
+    * (complete for any threshold > 0).
+    *
+    * Two EXACT candidate-generation strategies, same provable output:
+    *
+    *  - default: the full inverted-index self-join — fewest shuffles, the
+    *    right plan while posting lists stay moderate;
+    *  - `prefixFilter = true`: PPJoin prefix filtering (Xiao et al. WWW'08
+    *    Lemma 1) — under any global total shingle order, two sets with
+    *    Jaccard >= t must share a shingle among each one's first
+    *    `|x| - ceil(t*|x|) + 1` shingles; ordering rarest-df-first makes
+    *    those prefix posting lists the shortest ones, so the self-join
+    *    touches ~(1-t) of each doc with boilerplate shingles pushed out of
+    *    the prefixes. Costs two extra ranking shuffles (df + per-doc
+    *    window), so it LOSES below the crossover where the full self-join
+    *    is still cheap — switch it on when the posting-list explosion
+    *    dominates (web-scale corpora with heavy boilerplate).
+    *
+    * `maxDocFreq` (lossy, 0 = off) drops shingles appearing in more than
+    * that many docs *from candidate generation only* — can lose pairs
+    * whose only shared shingles are frequent, never invents a pair.
+    * Reported Jaccard is always computed on the UNFILTERED shingle sets.
     *
     * Output: (da, db, jacc) with da < db.
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+      n: Int, threshold: Double, maxDocFreq: Long = 0L,
+      prefixFilter: Boolean = false): DataFrame = {
     // Feeds several plan branches (per-doc counts + both join sides);
     // without materialization Spark re-explodes the corpus per branch.
     // MEMORY_AND_DISK: at scale this is the "materialize the inverted
@@ -63,17 +78,46 @@ object Dedup {
     val sh = shingleSet(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val inter =
-      if (maxDocFreq <= 0) sharedShingleIntersections(sh, idCol)
+    // The lossy df cut (if any) applies to candidate generation only;
+    // scoring always uses the UNFILTERED sets.
+    val candInput =
+      if (maxDocFreq <= 0) sh
       else {
-        // Pruned index generates candidates; verify on the full sets.
         val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxDocFreq).select("shingle")
-        val cand = sharedShingleIntersections(sh.join(rare, "shingle"), idCol)
-          .select("da", "db")
-        pairIntersections(cand, sh, idCol)
+        sh.join(rare, "shingle")
       }
+    val inter =
+      if (prefixFilter)
+        pairIntersections(prefixCandidates(candInput, idCol, threshold),
+          sh, idCol)
+      else if (maxDocFreq <= 0) sharedShingleIntersections(sh, idCol)
+      else pairIntersections(
+        sharedShingleIntersections(candInput, idCol).select("da", "db"),
+        sh, idCol)
     scorePairs(inter, cnt, idCol, threshold)
+  }
+
+  /** Candidate (da, db) pairs sharing at least one PREFIX shingle — the
+    * prefix being each doc's `n - ceil(t*n) + 1` rarest shingles in the
+    * global (document frequency, shingle) order. Complete for Jaccard >= t
+    * by the PPJoin prefix-filter lemma. Two shuffles to rank (shingle df,
+    * per-doc window) + the self-join over prefix posting lists, which are
+    * short BY CONSTRUCTION (rarest shingles have the fewest docs).
+    */
+  private def prefixCandidates(sh: DataFrame, idCol: String,
+                               threshold: Double): DataFrame = {
+    val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__df"), col("shingle"))
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val prefix = sh.join(dfTab, "shingle")
+      .withColumn("__rn", row_number().over(wDoc))
+      .withColumn("__n", count(lit(1)).over(wN))
+      .filter(col("__rn") <=
+        col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select(col(idCol), col("shingle"))
+    sharedShingleIntersections(prefix, idCol).select("da", "db")
   }
 
   /** Pair intersection counts via the inverted-index self-join. The join

@@ -76,12 +76,12 @@ object Multimodal {
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    // Spread first iff under-partitioned (cf. Par.spread): media tables
-    // often arrive locally as few large files and the decode is pure
-    // per-row CPU, but an already-parallel cluster input must not be
-    // re-shuffled just to decode.
-    val p = spark.sparkContext.defaultParallelism
-    val wide = if (ds.rdd.getNumPartitions >= p) ds else ds.repartition(p)
+    // Spread first iff under-partitioned (cf. Par.spread — plan-time
+    // decision, never .rdd, which would materialize upstream exchanges
+    // under AQE): media tables often arrive locally as few large files and
+    // the decode is pure per-row CPU, but an already-parallel cluster
+    // input must not be re-shuffled just to decode.
+    val wide = Par.spread(ds.toDF()).as[MediaRow]
     wide.mapPartitions { it =>
         it.grouped(batchSize).flatMap(b => decoder.decodeBatch(b))
       }

@@ -267,6 +267,22 @@ object Extensions extends QueryModule {
         .orderBy("da", "db")
     },
 
+    // Same semantics through the PPJoin prefix-filtered candidate path —
+    // the exact-optimization crossover for boilerplate-heavy corpora where
+    // full posting-list self-joins explode. Identical oracle by design.
+    QueryDef("x2_jaccard_prefix", Some(s"""
+      WITH $shCte
+      SELECT da, db,
+        CAST(ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - ni AS DOUBLE) AS jacc
+      FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+      WHERE CAST(ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - ni AS DOUBLE)
+            >= CAST(0.8 AS DOUBLE)
+      ORDER BY da, db""")) { (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.8, prefixFilter = true)
+        .orderBy("da", "db")
+    },
+
     QueryDef("x2_minhash_lsh", Some(s"""
       WITH $shCte,
       sig AS (SELECT doc_id,
@@ -1238,7 +1254,7 @@ object Extensions extends QueryModule {
           FROM eg e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON r.id = e.src
           GROUP BY e.dst) f ON f.id = n.id)"""
       }.mkString + """
-      SELECT id, rank FROM r3 ORDER BY id""")) { (s, dir) =>
+      SELECT id, rank FROM r3 ORDER BY id"""), bench = true) { (s, dir) =>
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       val pairs = li.as("a").join(li.as("b"), "l_orderkey")
         .filter(col("a.l_suppkey") < col("b.l_suppkey"))

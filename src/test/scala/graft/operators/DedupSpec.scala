@@ -47,6 +47,35 @@ class DedupSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("prefix-filtered jaccardPairs equals brute-force all-pairs exactly") {
+    // PPJoin prefix filtering must be a pure optimization: same pairs,
+    // same (bit-identical) scores as scoring every pair of shingle sets.
+    val sets = docs
+      .select($"doc_id", explode(TextOps.shingles(TextOps.tokens($"text"), 3))
+        .as("sh"))
+      .distinct()
+      .as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val naive = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.size
+      a = sets(ids(i)); b = sets(ids(j))
+      ni = (a & b).size
+      jacc = ni.toDouble / (a.size + b.size - ni).toDouble
+      if jacc >= 0.8
+    } yield (ids(i), ids(j), jacc)).toSet
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        prefixFilter = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == naive)
+    // and the default full-self-join path agrees bit-for-bit
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full == naive)
+    assert(naive.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
   test("maxDocFreq cut never invents pairs") {
     val all = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("da", "db").as[(Long, Long)].collect().toSet
