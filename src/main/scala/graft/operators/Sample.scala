@@ -93,9 +93,13 @@ object Sample {
     * between hard filtering (keep/drop) and uniform sampling. Pure
     * projection filter: no shuffle.
     */
-  def weightedBernoulli(idCol: String, weight: Column): Column =
+  def weightedBernoulli(idCol: String, weight: Column): Column = {
+    // Clamp to [0,1]: a weight above 1 would overflow the 8-hex-digit
+    // threshold and lpad would silently TRUNCATE it to a smaller one.
+    val w = least(greatest(weight, lit(0.0)), lit(1.0))
     substring(md5(col(idCol).cast("string")), 1, 8) <
-      lower(lpad(hex(floor(weight * lit(4294967295.0)).cast("long")), 8, "0"))
+      lower(lpad(hex(floor(w * lit(4294967295.0)).cast("long")), 8, "0"))
+  }
 
   /** Token-budget mixture: per stratum, admit docs in deterministic hash
     * order until the stratum's token budget is exhausted — how a training

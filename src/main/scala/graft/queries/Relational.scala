@@ -655,6 +655,41 @@ object Relational extends QueryModule {
         .orderBy("ua", "ub")
     },
 
+    // The range-join OPTIMIZER RULE end-to-end (o.a.s.sql.graft
+    // .RangeJoinRewrite): the user writes the natural BETWEEN theta join —
+    // which Spark would plan as a broadcast nested loop — and the injected
+    // rule turns it into the bucketized equijoin. Keyless by design (with
+    // an equi-key Spark already hash-joins; the rule targets the pure
+    // range cliff). Values identical to the nested loop by construction.
+    QueryDef("r10_range_rule", Some("""
+      WITH c AS (SELECT event_id AS cid, epoch_ms(ts) AS ms
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT event_id AS pid,
+              epoch_ms(ts) - 900000 AS s, epoch_ms(ts) + 900000 AS e
+            FROM events WHERE event_type = 'purchase')
+      SELECT pid, CAST(count(*) AS BIGINT) AS n_clicks,
+             CAST(min(cid) AS BIGINT) AS min_cid
+      FROM p JOIN c ON c.ms >= p.s AND c.ms <= p.e
+      GROUP BY pid ORDER BY pid""")) { (s, dir) =>
+      val ev = t(s, dir, "events").withColumn("ms", unix_millis(col("ts")))
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("ms"))
+        .createOrReplaceTempView("graft_r10_c")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"),
+          (col("ms") - 900000L).as("s"), (col("ms") + 900000L).as("e"))
+        .createOrReplaceTempView("graft_r10_p")
+      // Session-scoped enable (no unset: the caller's derived plans —
+      // e.g. the verify write — re-optimize lazily, and the rule's
+      // no-equi-conjunct guard makes it a no-op for every other gated
+      // query in the session).
+      s.conf.set("spark.graft.rangeJoin.bucket", "1800000")
+      s.sql("""
+        SELECT pid, count(*) AS n_clicks, min(cid) AS min_cid
+        FROM graft_r10_p JOIN graft_r10_c ON ms >= s AND ms <= e
+        GROUP BY pid ORDER BY pid""")
+    },
+
     // JSON payload extraction (multimodal metadata path, X4).
     QueryDef("m1_props_json", Some("""
       SELECT event_type,

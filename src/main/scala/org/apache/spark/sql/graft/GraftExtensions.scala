@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Plan-level rewrite: natural BETWEEN range joins -> bucketized
+    // equijoins (see RangeJoinRewrite; off until
+    // spark.graft.rangeJoin.bucket is set).
+    ext.injectOptimizerRule(RangeJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

@@ -84,6 +84,9 @@ class SampleSpec extends SparkSpec {
     // ~w of the corpus survives at weight w
     val frac = lo.size.toDouble / docs.count()
     assert(frac > 0.15 && frac < 0.45, s"~30% at w=0.3, got $frac")
+    // out-of-contract weights clamp instead of truncating the threshold
+    assert(ids(7.5) == ids(1.0))
+    assert(ids(-2.0) == ids(0.0))
   }
 
   test("tokenBudget: per-stratum budgets hit within one doc, deterministic") {
