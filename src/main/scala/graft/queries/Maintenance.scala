@@ -390,6 +390,27 @@ object Maintenance extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Small-files compaction (io.Compact): 64 splinter files rewritten
+    // into size-targeted outputs; the gate proves the rewrite is
+    // content-preserving (per-type counts + decimal-exact value sums
+    // against the source table) and the spec asserts the file-count
+    // arithmetic.
+    QueryDef("s6_compact", Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+      FROM events GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
+      val src = graft.Scratch.fresh("compact-src")
+      val dest = graft.Scratch.fresh("compact-dest")
+      t(s, dir, "events").repartition(64).write.mode("overwrite").parquet(src)
+      graft.io.Compact.compactTo(s, src, dest,
+        graft.model.Format.Parquet, targetBytes = 8L * 1024 * 1024)
+      s.read.parquet(dest)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_v"))
+        .orderBy("event_type")
+    },
+
     // Importance-weighted sampling (Sample.weightedBernoulli): keep each
     // doc with probability = its type-token ratio — "sample proportional
     // to quality". The md5-draw vs hex-threshold compare is exact in both

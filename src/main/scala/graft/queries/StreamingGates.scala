@@ -64,6 +64,40 @@ object StreamingGates extends QueryModule {
         .orderBy("event_type", "hour_s")
     },
 
+    // Sliding windows (2h window, 1h slide): every event contributes to
+    // two windows; append mode emits a window once the final watermark
+    // passes its end. The oracle replays by assigning each event to both
+    // covering window starts.
+    QueryDef("ev10_stream_sliding", Some("""
+      WITH mx AS (SELECT max(ts) AS m FROM events),
+      w2 AS (
+        SELECT event_type, value, ws
+        FROM events, LATERAL (SELECT unnest(ARRAY[
+          date_trunc('hour', ts) - INTERVAL 1 HOUR,
+          date_trunc('hour', ts)]) AS ws) t),
+      agg AS (
+        SELECT event_type, ws, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM w2 GROUP BY 1, 2)
+      SELECT event_type, strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_s,
+             cnt, sum_value
+      FROM agg, mx
+      WHERE ws + INTERVAL 2 HOUR <= m - INTERVAL 1 HOUR
+      ORDER BY event_type, win_s""")) { (s, dir) =>
+      val (in, out, ck) = stage(s, dir)
+      val q = Streams.windowedCountsSliding(
+          Streams.readEventStream(s, in), "2 hours", "1 hour", "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("event_type"),
+          date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_s"),
+          col("cnt"), col("sum_value"))
+        .orderBy("event_type", "win_s")
+    },
+
     // Stream-stream interval join ≡ the batch time-bounded join: inner
     // join results emit as matched (no watermark wait), so with complete
     // AvailableNow inputs the streamed pairs equal the batch join exactly.

@@ -40,9 +40,19 @@ object Streams {
     */
   def windowedCounts(events: DataFrame, windowLen: String,
                      lateness: String): DataFrame =
+    windowedCountsSliding(events, windowLen, windowLen, lateness)
+
+  /** Sliding-window variant: each event lands in windowLen/slide
+    * overlapping windows (tumbling when slide == windowLen). Same
+    * append-mode/watermark-closure semantics; state per open window is
+    * one partial aggregate, so the overlap factor bounds state size, not
+    * event volume.
+    */
+  def windowedCountsSliding(events: DataFrame, windowLen: String,
+                            slide: String, lateness: String): DataFrame =
     events
       .withWatermark("ts", lateness)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
