@@ -411,6 +411,38 @@ object Maintenance extends QueryModule {
         .orderBy("event_type")
     },
 
+    // Zip archives as a TABLE (o.a.s.sql.graft.ZipTextSource, DataSource
+    // V2): documents staged into two archives, then read back through the
+    // connector (one partition per archive; member filters and column
+    // pruning push into the scan) and aggregated — identical to reading
+    // the originals.
+    QueryDef("s7_zip_table", Some("""
+      SELECT CAST(doc_id % 2 AS BIGINT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+             CAST(min(doc_id) AS BIGINT) AS min_id,
+             CAST(max(doc_id) AS BIGINT) AS max_id
+      FROM documents GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val zdir = graft.Scratch.fresh("zip-table")
+      val rows = t(s, dir, "documents").select("doc_id", "text").collect()
+      rows.groupBy(r => r.getLong(0) % 2).foreach { case (shard, rs) =>
+        val z = new java.util.zip.ZipOutputStream(
+          new java.io.FileOutputStream(s"$zdir/shard$shard.zip"))
+        try rs.sortBy(_.getLong(0)).foreach { r =>
+          z.putNextEntry(new java.util.zip.ZipEntry(s"doc_${r.getLong(0)}.txt"))
+          z.write(r.getString(1).getBytes("UTF-8"))
+          z.closeEntry()
+        } finally z.close()
+      }
+      s.read.format("graft-zip").load(zdir)
+        .select(regexp_extract(col("member"), "doc_(\\d+)\\.txt", 1)
+          .cast("long").as("doc_id"), col("n_bytes"))
+        .groupBy((col("doc_id") % 2).as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("sum_bytes"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("shard")
+    },
+
     // Importance-weighted sampling (Sample.weightedBernoulli): keep each
     // doc with probability = its type-token ratio — "sample proportional
     // to quality". The md5-draw vs hex-threshold compare is exact in both

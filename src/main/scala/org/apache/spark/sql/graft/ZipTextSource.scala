@@ -1,0 +1,194 @@
+package org.apache.spark.sql.graft
+
+import java.util.zip.ZipInputStream
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** DataSource V2 batch source reading TEXT MEMBERS OF ZIP ARCHIVES as a
+  * table — the shape crawl/corpus dumps actually arrive in. One row per
+  * archive member: (archive, member, n_bytes, text).
+  *
+  * `spark.read.format("org.apache.spark.sql.graft.ZipTextSource")
+  *   .load(dir)` (or the `graft-zip` short name) scans every `*.zip`
+  * under `dir`.
+  *
+  * Scale posture:
+  *  - one input partition PER ARCHIVE — a 100 TB dump of many archives
+  *    reads at full executor parallelism with no shuffle (zip central
+  *    directories make a single archive inherently sequential; split
+  *    further upstream, not here);
+  *  - COLUMN PRUNING is real work avoidance: when `text` is not required
+  *    (counts, member listings), entries are skipped with
+  *    ZipInputStream.closeEntry — no decompression of the payload;
+  *  - FILTER PUSHDOWN on `member` (equality / prefix) skips non-matching
+  *    entries before any byte of them is decompressed;
+  *  - the Hadoop configuration ships to executors via the same
+  *    SerializableConfiguration broadcast Spark's own file sources use,
+  *    so any Hadoop-compatible filesystem works.
+  *
+  * Cited reference behavior: the reference ingests zip archives by
+  * downloading and extracting to storage before Spark ever reads them
+  * (cloud-function main.py:14-31); this source makes the archive itself
+  * the table, removing the extract-and-rewrite pass.
+  */
+class ZipTextSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-zip"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZipTextSource.SCHEMA
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new ZipTextTable(properties.get("path"))
+}
+
+object ZipTextSource {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("archive", StringType, nullable = false),
+    StructField("member", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+}
+
+private[graft] class ZipTextTable(path: String) extends Table with SupportsRead {
+  require(path != null && path.nonEmpty, "graft-zip needs a load path")
+  override def name(): String = s"graft-zip:$path"
+  override def schema(): StructType = ZipTextSource.SCHEMA
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZipScanBuilder(path)
+}
+
+private[graft] class ZipScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = ZipTextSource.SCHEMA
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept member-name equality/prefix filters (evaluated pre-decompress);
+    * everything else stays with Spark as a post-scan filter.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo("member", _: String) => true
+      case StringStartsWith("member", _) => true
+      case _ => false
+    }
+    pushed = accepted
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ZipScan(path, required, pushed)
+}
+
+private[graft] class ZipScan(path: String, required: StructType,
+                             pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ZipScan path=$path, ReadSchema: ${required.simpleString}, " +
+      s"PushedMemberFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val status =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".zip"))
+      else Array(fs.getFileStatus(p))
+    status.sortBy(_.getPath.toString)
+      .map(s => ZipArchivePartition(s.getPath.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    ZipReaderFactory(required, pushed, conf)
+  }
+}
+
+private[graft] case class ZipArchivePartition(file: String) extends InputPartition
+
+private[graft] case class ZipReaderFactory(
+    required: StructType, pushed: Array[Filter],
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ZipPartitionReader(p.asInstanceOf[ZipArchivePartition].file,
+      required, pushed, conf)
+}
+
+private[graft] class ZipPartitionReader(
+    file: String, required: StructType, pushed: Array[Filter],
+    conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
+
+  private val needText = required.fieldNames.contains("text")
+  // Streamed zips carry sizes in trailing data descriptors, where
+  // ZipInputStream reports getSize = -1 — so n_bytes may force a
+  // decompress too. Pure member/count scans still skip all payload bytes.
+  private val needSize = required.fieldNames.contains("n_bytes")
+  private val path = new Path(file)
+  private val in = new ZipInputStream(
+    path.getFileSystem(conf.value).open(path))
+  private var row: InternalRow = _
+
+  private def memberOk(name: String): Boolean = pushed.forall {
+    case EqualTo("member", v: String) => name == v
+    case StringStartsWith("member", p) => name.startsWith(p)
+    case _ => true
+  }
+
+  override def next(): Boolean = {
+    var entry = in.getNextEntry
+    while (entry != null) {
+      if (!entry.isDirectory && memberOk(entry.getName)) {
+        // Decompress only when a payload-derived column is required —
+        // closeEntry skips the remaining compressed bytes otherwise.
+        val bytes: Array[Byte] =
+          if (needText || (needSize && entry.getSize < 0)) {
+            val buf = new ArrayBuffer[Byte]()
+            val chunk = new Array[Byte](64 * 1024)
+            var n = in.read(chunk)
+            while (n >= 0) { buf ++= chunk.take(n); n = in.read(chunk) }
+            buf.toArray
+          } else null
+        val values = required.fieldNames.map {
+          case "archive" => UTF8String.fromString(file)
+          case "member" => UTF8String.fromString(entry.getName)
+          case "n_bytes" =>
+            if (bytes != null) bytes.length.toLong else entry.getSize
+          case "text" => UTF8String.fromBytes(bytes)
+        }
+        row = InternalRow.fromSeq(values.toIndexedSeq)
+        in.closeEntry()
+        return true
+      }
+      in.closeEntry()
+      entry = in.getNextEntry
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,85 @@
+package graft.functions
+
+import java.io.FileOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.{Scratch, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class ZipTextSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val FMT = "org.apache.spark.sql.graft.ZipTextSource"
+
+  /** Stage `docs` as (member -> text) entries split across two archives. */
+  private def stageZips(docs: Seq[(String, String)]): String = {
+    val dir = Scratch.fresh("zipsrc")
+    docs.zipWithIndex.groupBy(_._2 % 2).foreach { case (shard, members) =>
+      val z = new ZipOutputStream(
+        new FileOutputStream(s"$dir/shard$shard.zip"))
+      try members.foreach { case ((name, text), _) =>
+        z.putNextEntry(new ZipEntry(name))
+        z.write(text.getBytes("UTF-8"))
+        z.closeEntry()
+      } finally z.close()
+    }
+    dir
+  }
+
+  private val fixture = Seq(
+    "doc_1.txt" -> "hello zip world",
+    "doc_2.txt" -> "the quick brown fox",
+    "doc_3.txt" -> "",
+    "meta_readme.txt" -> "not a doc")
+
+  test("reads every member with exact text and byte counts") {
+    val dir = stageZips(fixture)
+    val got = spark.read.format(FMT).load(dir)
+      .select("member", "n_bytes", "text")
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == fixture.map(_._1).toSet)
+    fixture.foreach { case (m, text) =>
+      assert(got(m) == ((text.getBytes("UTF-8").length.toLong, text)))
+    }
+    // one partition per archive
+    val parts = spark.read.format(FMT).load(dir).rdd.getNumPartitions
+    assert(parts == 2)
+  }
+
+  test("short name 'graft-zip' resolves via the service registry") {
+    val dir = stageZips(fixture)
+    assert(spark.read.format("graft-zip").load(dir).count() == 4)
+  }
+
+  test("member prefix/equality filters are pushed into the scan") {
+    val dir = stageZips(fixture)
+    val df = spark.read.format(FMT).load(dir)
+      .filter($"member".startsWith("doc_"))
+    assert(df.count() == 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedMemberFilters: [StringStartsWith(member,doc_)"),
+      s"filter must reach the scan:\n$plan")
+    val one = spark.read.format(FMT).load(dir)
+      .filter($"member" === "doc_2.txt")
+      .select("text").as[String].collect()
+    assert(one.toSeq == Seq("the quick brown fox"))
+  }
+
+  test("column pruning reaches the scan (payload skipped for counts)") {
+    val dir = stageZips(fixture)
+    val df = spark.read.format(FMT).load(dir).select("member")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<member:string>"),
+      s"pruned schema must reach the scan:\n$plan")
+    assert(df.count() == 4)
+  }
+
+  test("pushed filters compose with residual Spark filters") {
+    val dir = stageZips(fixture)
+    val got = spark.read.format(FMT).load(dir)
+      .filter($"member".startsWith("doc_") && length($"text") > 0)
+      .select("member").as[String].collect().toSet
+    assert(got == Set("doc_1.txt", "doc_2.txt"))
+  }
+}
