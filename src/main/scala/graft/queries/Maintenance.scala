@@ -424,16 +424,13 @@ object Maintenance extends QueryModule {
              CAST(max(doc_id) AS BIGINT) AS max_id
       FROM documents GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
       val zdir = graft.Scratch.fresh("zip-table")
-      val rows = t(s, dir, "documents").select("doc_id", "text").collect()
-      rows.groupBy(r => r.getLong(0) % 2).foreach { case (shard, rs) =>
-        val z = new java.util.zip.ZipOutputStream(
-          new java.io.FileOutputStream(s"$zdir/shard$shard.zip"))
-        try rs.sortBy(_.getLong(0)).foreach { r =>
-          z.putNextEntry(new java.util.zip.ZipEntry(s"doc_${r.getLong(0)}.txt"))
-          z.write(r.getString(1).getBytes("UTF-8"))
-          z.closeEntry()
-        } finally z.close()
-      }
+      // Stage through the connector's own WRITE path (temp-plus-rename
+      // commit, one archive per task), then read back through its scan.
+      t(s, dir, "documents")
+        .select(concat(lit("doc_"), col("doc_id"), lit(".txt")).as("member"),
+          col("text"))
+        .repartition(2)
+        .write.format("graft-zip").mode("overwrite").save(zdir)
       s.read.format("graft-zip").load(zdir)
         .select(regexp_extract(col("member"), "doc_(\\d+)\\.txt", 1)
           .cast("long").as("doc_id"), col("n_bytes"))

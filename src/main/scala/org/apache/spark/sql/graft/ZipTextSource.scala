@@ -51,9 +51,13 @@ class ZipTextSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ZipTextSource.SCHEMA
 
+  // Writes pass the incoming DataFrame's schema ((member, text) is
+  // enough) instead of requiring the full read schema.
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new ZipTextTable(properties.get("path"))
+    new ZipTextTable(properties.get("path"), schema)
 }
 
 object ZipTextSource {
@@ -64,14 +68,21 @@ object ZipTextSource {
     StructField("text", StringType, nullable = true)))
 }
 
-private[graft] class ZipTextTable(path: String) extends Table with SupportsRead {
+private[graft] class ZipTextTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null && path.nonEmpty, "graft-zip needs a load path")
   override def name(): String = s"graft-zip:$path"
-  override def schema(): StructType = ZipTextSource.SCHEMA
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZipScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ZipWriteBuilder(path, info.schema())
 }
 
 private[graft] class ZipScanBuilder(path: String) extends ScanBuilder
@@ -191,4 +202,113 @@ private[graft] class ZipPartitionReader(
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** Write side: each task streams its rows into one `_tmp-…` archive
+  * (member name + deflated text), the driver commit renames temps to
+  * `part-NNNNN.zip` — the classic temp-plus-rename protocol, so failed or
+  * speculative tasks never surface partial archives. Overwrite mode
+  * (SupportsTruncate) deletes the pre-existing archives at commit time,
+  * after every new temp is fully written.
+  *
+  * Input schema needs `member` and `text` string columns (the read-side
+  * `archive` / `n_bytes` are derived, not stored).
+  */
+private[graft] class ZipWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  import org.apache.spark.sql.connector.write._
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      require(schema.fieldNames.contains("member") &&
+        schema.fieldNames.contains("text"),
+        s"graft-zip write needs member+text columns, got ${schema.simpleString}")
+      new ZipBatchWrite(path, schema.fieldIndex("member"),
+        schema.fieldIndex("text"), doTruncate,
+        new SerializableConfiguration(
+          SparkSession.active.sparkContext.hadoopConfiguration))
+    }
+  }
+}
+
+private[graft] case class ZipCommitMessage(tmp: String, partitionId: Int)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[graft] class ZipBatchWrite(
+    path: String, memberIdx: Int, textIdx: Int, truncate: Boolean,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    ZipWriterFactory(path, memberIdx, textIdx, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.value)
+    fs.mkdirs(dir)
+    if (truncate)
+      fs.listStatus(dir).filter(_.getPath.getName.endsWith(".zip"))
+        .foreach(s => fs.delete(s.getPath, false))
+    messages.collect { case ZipCommitMessage(tmp, pid) if tmp != null =>
+      fs.rename(new Path(tmp), new Path(dir, f"part-$pid%05d.zip"))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    messages.collect { case ZipCommitMessage(tmp, _) if tmp != null =>
+      fs.delete(new Path(tmp), false)
+    }
+  }
+}
+
+private[graft] case class ZipWriterFactory(
+    path: String, memberIdx: Int, textIdx: Int,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new ZipDataWriter(path, partitionId, taskId, memberIdx, textIdx, conf)
+}
+
+private[graft] class ZipDataWriter(
+    path: String, partitionId: Int, taskId: Long,
+    memberIdx: Int, textIdx: Int, conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import java.util.zip.{ZipEntry, ZipOutputStream}
+
+  // Lazy: empty partitions must not leave empty archives behind.
+  private var tmp: Path = _
+  private var out: ZipOutputStream = _
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      tmp = new Path(path, f"_tmp-part-$partitionId%05d-$taskId")
+      val fs = tmp.getFileSystem(conf.value)
+      fs.mkdirs(tmp.getParent)
+      out = new ZipOutputStream(fs.create(tmp, true))
+    }
+    out.putNextEntry(new ZipEntry(row.getUTF8String(memberIdx).toString))
+    if (!row.isNullAt(textIdx)) out.write(row.getUTF8String(textIdx).getBytes)
+    out.closeEntry()
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (out != null) out.close()
+    ZipCommitMessage(if (tmp == null) null else tmp.toString, partitionId)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    if (tmp != null) tmp.getFileSystem(conf.value).delete(tmp, false)
+  }
+
+  override def close(): Unit = ()
 }

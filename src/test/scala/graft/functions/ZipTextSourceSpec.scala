@@ -82,4 +82,44 @@ class ZipTextSourceSpec extends SparkSpec {
       .select("member").as[String].collect().toSet
     assert(got == Set("doc_1.txt", "doc_2.txt"))
   }
+
+  test("write: round trip through the sink, one archive per partition") {
+    val dir = Scratch.fresh("zipsink")
+    val df = fixture.toDF("member", "text").repartition(3)
+    df.write.format(FMT).mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted // Hadoop local-FS .crc sidecars
+    assert(files.forall(f => f.startsWith("part-") && f.endsWith(".zip")),
+      s"only committed archives on disk: ${files.toSeq}")
+    assert(files.length <= 3 && files.nonEmpty)
+    val back = spark.read.format(FMT).load(dir)
+      .select("member", "text").as[(String, String)].collect().toMap
+    assert(back == fixture.toMap)
+  }
+
+  test("write: overwrite truncates previous archives, empty partitions skip") {
+    val dir = Scratch.fresh("zipsink")
+    Seq("a.txt" -> "one").toDF("member", "text")
+      .write.format(FMT).mode("append").save(dir)
+    // 8 partitions, 2 rows: empty tasks must not leave empty archives
+    Seq("b.txt" -> "two", "c.txt" -> "three").toDF("member", "text")
+      .repartition(8)
+      .write.format(FMT).mode("overwrite").save(dir)
+    val back = spark.read.format(FMT).load(dir)
+      .select("member").as[String].collect().toSet
+    assert(back == Set("b.txt", "c.txt"), "overwrite must drop a.txt")
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(files.forall(_.endsWith(".zip")))
+    assert(files.length <= 2, s"no empty-partition archives: ${files.toSeq}")
+  }
+
+  test("write rejects inputs without member/text columns") {
+    val dir = Scratch.fresh("zipsink")
+    val ex = intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "payload")
+        .write.format(FMT).mode("append").save(dir)
+    }
+    assert(ex.getMessage.contains("member"))
+  }
 }
