@@ -210,27 +210,7 @@ object Dedup {
     val sh = if (materialize)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
-    // (docId, band, bh): all band hashes in ONE posexplode over the
-    // signature row — a b-way union here would re-run the signature
-    // aggregation once per band branch when the result materializes.
-    val bandDf =
-      if (portable) {
-        val sigCols = (0 until k).map(j =>
-          min(minhashOf(col("shingle"), j, portable)).as(s"m$j"))
-        val sig = sh.groupBy(idCol).agg(sigCols.head, sigCols.tail: _*)
-        val bandHashes = (0 until bands).map { b =>
-          val cols = (b * r until (b + 1) * r).map(j => col(s"m$j").cast("string"))
-          md5(concat_ws("|", cols: _*))
-        }
-        sig.select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
-      } else {
-        // One buffer of k longs per doc, one aggregate expression total.
-        val sig = sh.groupBy(idCol).agg(
-          org.apache.spark.sql.graft.MinHashAgg.of(col("shingle"), k).as("sig"))
-        val bandHashes = (0 until bands).map(b =>
-          xxhash64(slice(col("sig"), b * r + 1, r)))
-        sig.select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
-      }
+    val bandDf = bandHashTable(sh, idCol, k, bands, portable)
     val bandMat = if (materialize)
       // both sides of the candidate self-join — without this the signature
       // aggregation re-runs once per union branch per side
@@ -245,6 +225,82 @@ object Dedup {
     // Exact verify, restricted to the candidate pairs.
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     scorePairs(pairIntersections(cand, sh, idCol), cnt, idCol, threshold)
+  }
+
+  /** (docId, band, bh) LSH band-hash table: all band hashes in ONE
+    * posexplode over the signature row — a b-way union here would re-run
+    * the signature aggregation once per band branch when the result
+    * materializes. The fast path aggregates all k signature slots in one
+    * [[org.apache.spark.sql.graft.MinHashAgg]] buffer (one aggregate
+    * expression regardless of k); the portable path keeps k md5-string
+    * min()s (engine-reproducible for the oracle).
+    */
+  private def bandHashTable(sh: DataFrame, idCol: String, k: Int, bands: Int,
+                            portable: Boolean): DataFrame = {
+    val r = k / bands
+    if (portable) {
+      val sigCols = (0 until k).map(j =>
+        min(minhashOf(col("shingle"), j, portable)).as(s"m$j"))
+      val sig = sh.groupBy(idCol).agg(sigCols.head, sigCols.tail: _*)
+      val bandHashes = (0 until bands).map { b =>
+        val cols = (b * r until (b + 1) * r).map(j => col(s"m$j").cast("string"))
+        md5(concat_ws("|", cols: _*))
+      }
+      sig.select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    } else {
+      // One buffer of k longs per doc, one aggregate expression total.
+      val sig = sh.groupBy(idCol).agg(
+        org.apache.spark.sql.graft.MinHashAgg.of(col("shingle"), k).as("sig"))
+      val bandHashes = (0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * r + 1, r)))
+      sig.select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    }
+  }
+
+  /** Incremental NEAR-dup: new-batch docs whose Jaccard similarity to some
+    * standing-corpus doc reaches `threshold` — the daily-crawl companion
+    * to [[incrementalDedup]] (which only catches byte-identical content).
+    * MinHash bands on both sides; candidates are cross-side band
+    * collisions only (never corpus×corpus — the standing corpus was
+    * already deduped); exact-Jaccard verify restricted to the candidate
+    * pairs.
+    *
+    * Scale posture: the corpus band table and shingle sets are pure
+    * functions of the corpus — a production pipeline materializes them
+    * once and amortizes across daily batches; per batch, the dominant
+    * cost is then proportional to the BATCH, not the corpus (band join
+    * against the precomputed index + per-pair verify). Nothing here
+    * prevents that: pass a pre-persisted corpus and the plan reuses it.
+    *
+    * Output: (new_id, corpus_id, jacc), one row per qualifying pair.
+    */
+  def incrementalNearDup(
+      newBatch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double,
+      portable: Boolean = false): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val shN = shingleSet(newBatch, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shC = shingleSet(corpus, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandHashTable(shN, idCol, k, bands, portable).as("x")
+      .join(bandHashTable(shC, idCol, k, bands, portable).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col(s"x.$idCol").as("na"), col(s"y.$idCol").as("ca"))
+      .distinct()
+    val inter = cand
+      .join(shN.select(col(idCol).as("na"), col("shingle")), "na")
+      .join(shC.select(col(idCol).as("ca"), col("shingle")), Seq("ca", "shingle"))
+      .groupBy("na", "ca").agg(count(lit(1)).as("ni"))
+    inter
+      .join(shN.groupBy(idCol).agg(count(lit(1)).as("n_a"))
+        .withColumnRenamed(idCol, "na"), "na")
+      .join(shC.groupBy(idCol).agg(count(lit(1)).as("n_b"))
+        .withColumnRenamed(idCol, "ca"), "ca")
+      .withColumn("jacc", col("ni").cast("double") /
+        (col("n_a") + col("n_b") - col("ni")).cast("double"))
+      .filter(col("jacc") >= threshold)
+      .select(col("na").as("new_id"), col("ca").as("corpus_id"), col("jacc"))
   }
 
   /** Edit-distance near-dup pairs over a bounded prefix: candidates come

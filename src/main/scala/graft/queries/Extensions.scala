@@ -310,6 +310,43 @@ object Extensions extends QueryModule {
         .orderBy("da", "db")
     },
 
+    // Incremental NEAR-dup (Dedup.incrementalNearDup): new-batch docs
+    // (20% split) probed against the standing corpus via cross-side LSH
+    // band collisions + exact verify — the daily-crawl near-dup path.
+    // Signatures are per-doc, so the oracle computes them over all docs
+    // and restricts candidates to cross-set collisions.
+    QueryDef("x1_incr_neardup", Some(s"""
+      WITH $shCte,
+      sig AS (SELECT doc_id,
+        """ + (0 until 16).map(j =>
+          s"min(md5('$j|'||shingle)) AS m$j").mkString(",\n        ") + """
+        FROM sh GROUP BY doc_id),
+      bandv AS (
+        """ + (0 until 4).map { b =>
+          val ms = (b * 4 until (b + 1) * 4).map(j => s"m$j").mkString("||'|'||")
+          s"SELECT doc_id, $b AS band, md5($ms) AS bh FROM sig"
+        }.mkString("\n        UNION ALL\n        ") + """),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS na, y.doc_id AS ca
+        FROM bandv x JOIN bandv y ON x.band = y.band AND x.bh = y.bh
+        WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0)
+      SELECT c.na AS new_id, c.ca AS corpus_id,
+        CAST(i.ni AS DOUBLE) / CAST(cn.n_sh + cc.n_sh - i.ni AS DOUBLE) AS jacc
+      FROM cand c
+      JOIN inter i ON i.da = least(c.na, c.ca) AND i.db = greatest(c.na, c.ca)
+      JOIN cnt cn ON cn.doc_id = c.na JOIN cnt cc ON cc.doc_id = c.ca
+      WHERE CAST(i.ni AS DOUBLE) / CAST(cn.n_sh + cc.n_sh - i.ni AS DOUBLE)
+            >= CAST(0.8 AS DOUBLE)
+      ORDER BY new_id, corpus_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNearDup(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.8,
+          portable = true)
+        .orderBy("new_id", "corpus_id")
+    },
+
     // Production-hash variant (one MinHashAgg buffer of xxhash64-derived
     // longs — codegen'd, engine-specific). Not reproducible in the oracle
     // engine → rows-only check; this is the configuration a cluster would

@@ -112,6 +112,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("incrementalNearDup: cross-set near-dups only, never corpus pairs") {
+    val newB = Seq(
+      (100L, "aa bb cc dd ee ff gg hh"),   // near-dup of corpus doc 1
+      (101L, "zz yy xx ww vv uu tt ss"))   // novel
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "aa bb cc dd ee ff gg qq"),     // corpus-internal near-dup of 1
+      (3L, "mm nn oo pp qq rr ss tt"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(newB, corpus, "doc_id", "text",
+        n = 2, k = 16, bands = 4, threshold = 0.7)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((100L, 1L)), "exact duplicate must collide and verify")
+    assert(got.forall { case (n2, c) => n2 >= 100L && c < 100L },
+      "only cross-set pairs — never corpus-internal")
+    assert(!got.exists(_._1 == 101L), "novel doc has no near-dup")
+  }
+
   test("dedupByClustersBest keeps the highest-score doc, min-id tiebreak") {
     val df = Seq(
       (1L, "a", 5L), (2L, "a", 9L), (3L, "a", 9L),  // cluster {1,2,3}: 2 wins (9, min id)
