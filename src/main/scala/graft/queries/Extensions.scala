@@ -1195,6 +1195,92 @@ object Extensions extends QueryModule {
         .orderBy("id").limit(100)
     },
 
+    // The MODERN curation pipeline end-to-end: quality-model scoring →
+    // near-dup resolution keeping the best (longest) cluster member →
+    // per-language token-budget mixture. Round-3 operators composed into
+    // one gate; per-language yields at every stage.
+    QueryDef("x6_curation2", Some("""
+      WITH RECURSIVE
+      q AS (SELECT doc_id, lang, text,
+                   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+            FROM documents
+            WHERE -2.0
+              + 3.0 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                       / CAST(len(string_split(text,' ')) AS DOUBLE))
+              + 5.0 * (CAST(len(list_filter(string_split(text,' '),
+                         tk -> tk IN ('the','a','of','and','to','is'))) AS DOUBLE)
+                       / CAST(len(string_split(text,' ')) AS DOUBLE))
+              + 0.25 * (CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+                        / CAST(len(string_split(text,' ')) AS DOUBLE))
+              >= CAST(0.7 AS DOUBLE)),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM q) dd,
+                  LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-1, 1))) AS i) ii),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pr AS (SELECT da, db
+             FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+             WHERE CAST(ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - ni AS DOUBLE)
+                   >= CAST(0.8 AS DOUBLE)),
+      eg AS (SELECT da AS src, db AS dst FROM pr UNION ALL SELECT db, da FROM pr),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM q
+        UNION
+        SELECT e.src, rc.r FROM eg e JOIN reach rc ON e.dst = rc.id),
+      cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      best AS (SELECT q.doc_id, q.lang, q.n_tok,
+                 row_number() OVER (PARTITION BY cl.cluster
+                   ORDER BY q.n_tok DESC, q.doc_id) AS rn
+               FROM q JOIN cl ON q.doc_id = cl.id),
+      keep AS (SELECT doc_id, lang, n_tok FROM best WHERE rn = 1),
+      bud AS (SELECT doc_id, lang, n_tok,
+                sum(n_tok) OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM keep),
+      fin AS (SELECT doc_id, n_tok FROM bud
+              WHERE cum - n_tok < (CASE lang WHEN 'en' THEN 2000 ELSE 800 END))
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_raw,
+        CAST(sum(CASE WHEN q2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_quality,
+        CAST(sum(CASE WHEN k2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(sum(CASE WHEN f2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_budget,
+        CAST(coalesce(sum(CASE WHEN f2.doc_id IS NOT NULL THEN f2.n_tok END), 0)
+          AS BIGINT) AS sum_tok
+      FROM documents d
+      LEFT JOIN (SELECT doc_id FROM q) q2 ON d.doc_id = q2.doc_id
+      LEFT JOIN keep k2 ON d.doc_id = k2.doc_id
+      LEFT JOIN fin f2 ON d.doc_id = f2.doc_id
+      GROUP BY d.lang ORDER BY d.lang""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val score = TextOps.linearQualityScore(col("text"), bias = -2.0,
+        wTtr = 3.0, wStop = 5.0, wAvgLen = 0.25, stopwords = enStop)
+      val q = spread(docs).filter(score >= 0.7)
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("long"))
+      val pairs = Dedup.jaccardPairs(q, "doc_id", "text", n = 3, threshold = 0.8)
+      val labels = Dedup.resolveClusters(q, "doc_id", pairs)
+      val keep = Dedup.dedupByClustersBest(q, "doc_id", "n_tok", labels)
+      val fin = Sample.tokenBudget(keep, "lang", "doc_id", "n_tok",
+        Map("en" -> 2000L), default = 800L)
+      def stage(df: DataFrame, name: String): DataFrame =
+        df.groupBy("lang").agg(count(lit(1)).as(name))
+      docs.groupBy("lang").agg(count(lit(1)).as("n_raw"))
+        .join(stage(q, "n_quality0"), Seq("lang"), "left")
+        .join(stage(keep, "n_kept0"), Seq("lang"), "left")
+        .join(fin.groupBy("lang").agg(count(lit(1)).as("n_budget0"),
+          sum("n_tok").as("sum_tok0")), Seq("lang"), "left")
+        .select(col("lang"), col("n_raw"),
+          coalesce(col("n_quality0"), lit(0L)).as("n_quality"),
+          coalesce(col("n_kept0"), lit(0L)).as("n_kept"),
+          coalesce(col("n_budget0"), lit(0L)).as("n_budget"),
+          coalesce(col("sum_tok0"), lit(0L)).as("sum_tok"))
+        .orderBy("lang")
+    },
+
     // Exact media dedup by content digest (Multimodal.dedupBinary): the
     // keep-first window shuffles digests, never payloads. Gate: kept-set
     // size and byte total — exact integers.
