@@ -224,6 +224,38 @@ object StreamingGates extends QueryModule {
         .orderBy("seg", "event_type")
     },
 
+    // Streaming corpus ingest from ARCHIVES (the zip connector's
+    // micro-batch read): documents staged into zips through the sink, then
+    // streamed out archive-by-archive into parquet — the continuous form
+    // of crawl-dump ingest. ≡ reading the originals.
+    QueryDef("ev11_zip_stream", Some("""
+      SELECT CAST(doc_id % 2 AS BIGINT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes
+      FROM documents GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val zdir = graft.Scratch.fresh("zip-stream")
+      val out = graft.Scratch.fresh("zip-stream-out")
+      val ck = graft.Scratch.fresh("zip-stream-ck")
+      Tables.load(s, dir, "documents")
+        .select(concat(lit("doc_"), col("doc_id"), lit(".txt")).as("member"),
+          col("text"))
+        .repartition(2)
+        .write.format("graft-zip").mode("overwrite").save(zdir)
+      val q = s.readStream.format("graft-zip").load(zdir)
+        .select("member", "text")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(regexp_extract(col("member"), "doc_(\\d+)\\.txt", 1)
+          .cast("long").as("doc_id"), col("text"))
+        .groupBy((col("doc_id") % 2).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(encode(col("text"), "UTF-8")).cast("long")).as("sum_bytes"))
+        .orderBy("shard")
+    },
+
     // Streaming MERGE sink: CDC-compacted events upserted onto a versioned
     // parquet snapshot via foreachBatch; the latest snapshot must equal the
     // batch per-user argmax. The upstream compaction (one row per key per

@@ -76,6 +76,7 @@ private[graft] class ZipTextTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZipScanBuilder(path)
@@ -116,6 +117,9 @@ private[graft] class ZipScan(path: String, required: StructType,
                              pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ZipMicroBatchStream(path, required, pushed)
   override def description(): String =
     s"ZipScan path=$path, ReadSchema: ${required.simpleString}, " +
       s"PushedMemberFilters: [${pushed.mkString(", ")}]"
@@ -311,4 +315,66 @@ private[graft] class ZipDataWriter(
   }
 
   override def close(): Unit = ()
+}
+
+/** Streaming read: the archive directory as a micro-batch source — new
+  * `*.zip` files appearing under the path are ingested in arrival batches
+  * (file-source semantics for the archive format: an archive is immutable
+  * once written, so "which files have been seen" IS the stream offset).
+  * Offsets serialize the seen-file set; each batch plans one partition
+  * per newly-arrived archive, reusing the batch reader (same pruning and
+  * member-filter pushdown).
+  */
+case class ZipStreamOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object ZipStreamOffset {
+  def fromJson(json: String): ZipStreamOffset = {
+    // Minimal parser for the array-of-strings this source writes.
+    val files = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .toSeq
+    ZipStreamOffset(files)
+  }
+}
+
+private[graft] class ZipMicroBatchStream(
+    path: String, required: StructType, pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val conf = new SerializableConfiguration(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def listArchives(): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.getPath.getName.endsWith(".zip"))
+      .map(_.getPath.toString).toSeq.sorted
+  }
+
+  override def latestOffset(): Offset = ZipStreamOffset(listArchives())
+  override def initialOffset(): Offset = ZipStreamOffset(Seq.empty)
+  override def deserializeOffset(json: String): Offset =
+    ZipStreamOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[ZipStreamOffset].files.toSet
+    end.asInstanceOf[ZipStreamOffset].files
+      .filterNot(seen)
+      .sorted
+      .map(f => ZipArchivePartition(f): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ZipReaderFactory(required, pushed, conf)
 }

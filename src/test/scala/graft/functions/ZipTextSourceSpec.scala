@@ -114,6 +114,46 @@ class ZipTextSourceSpec extends SparkSpec {
     assert(files.length <= 2, s"no empty-partition archives: ${files.toSeq}")
   }
 
+  test("streaming read: archives arriving between batches are picked up once") {
+    val dir = Scratch.fresh("zipstream")
+    val out = Scratch.fresh("zipstream-out")
+    val ck = Scratch.fresh("zipstream-ck")
+    def writeZip(name: String, members: Seq[(String, String)]): Unit = {
+      val z = new ZipOutputStream(new FileOutputStream(s"$dir/$name"))
+      try members.foreach { case (m, t) =>
+        z.putNextEntry(new ZipEntry(m)); z.write(t.getBytes("UTF-8"))
+        z.closeEntry()
+      } finally z.close()
+    }
+    writeZip("a.zip", Seq("a1.txt" -> "alpha", "a2.txt" -> "beta"))
+    def drain(): Unit = {
+      val q = spark.readStream.format(FMT).load(dir)
+        .select("member", "text")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 2)
+    // a new archive lands; restart from the checkpoint — only the new
+    // file is read (offset = seen-file set), nothing re-ingested
+    writeZip("b.zip", Seq("b1.txt" -> "gamma"))
+    drain()
+    val back = spark.read.parquet(out)
+      .select("member", "text").as[(String, String)].collect().toMap
+    assert(back == Map("a1.txt" -> "alpha", "a2.txt" -> "beta",
+      "b1.txt" -> "gamma"))
+  }
+
+  test("streaming offsets round-trip through their JSON form") {
+    import org.apache.spark.sql.graft.{ZipStreamOffset => O}
+    val o = O(Seq("""/x/a "quoted".zip""", "/x/b\\back.zip"))
+    assert(O.fromJson(o.json()).files.sorted == o.files.sorted)
+    assert(O.fromJson(O(Seq.empty).json()).files.isEmpty)
+  }
+
   test("write rejects inputs without member/text columns") {
     val dir = Scratch.fresh("zipsink")
     val ex = intercept[Exception] {
