@@ -622,6 +622,74 @@ object Relational extends QueryModule {
         .orderBy("user_id", "cid")
     },
 
+    // TPC-H Q7 flavor: bilateral revenue flows between customer and
+    // supplier nations by year — a 6-way join where every dimension
+    // broadcasts and only the fact scan is large.
+    QueryDef("q7_nation_flow", Some("""
+      SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+          AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE cn.n_name < sn.n_name
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val cn = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      val sn = t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+        .join(broadcast(sn), col("s_nationkey") === col("snk"))
+        .filter(col("cust_nation") < col("supp_nation"))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")
+            .as("revenue"))
+        .orderBy("cust_nation", "supp_nation", "yr")
+    },
+
+    // TPC-H Q10 flavor: top customers by revenue from returned items —
+    // fact filter pushed to the scan, dims broadcast, top-k as
+    // TakeOrderedAndProject.
+    QueryDef("q10_returns", Some("""
+      SELECT c.c_custkey, c.c_name, n.n_name,
+        CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+          AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, c.c_custkey LIMIT 20""")) { (s, dir) =>
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")
+            .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
     // Interval×interval overlap join (operators.RangeJoin.intervalOverlap):
     // daily per-user activity intervals from two user cohorts, paired when
     // they intersect. The bucket equijoin + first-shared-bucket filter
