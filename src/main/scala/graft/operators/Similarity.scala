@@ -222,15 +222,17 @@ object Similarity {
 
   /** Deterministic Lloyd iterations for IVF centroid training. Seeds are
     * the k lowest-id vectors; assignment is the same argmax-cosine cell
-    * rule as [[knnIvf]]; the mean update accumulates each dimension as
-    * DECIMAL(28,10) — exact and order-independent — before one double
-    * divide on the driver, so the trained centroids are BIT-IDENTICAL
-    * under any partitioning, cluster size, or retry (a plain double sum
-    * would drift with partial-aggregation order and make every downstream
-    * cell assignment nondeterministic). Per iteration: one projection +
-    * one shuffle on (cell, dim); k×dim rows reach the driver (the
-    * centroids live there anyway — they are the quantizer broadcast to
-    * every task). Empty cells keep their previous centroid.
+    * rule as [[knnIvf]]; the mean update accumulates each dimension on a
+    * FIXED-POINT 1e-10 grid — `floor(x * 1e10)` summed as exact longs —
+    * which is exact, order-independent, AND engine-portable: a plain
+    * double sum would drift with partial-aggregation order, and a
+    * double→DECIMAL cast rounds differently across engines at the grid
+    * boundary (observed: DuckDB and the JVM disagree on 1-in-thousands of
+    * float inputs, which silently breaks cross-engine bit-equality). The
+    * floor of an IEEE product is the same everywhere. Per iteration: one
+    * projection + one shuffle on (cell, dim); k×dim rows reach the driver
+    * (the centroids live there anyway — they are the quantizer broadcast
+    * to every task). Empty cells keep their previous centroid.
     */
   def kmeansCentroids(
       df: DataFrame, idCol: String, vecCol: String,
@@ -246,7 +248,7 @@ object Similarity {
       val sums = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
-        .agg(sum(col("x").cast("decimal(28,10)")).as("s"),
+        .agg(sum(floor(col("x") * lit(1e10)).cast("long")).as("s"),
           count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.toArray.clone())
@@ -254,7 +256,7 @@ object Similarity {
         val cell = r.getLong(0).toInt
         val dim = r.getInt(1)
         next(cell)(dim) =
-          r.getDecimal(2).doubleValue() / r.getLong(3).toDouble
+          r.getLong(2).toDouble / 1e10 / r.getLong(3).toDouble
       }
       cents = next.map(_.toSeq)
     }

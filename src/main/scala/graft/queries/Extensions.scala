@@ -662,7 +662,8 @@ object Extensions extends QueryModule {
     // (decimal-exact per-dimension means make the trained centroids
     // bit-reproducible, so the oracle can replay the iteration in SQL:
     // seed with the 6 lowest-id vectors, assign by argmax cosine, average
-    // each dimension exactly, re-assign, probe top-2 cells).
+    // each dimension on the fixed-point 1e-10 grid, re-assign, probe top-2
+    // cells).
     QueryDef("x3_ivf_trained", Some("""
       WITH sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                          CAST(embedding AS DOUBLE[]) AS sv
@@ -678,8 +679,8 @@ object Extensions extends QueryModule {
       dims AS (SELECT cell, i AS dim, vv[i] AS x
                FROM asn0, LATERAL (SELECT unnest(range(1, len(vv) + 1)) AS i) ii),
       upd AS (SELECT cell AS cid, dim,
-                CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
-                  / CAST(count(*) AS DOUBLE) AS m
+                CAST(sum(CAST(floor(x * 10000000000.0) AS BIGINT)) AS DOUBLE)
+                  / 10000000000.0 / CAST(count(*) AS DOUBLE) AS m
               FROM dims GROUP BY cell, dim),
       cl AS (SELECT cid, list(m ORDER BY dim) AS cv FROM upd GROUP BY cid),
       c1 AS (SELECT sd.cid, COALESCE(cl.cv, sd.sv) AS cv
@@ -754,6 +755,70 @@ object Extensions extends QueryModule {
       val e = t(s, dir, "embeddings")
       val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
         m = 2, k = 4, iters = 0)
+      Similarity.knnPq(
+          e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", cbs, k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
+    // PQ with TRAINED codebooks: one decimal-exact Lloyd iteration per
+    // subspace (same trainer as IVF — cosine assignment, exact decimal
+    // means), then the x3_pq encode/LUT/rank. The oracle replays the
+    // per-subspace iteration and the ADC scoring end to end.
+    QueryDef("x3_pq_trained", Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),""" +
+      (0 until 2).map { j =>
+        val lo = j * 32 + 1; val hi = (j + 1) * 32
+        s"""
+      sub$j AS (SELECT vec_id, vv[$lo:$hi] AS sv FROM v),
+      sd$j AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sv
+               FROM (SELECT vec_id, sv FROM sub$j ORDER BY vec_id LIMIT 4)),
+      a$j AS (SELECT s.vec_id, s.sv, d.cid,
+                row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                  list_dot_product(s.sv, d.sv)
+                    / sqrt(list_dot_product(s.sv, s.sv)
+                           * list_dot_product(d.sv, d.sv)) DESC, d.cid) AS rk
+              FROM sub$j s, sd$j d),
+      asn$j AS (SELECT vec_id, sv, cid AS cell FROM a$j WHERE rk = 1),
+      dims$j AS (SELECT cell, i AS dim, sv[i] AS x
+                 FROM asn$j, LATERAL (SELECT unnest(range(1, 33)) AS i) ii),
+      upd$j AS (SELECT cell AS cid, dim,
+                  CAST(sum(CAST(floor(x * 10000000000.0) AS BIGINT)) AS DOUBLE)
+                    / 10000000000.0 / CAST(count(*) AS DOUBLE) AS m
+                FROM dims$j GROUP BY cell, dim),
+      cl$j AS (SELECT cid, list(m ORDER BY dim) AS cv FROM upd$j GROUP BY cid),
+      c$j AS (SELECT sd$j.cid, COALESCE(cl$j.cv, sd$j.sv) AS cv
+              FROM sd$j LEFT JOIN cl$j USING (cid)),"""
+      }.mkString + """
+      cb AS (SELECT cid, 0 AS j, cv FROM c0 UNION ALL SELECT cid, 1, cv FROM c1),
+      c AS (SELECT vec_id AS nid, vv FROM v WHERE vec_id >= 10),
+      cd AS (SELECT nid, j, cid,
+               row_number() OVER (PARTITION BY nid, j ORDER BY
+                 list_dot_product(sv2, sv2) - 2.0*list_dot_product(sv2, cv)
+                   + list_dot_product(cv, cv) ASC, cid) AS rk
+             FROM (SELECT nid, CASE j WHEN 0 THEN vv[1:32] ELSE vv[33:64] END AS sv2,
+                          j, cid, cv
+                   FROM c, cb)),
+      codes AS (SELECT nid, j, cid FROM cd WHERE rk = 1),
+      q AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id < 10),
+      lut AS (SELECT qid, j, cid,
+                list_dot_product(qs, qs) - 2.0*list_dot_product(qs, cv)
+                  + list_dot_product(cv, cv) AS d2
+              FROM (SELECT qid, CASE j WHEN 0 THEN qv[1:32] ELSE qv[33:64] END AS qs,
+                           j, cid, cv
+                    FROM q, cb)),
+      est AS (SELECT l.qid, s.nid, sum(l.d2) AS est_d2
+              FROM codes s JOIN lut l ON l.j = s.j AND l.cid = s.cid
+              GROUP BY l.qid, s.nid),
+      r AS (SELECT qid, nid, est_d2,
+              row_number() OVER (PARTITION BY qid ORDER BY est_d2 ASC, nid) AS rnk
+            FROM est)
+      SELECT qid, rnk, nid, est_d2 FROM r WHERE rnk <= 3 ORDER BY qid, rnk""")) {
+      (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 2, k = 4, iters = 1)
       Similarity.knnPq(
           e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
           "vec_id", "embedding", cbs, k = 3)
