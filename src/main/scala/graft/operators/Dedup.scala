@@ -419,8 +419,14 @@ object Dedup {
       liveCkpt = added
       out
     }
-    var labels = checkpointed(edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")))
+    // Init = each endpoint's min over {itself, its neighbors} — the first
+    // propagation round for free (one aggregation instead of a
+    // join+window round): typical near-dup clusters (diameter <= 2) then
+    // converge on the first in-loop round's no-change check.
+    var labels = checkpointed(edges
+      .groupBy("src").agg(min("dst").as("__mn"))
+      .select(col("src").as("id"),
+        least(col("src"), col("__mn")).as("cluster")))
     // Convergence test: labels only ever decrease, so the exact label sum
     // is strictly monotone — one scan-free aggregate over the checkpointed
     // table per round replaces a join + count job. Decimal(38,0) keeps the
