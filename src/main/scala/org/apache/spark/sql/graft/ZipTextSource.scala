@@ -79,14 +79,16 @@ private[graft] class ZipTextTable(path: String, tableSchema: StructType)
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZipScanBuilder(path)
+    new ZipScanBuilder(path,
+      "permissive".equalsIgnoreCase(options.getOrDefault("mode", "failfast")))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new ZipWriteBuilder(path, info.schema())
 }
 
-private[graft] class ZipScanBuilder(path: String) extends ScanBuilder
+private[graft] class ZipScanBuilder(path: String, permissive: Boolean)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = ZipTextSource.SCHEMA
@@ -110,16 +112,17 @@ private[graft] class ZipScanBuilder(path: String) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ZipScan(path, required, pushed)
+  override def build(): Scan = new ZipScan(path, required, pushed, permissive)
 }
 
 private[graft] class ZipScan(path: String, required: StructType,
-                             pushed: Array[Filter]) extends Scan with Batch {
+                             pushed: Array[Filter],
+                             permissive: Boolean) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ZipMicroBatchStream(path, required, pushed)
+    new ZipMicroBatchStream(path, required, pushed, permissive)
   override def description(): String =
     s"ZipScan path=$path, ReadSchema: ${required.simpleString}, " +
       s"PushedMemberFilters: [${pushed.mkString(", ")}]"
@@ -139,7 +142,7 @@ private[graft] class ZipScan(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    ZipReaderFactory(required, pushed, conf)
+    ZipReaderFactory(required, pushed, conf, permissive)
   }
 }
 
@@ -147,15 +150,17 @@ private[graft] case class ZipArchivePartition(file: String) extends InputPartiti
 
 private[graft] case class ZipReaderFactory(
     required: StructType, pushed: Array[Filter],
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration,
+    permissive: Boolean) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new ZipPartitionReader(p.asInstanceOf[ZipArchivePartition].file,
-      required, pushed, conf)
+      required, pushed, conf, permissive)
 }
 
 private[graft] class ZipPartitionReader(
     file: String, required: StructType, pushed: Array[Filter],
-    conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
+    conf: SerializableConfiguration,
+    permissive: Boolean = false) extends PartitionReader[InternalRow] {
 
   private val needText = required.fieldNames.contains("text")
   // Streamed zips carry sizes in trailing data descriptors, where
@@ -173,7 +178,15 @@ private[graft] class ZipPartitionReader(
     case _ => true
   }
 
-  override def next(): Boolean = {
+  override def next(): Boolean =
+    // mode=permissive: a corrupt/truncated archive yields the rows read
+    // so far and is then skipped — one bad dump file must not kill a
+    // 100 TB ingest. Default (failfast) propagates the error.
+    if (permissive)
+      try nextImpl() catch { case _: java.io.IOException => false }
+    else nextImpl()
+
+  private def nextImpl(): Boolean = {
     var entry = in.getNextEntry
     while (entry != null) {
       if (!entry.isDirectory && memberOk(entry.getName)) {
@@ -344,7 +357,8 @@ object ZipStreamOffset {
 }
 
 private[graft] class ZipMicroBatchStream(
-    path: String, required: StructType, pushed: Array[Filter])
+    path: String, required: StructType, pushed: Array[Filter],
+    permissive: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -376,5 +390,5 @@ private[graft] class ZipMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ZipReaderFactory(required, pushed, conf)
+    ZipReaderFactory(required, pushed, conf, permissive)
 }

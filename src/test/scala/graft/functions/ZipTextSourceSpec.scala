@@ -154,6 +154,34 @@ class ZipTextSourceSpec extends SparkSpec {
     assert(O.fromJson(O(Seq.empty).json()).files.isEmpty)
   }
 
+  test("mode=permissive survives a truncated archive; default failfast throws") {
+    val dir = Scratch.fresh("zipbad")
+    val good = Seq("g1.txt" -> ("alpha " * 50), "g2.txt" -> "beta")
+    val z = new ZipOutputStream(new FileOutputStream(s"$dir/good.zip"))
+    try good.foreach { case (m, t) =>
+      z.putNextEntry(new ZipEntry(m)); z.write(t.getBytes("UTF-8"))
+      z.closeEntry()
+    } finally z.close()
+    // a structurally-started but truncated archive: valid local header,
+    // compressed payload cut mid-stream
+    val buf = new java.io.ByteArrayOutputStream()
+    val zb = new ZipOutputStream(buf)
+    zb.putNextEntry(new ZipEntry("bad.txt"))
+    zb.write(("x" * 100000).getBytes("UTF-8"))
+    zb.closeEntry(); zb.close()
+    val cut = buf.toByteArray.take(120)
+    val f = new FileOutputStream(s"$dir/trunc.zip")
+    try f.write(cut) finally f.close()
+
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format(FMT).load(dir).select("text").count()
+    }
+    val got = spark.read.format(FMT).option("mode", "permissive").load(dir)
+      .select("member").as[String].collect().toSet
+    assert(Set("g1.txt", "g2.txt").subsetOf(got),
+      s"good archive fully read, got $got")
+  }
+
   test("write rejects inputs without member/text columns") {
     val dir = Scratch.fresh("zipsink")
     val ex = intercept[Exception] {
