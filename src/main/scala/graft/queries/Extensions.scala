@@ -1443,7 +1443,11 @@ object Extensions extends QueryModule {
           GROUP BY e.dst) f ON f.id = n.id)"""
       }.mkString + """
       SELECT id, rank FROM r3 ORDER BY id"""), bench = true) { (s, dir) =>
+      // Distinct (order, supplier) BEFORE the self-join: duplicate
+      // suppliers within an order would blow the join output up
+      // quadratically just to be distinct-ed away after.
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .distinct()
       val pairs = li.as("a").join(li.as("b"), "l_orderkey")
         .filter(col("a.l_suppkey") < col("b.l_suppkey"))
         .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
