@@ -80,14 +80,16 @@ private[graft] class ZipTextTable(path: String, tableSchema: StructType)
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZipScanBuilder(path,
-      "permissive".equalsIgnoreCase(options.getOrDefault("mode", "failfast")))
+      "permissive".equalsIgnoreCase(options.getOrDefault("mode", "failfast")),
+      options.getOrDefault("maxFilesPerTrigger", "0").toInt)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new ZipWriteBuilder(path, info.schema())
 }
 
-private[graft] class ZipScanBuilder(path: String, permissive: Boolean)
+private[graft] class ZipScanBuilder(path: String, permissive: Boolean,
+                                    maxFilesPerTrigger: Int = 0)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -112,17 +114,21 @@ private[graft] class ZipScanBuilder(path: String, permissive: Boolean)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ZipScan(path, required, pushed, permissive)
+  override def build(): Scan =
+    new ZipScan(path, required, pushed, permissive, maxFilesPerTrigger)
 }
 
 private[graft] class ZipScan(path: String, required: StructType,
                              pushed: Array[Filter],
-                             permissive: Boolean) extends Scan with Batch {
+                             permissive: Boolean,
+                             maxFilesPerTrigger: Int = 0)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ZipMicroBatchStream(path, required, pushed, permissive)
+    new ZipMicroBatchStream(path, required, pushed, permissive,
+      maxFilesPerTrigger)
   override def description(): String =
     s"ZipScan path=$path, ReadSchema: ${required.simpleString}, " +
       s"PushedMemberFilters: [${pushed.mkString(", ")}]"
@@ -358,9 +364,38 @@ object ZipStreamOffset {
 
 private[graft] class ZipMicroBatchStream(
     path: String, required: StructType, pushed: Array[Filter],
-    permissive: Boolean = false)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    permissive: Boolean = false, maxFilesPerTrigger: Int = 0)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+
+  // Trigger.AvailableNow: pin the drain target at trigger start — batches
+  // then honor the per-batch admission limit until the pinned set is
+  // consumed (without this, Spark's wrapper fetches everything in one
+  // batch and the limit is moot).
+  @volatile private var pinned: Option[Seq[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinned = Some(listArchives())
+
+  /** maxFilesPerTrigger bounds how many new archives one micro-batch
+    * admits — the backpressure knob for a directory where a whole day's
+    * dump lands at once. Implemented through SupportsAdmissionControl so
+    * AvailableNow still drains everything, just in bounded batches.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[ZipStreamOffset].files.toSet
+    val fresh = pinned.getOrElse(listArchives()).filterNot(seen).sorted
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    ZipStreamOffset((seen ++ admitted).toSeq.sorted)
+  }
 
   private val conf = new SerializableConfiguration(
     SparkSession.active.sparkContext.hadoopConfiguration)
@@ -373,7 +408,9 @@ private[graft] class ZipMicroBatchStream(
       .map(_.getPath.toString).toSeq.sorted
   }
 
-  override def latestOffset(): Offset = ZipStreamOffset(listArchives())
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used via SupportsAdmissionControl")
   override def initialOffset(): Offset = ZipStreamOffset(Seq.empty)
   override def deserializeOffset(json: String): Offset =
     ZipStreamOffset.fromJson(json)

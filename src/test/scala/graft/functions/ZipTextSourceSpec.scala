@@ -147,6 +147,30 @@ class ZipTextSourceSpec extends SparkSpec {
       "b1.txt" -> "gamma"))
   }
 
+  test("maxFilesPerTrigger bounds archives per micro-batch; all data drains") {
+    val dir = Scratch.fresh("zipmax")
+    val out = Scratch.fresh("zipmax-out")
+    val ck = Scratch.fresh("zipmax-ck")
+    (0 until 3).foreach { i =>
+      val z = new ZipOutputStream(new FileOutputStream(s"$dir/f$i.zip"))
+      try {
+        z.putNextEntry(new ZipEntry(s"m$i.txt")); z.write(s"v$i".getBytes)
+        z.closeEntry()
+      } finally z.close()
+    }
+    val q = spark.readStream.format(FMT)
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .select("member", "text")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"1 archive per batch => >=3 data batches, got $batches")
+    assert(spark.read.parquet(out).count() == 3, "everything drains")
+  }
+
   test("streaming offsets round-trip through their JSON form") {
     import org.apache.spark.sql.graft.{ZipStreamOffset => O}
     val o = O(Seq("""/x/a "quoted".zip""", "/x/b\\back.zip"))
