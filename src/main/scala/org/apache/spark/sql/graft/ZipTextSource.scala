@@ -99,13 +99,17 @@ private[graft] class ZipScanBuilder(path: String, permissive: Boolean,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept member-name equality/prefix filters (evaluated pre-decompress);
-    * everything else stays with Spark as a post-scan filter.
+  /** Accept member-name equality/prefix filters (evaluated pre-decompress)
+    * and archive-name filters (whole archives pruned at PLANNING time —
+    * the non-matching file is never opened); everything else stays with
+    * Spark as a post-scan filter.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rest) = filters.partition {
       case EqualTo("member", _: String) => true
       case StringStartsWith("member", _) => true
+      case EqualTo("archive", _: String) => true
+      case StringStartsWith("archive", _) => true
       case _ => false
     }
     pushed = accepted
@@ -142,7 +146,18 @@ private[graft] class ZipScan(path: String, required: StructType,
         fs.listStatus(p).filter(_.getPath.getName.endsWith(".zip"))
       else Array(fs.getFileStatus(p))
     status.sortBy(_.getPath.toString)
-      .map(s => ZipArchivePartition(s.getPath.toString): InputPartition)
+      .map(_.getPath.toString)
+      .filter(archiveOk)
+      .map(f => ZipArchivePartition(f): InputPartition)
+  }
+
+  /** Archive-level pushed filters: applied to the file listing, so pruned
+    * archives never become partitions (and are never opened).
+    */
+  private def archiveOk(file: String): Boolean = pushed.forall {
+    case EqualTo("archive", v: String) => file == v
+    case StringStartsWith("archive", p) => file.startsWith(p)
+    case _ => true
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -184,6 +199,15 @@ private[graft] class ZipPartitionReader(
     case _ => true
   }
 
+  // Spark does NOT re-apply pushed filters post-scan, so archive filters
+  // must hold here too (the batch planner also prunes the listing; the
+  // streaming path relies on this check alone).
+  private val archiveMatches: Boolean = pushed.forall {
+    case EqualTo("archive", v: String) => file == v
+    case StringStartsWith("archive", p) => file.startsWith(p)
+    case _ => true
+  }
+
   override def next(): Boolean =
     // mode=permissive: a corrupt/truncated archive yields the rows read
     // so far and is then skipped — one bad dump file must not kill a
@@ -193,6 +217,7 @@ private[graft] class ZipPartitionReader(
     else nextImpl()
 
   private def nextImpl(): Boolean = {
+    if (!archiveMatches) return false
     var entry = in.getNextEntry
     while (entry != null) {
       if (!entry.isDirectory && memberOk(entry.getName)) {

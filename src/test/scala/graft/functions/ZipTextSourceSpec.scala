@@ -147,6 +147,25 @@ class ZipTextSourceSpec extends SparkSpec {
       "b1.txt" -> "gamma"))
   }
 
+  test("archive filters prune whole archives at planning time") {
+    val dir = stageZips(fixture)
+    val df = spark.read.format(FMT).load(dir)
+      .filter($"archive".endsWith("shard0.zip") === false)
+      .filter($"archive".startsWith(dir))
+    // prefix filter pushes; the residual endsWith stays with Spark
+    val one = spark.read.format(FMT).load(dir)
+      .filter($"archive" === s"file:$dir/shard0.zip")
+    // equality on archive prunes to ONE input partition
+    assert(one.rdd.getNumPartitions <= 1)
+    val members = one.select("member").as[String].collect().toSet
+    assert(members.nonEmpty && members.subsetOf(fixture.map(_._1).toSet))
+    // full read still sees everything (filters only narrow)
+    assert(spark.read.format(FMT).load(dir).count() == 4)
+    // correctness under the filter: rows only from the matching archive
+    val archs = one.select("archive").distinct().as[String].collect()
+    assert(archs.forall(_.endsWith("shard0.zip")))
+  }
+
   test("maxFilesPerTrigger bounds archives per micro-batch; all data drains") {
     val dir = Scratch.fresh("zipmax")
     val out = Scratch.fresh("zipmax-out")
