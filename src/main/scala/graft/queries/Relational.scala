@@ -622,6 +622,61 @@ object Relational extends QueryModule {
         .orderBy("user_id", "cid")
     },
 
+    // TPC-H Q18 flavor: large orders — a grouped HAVING on the fact
+    // table drives a semi-join back to the order header; the aggregate
+    // runs BEFORE the join so only qualifying keys shuffle.
+    QueryDef("q18_large_orders", Some("""
+      WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 220)
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, b.sum_qty
+      FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+      ORDER BY b.sum_qty DESC, o.o_orderkey LIMIT 25""")) { (s, dir) =>
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)")
+          .as("sum_qty"),
+          expr("sum(CAST(l_quantity AS DECIMAL(18,6)))").as("__dq"))
+        .filter(col("__dq") > expr("CAST(220 AS DECIMAL(18,6))"))
+        .drop("__dq")
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty")
+        .orderBy(col("sum_qty").desc, col("o_orderkey")).limit(25)
+    },
+
+    // first_value / last_value window frames: per user, the first and
+    // last event type over the full partition — needs the explicit
+    // unbounded-following frame (the default frame ends at CURRENT ROW,
+    // where last_value is just the current row's value).
+    QueryDef("w5_first_last", Some("""
+      WITH w AS (
+        SELECT user_id, event_id,
+          first_value(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS first_type,
+          last_value(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS last_type
+        FROM events)
+      SELECT first_type, last_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM w GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("user_id"),
+          first("event_type").over(w).as("first_type"),
+          last("event_type").over(w).as("last_type"))
+        .groupBy("first_type", "last_type")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+        .orderBy("first_type", "last_type")
+    },
+
     // TPC-H Q7 flavor: bilateral revenue flows between customer and
     // supplier nations by year — a 6-way join where every dimension
     // broadcasts and only the fact scan is large.
