@@ -245,6 +245,52 @@ object Relational extends QueryModule {
       a.intersect(b).union(d).distinct().except(e).orderBy("custkey")
     },
 
+    // Multiset (ALL) set-operation variants: bag semantics preserve
+    // multiplicities, so the gate counts occurrences — a different
+    // physical operator family from the DISTINCT forms in u1.
+    QueryDef("u2_setops_all", Some("""
+      WITH i AS (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice < 150000),
+      x AS (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice < 150000)
+      SELECT 'intersect_all' AS op, custkey, CAST(count(*) AS BIGINT) AS n
+      FROM i GROUP BY 1, 2
+      UNION ALL
+      SELECT 'except_all', custkey, CAST(count(*) AS BIGINT) FROM x GROUP BY 1, 2
+      ORDER BY op, custkey""")) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      val b = o.filter(col("o_totalprice") < 150000)
+        .select(col("o_custkey").as("custkey"))
+      val i = a.intersectAll(b).groupBy("custkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val x = a.exceptAll(b).groupBy("custkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      i.unionByName(x).select("op", "custkey", "n").orderBy("op", "custkey")
+    },
+
+    // Deterministic array aggregation: collect_list is order-nondeterministic
+    // by itself; sort_array(...) makes it a value-stable product — the
+    // per-user event-type profile as one canonical string.
+    QueryDef("m2_collect", Some("""
+      SELECT user_id,
+        array_to_string(list(DISTINCT event_type ORDER BY event_type), ',')
+          AS types,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id ORDER BY user_id LIMIT 200""")) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",")
+          .as("types"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id").limit(200)
+    },
+
     // Grouping sets via ROLLUP (subtotal rows disambiguated by coalesce).
     QueryDef("g1_rollup", Some("""
       SELECT coalesce(l_returnflag, '(all)') AS rf,
