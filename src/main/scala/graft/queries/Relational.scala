@@ -791,6 +791,37 @@ object Relational extends QueryModule {
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
     },
 
+    // NOT IN three-valued logic (null-aware anti join): a NULL anywhere in
+    // the subquery result makes NOT IN unsatisfiable — the classic SQL
+    // trap, and a distinct physical operator (NullAwareAntiJoin) from the
+    // NOT EXISTS anti join. Gate both: the null-free branch returns the
+    // true complement, the null-poisoned branch returns zero rows.
+    QueryDef("j5_not_in", Some("""
+      SELECT
+        CAST((SELECT count(*) FROM customer
+              WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice > 300000))
+          AS BIGINT) AS n_clean,
+        CAST((SELECT count(*) FROM customer
+              WHERE c_custkey NOT IN
+                (SELECT nullif(o_custkey, 7) FROM orders
+                 WHERE o_totalprice > 300000))
+          AS BIGINT) AS n_poisoned""")) { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("graft_j5_c")
+      t(s, dir, "orders").createOrReplaceTempView("graft_j5_o")
+      s.sql("""
+        SELECT
+          CAST((SELECT count(*) FROM graft_j5_c
+                WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM graft_j5_o WHERE o_totalprice > 300000))
+            AS BIGINT) AS n_clean,
+          CAST((SELECT count(*) FROM graft_j5_c
+                WHERE c_custkey NOT IN
+                  (SELECT nullif(o_custkey, 7) FROM graft_j5_o
+                   WHERE o_totalprice > 300000))
+            AS BIGINT) AS n_poisoned""")
+    },
+
     // Interval×interval overlap join (operators.RangeJoin.intervalOverlap):
     // daily per-user activity intervals from two user cohorts, paired when
     // they intersect. The bucket equijoin + first-shared-bucket filter
