@@ -245,10 +245,15 @@ object Similarity {
     for (_ <- 0 until iters) {
       val withIds = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       val assigned = base.withColumn("cell", cellExpr(col("v"), withIds))
+      // Grid values sum as DECIMAL(38,0): still exact and order-
+      // independent, but headroom to ~1e28 vectors — a long accumulator
+      // overflows (ANSI: hard failure) near 9e8 rows per cell, a scale a
+      // 100 TB corpus actually reaches. Only the final double division
+      // happens driver-side, so portability is unchanged.
       val sums = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
-        .agg(sum(floor(col("x") * lit(1e10)).cast("long")).as("s"),
+        .agg(sum(floor(col("x") * lit(1e10)).cast("decimal(38,0)")).as("s"),
           count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.toArray.clone())
@@ -256,7 +261,7 @@ object Similarity {
         val cell = r.getLong(0).toInt
         val dim = r.getInt(1)
         next(cell)(dim) =
-          r.getLong(2).toDouble / 1e10 / r.getLong(3).toDouble
+          r.getDecimal(2).doubleValue() / 1e10 / r.getLong(3).toDouble
       }
       cents = next.map(_.toSeq)
     }

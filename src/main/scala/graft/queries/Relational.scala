@@ -879,15 +879,20 @@ object Relational extends QueryModule {
         .select(col("event_id").as("pid"),
           (col("ms") - 900000L).as("s"), (col("ms") + 900000L).as("e"))
         .createOrReplaceTempView("graft_r10_p")
-      // Session-scoped enable (no unset: the caller's derived plans —
-      // e.g. the verify write — re-optimize lazily, and the rule's
-      // no-equi-conjunct guard makes it a no-op for every other gated
-      // query in the session).
+      // Arm the rule only for this gate: materialize eagerly while the
+      // conf is set (localCheckpoint runs the bucketized plan; the
+      // caller's later write just scans the checkpoint), then unset in
+      // finally so no later query in the shared gate/bench session runs
+      // re-planned — the no-equi-conjunct guard preserves semantics, but
+      // a silently armed optimizer rule perturbs timings and plan-shape
+      // assertions. Bench/Verify unpersist checkpoint blocks per query.
       s.conf.set("spark.graft.rangeJoin.bucket", "1800000")
-      s.sql("""
-        SELECT pid, count(*) AS n_clicks, min(cid) AS min_cid
-        FROM graft_r10_p JOIN graft_r10_c ON ms >= s AND ms <= e
-        GROUP BY pid ORDER BY pid""")
+      try {
+        s.sql("""
+          SELECT pid, count(*) AS n_clicks, min(cid) AS min_cid
+          FROM graft_r10_p JOIN graft_r10_c ON ms >= s AND ms <= e
+          GROUP BY pid ORDER BY pid""").localCheckpoint(true)
+      } finally s.conf.unset("spark.graft.rangeJoin.bucket")
     },
 
     // JSON payload extraction (multimodal metadata path, X4).

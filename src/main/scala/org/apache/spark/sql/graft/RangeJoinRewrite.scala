@@ -63,9 +63,20 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       e.deterministic && e.dataType == LongType
 
   def apply(plan: LogicalPlan): LogicalPlan = {
-    val bucket =
-      spark.conf.getOption("spark.graft.rangeJoin.bucket").map(_.toLong)
-        .getOrElse(0L)
+    // Validate here rather than bare-.toLong: a malformed value would
+    // otherwise throw an uncontextualized NumberFormatException from the
+    // optimizer on EVERY subsequent query in the session.
+    val bucket = spark.conf.getOption("spark.graft.rangeJoin.bucket") match {
+      case None => 0L
+      case Some(v) =>
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"spark.graft.rangeJoin.bucket must be a long (bucket width; " +
+                s"<=0 disables the rewrite), got '$v'")
+        }
+    }
     if (bucket <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)

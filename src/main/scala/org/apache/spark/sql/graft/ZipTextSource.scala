@@ -85,7 +85,7 @@ private[graft] class ZipTextTable(path: String, tableSchema: StructType)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new ZipWriteBuilder(path, info.schema())
+    new ZipWriteBuilder(path, info.schema(), info.queryId())
 }
 
 private[graft] class ZipScanBuilder(path: String, permissive: Boolean,
@@ -189,8 +189,11 @@ private[graft] class ZipPartitionReader(
   // decompress too. Pure member/count scans still skip all payload bytes.
   private val needSize = required.fieldNames.contains("n_bytes")
   private val path = new Path(file)
-  private val in = new ZipInputStream(
-    path.getFileSystem(conf.value).open(path))
+  // Opened lazily on the first next() so that permissive mode also covers
+  // open-time failures (an archive listed at planning time but deleted or
+  // unreadable by read time) — an eager constructor open would fail the
+  // task before the permissive catch is reachable.
+  private var in: ZipInputStream = _
   private var row: InternalRow = _
 
   private def memberOk(name: String): Boolean = pushed.forall {
@@ -209,15 +212,22 @@ private[graft] class ZipPartitionReader(
   }
 
   override def next(): Boolean =
-    // mode=permissive: a corrupt/truncated archive yields the rows read
-    // so far and is then skipped — one bad dump file must not kill a
-    // 100 TB ingest. Default (failfast) propagates the error.
+    // mode=permissive: a corrupt/truncated/vanished archive yields the
+    // rows read so far and is then skipped — one bad dump file must not
+    // kill a 100 TB ingest. IllegalArgumentException covers malformed
+    // entry names (ZipInputStream throws it, not IOException, for bad
+    // name encodings). Default (failfast) propagates the error.
     if (permissive)
-      try nextImpl() catch { case _: java.io.IOException => false }
+      try nextImpl() catch {
+        case _: java.io.IOException => false
+        case _: IllegalArgumentException => false
+      }
     else nextImpl()
 
   private def nextImpl(): Boolean = {
     if (!archiveMatches) return false
+    if (in == null)
+      in = new ZipInputStream(path.getFileSystem(conf.value).open(path))
     var entry = in.getNextEntry
     while (entry != null) {
       if (!entry.isDirectory && memberOk(entry.getName)) {
@@ -249,7 +259,7 @@ private[graft] class ZipPartitionReader(
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = if (in != null) in.close()
 }
 
 /** Write side: each task streams its rows into one `_tmp-…` archive
@@ -262,7 +272,8 @@ private[graft] class ZipPartitionReader(
   * Input schema needs `member` and `text` string columns (the read-side
   * `archive` / `n_bytes` are derived, not stored).
   */
-private[graft] class ZipWriteBuilder(path: String, schema: StructType)
+private[graft] class ZipWriteBuilder(path: String, schema: StructType,
+                                     queryId: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   import org.apache.spark.sql.connector.write._
@@ -276,7 +287,7 @@ private[graft] class ZipWriteBuilder(path: String, schema: StructType)
         schema.fieldNames.contains("text"),
         s"graft-zip write needs member+text columns, got ${schema.simpleString}")
       new ZipBatchWrite(path, schema.fieldIndex("member"),
-        schema.fieldIndex("text"), doTruncate,
+        schema.fieldIndex("text"), doTruncate, queryId,
         new SerializableConfiguration(
           SparkSession.active.sparkContext.hadoopConfiguration))
     }
@@ -288,7 +299,7 @@ private[graft] case class ZipCommitMessage(tmp: String, partitionId: Int)
 
 private[graft] class ZipBatchWrite(
     path: String, memberIdx: Int, textIdx: Int, truncate: Boolean,
-    conf: SerializableConfiguration)
+    queryId: String, conf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -303,8 +314,17 @@ private[graft] class ZipBatchWrite(
     if (truncate)
       fs.listStatus(dir).filter(_.getPath.getName.endsWith(".zip"))
         .foreach(s => fs.delete(s.getPath, false))
+    // Committed names embed the write's queryId: append-mode jobs into a
+    // directory that already holds archives must never collide with (and
+    // silently replace — or, on HDFS, silently fail against) an earlier
+    // job's part files. A rename that reports failure aborts the commit
+    // loudly instead of dropping the partition.
     messages.collect { case ZipCommitMessage(tmp, pid) if tmp != null =>
-      fs.rename(new Path(tmp), new Path(dir, f"part-$pid%05d.zip"))
+      val dest = new Path(dir, f"part-$pid%05d-$queryId.zip")
+      if (!fs.rename(new Path(tmp), dest))
+        throw new java.io.IOException(
+          s"graft-zip commit failed: rename $tmp -> $dest returned false" +
+            " (destination exists or filesystem refused the move)")
     }
   }
 

@@ -72,6 +72,30 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(!plan.contains("__graft_ib"))
   }
 
+  test("malformed conf value fails with a message naming the key") {
+    spark.conf.set(KEY, "30 minutes")
+    try {
+      val ex = intercept[Exception] { thetaJoin.collect() }
+      // The cause chain must carry the named-key message, not a bare
+      // NumberFormatException from inside the optimizer.
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains(KEY), s"error must name the conf key: $msgs")
+    } finally spark.conf.unset(KEY)
+  }
+
+  test("gate r10_range_rule leaves the session conf unset") {
+    val df = graft.SparkEntry.queries("r10_range_rule")(
+      spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    assert(spark.conf.getOption(KEY).isEmpty,
+      "gate must not leave the rewrite rule armed session-wide")
+    // The eager materialization leaves checkpoint blocks; drop them the
+    // way Bench/Verify do so later specs see a clean block manager.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   test("matches the nested-loop result on the events fixture") {
     val ev = graft.model.Tables.load(spark, "/root/testdata/sf0.001", "events")
       .withColumn("ms", unix_millis($"ts"))

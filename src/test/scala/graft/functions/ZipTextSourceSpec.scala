@@ -225,6 +225,39 @@ class ZipTextSourceSpec extends SparkSpec {
       s"good archive fully read, got $got")
   }
 
+  test("append never clobbers archives from an earlier job") {
+    val dir = Scratch.fresh("zipsink")
+    Seq("a.txt" -> "one").toDF("member", "text")
+      .repartition(1).write.format(FMT).mode("append").save(dir)
+    // Second job also commits partition 0 — with fixed part-NNNNN names
+    // this silently replaced the first job's archive.
+    Seq("b.txt" -> "two").toDF("member", "text")
+      .repartition(1).write.format(FMT).mode("append").save(dir)
+    val back = spark.read.format(FMT).load(dir)
+      .select("member").as[String].collect().toSet
+    assert(back == Set("a.txt", "b.txt"),
+      s"both jobs' archives must survive an append, got $back")
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(files.length == 2 && files.toSet.size == 2,
+      s"distinct committed names per job: ${files.toSeq}")
+  }
+
+  test("mode=permissive survives an unopenable archive (open-time failure)") {
+    val dir = stageZips(fixture)
+    // A directory with a .zip name: listed at planning time, but fs.open
+    // fails — the permissive catch must cover the reader's open, not only
+    // entry iteration.
+    assert(new java.io.File(s"$dir/bogus.zip").mkdir())
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format(FMT).load(dir).select("member").count()
+    }
+    val got = spark.read.format(FMT).option("mode", "permissive").load(dir)
+      .select("member").as[String].collect().toSet
+    assert(got == fixture.map(_._1).toSet,
+      s"readable archives fully read despite the unopenable one, got $got")
+  }
+
   test("write rejects inputs without member/text columns") {
     val dir = Scratch.fresh("zipsink")
     val ex = intercept[Exception] {
