@@ -115,6 +115,41 @@ object Similarity {
       .select(col(s"x.$idCol").as("da"), col(s"y.$idCol").as("db"), col("cos"))
   }
 
+  /** SEMANTIC DEDUP (the SemDeDup recipe): partition the corpus into
+    * quantizer cells (argmax-cosine against a small centroid set — seed
+    * centroids or [[kmeansCentroids]] output), then within each cell drop
+    * every vector that has a lower-id neighbor with cosine >= `threshold`.
+    * Greedy min-id keep, the same deterministic canonical-pick rule as
+    * [[graft.operators.Dedup.exact]] — duplicates here are ε-balls in
+    * embedding space rather than equal strings, which is what catches
+    * paraphrases and re-encodings that n-gram methods miss.
+    *
+    * Scale posture: the centroid set is small by contract (it is the
+    * quantizer — collected once, folded into a codegen'd projection, the
+    * same zero-shuffle cell assignment as [[knnIvf]]); the pair search
+    * self-joins on cell, so the pair space is bounded per cell (pick k ~
+    * corpus/expected-cell-size exactly as for IVF) and the corpus is never
+    * cross-joined. One shuffle on cell + one anti-join on id.
+    *
+    * Output: (id, cell) of KEPT vectors — the deduped corpus.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, centIdCol: String,
+                    centVecCol: String, threshold: Double): DataFrame = {
+    val cents = centroids
+      .select(col(centIdCol).cast("long"), asDouble(col(centVecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(cents.nonEmpty, "semanticDedup needs at least one centroid")
+    val v = Par.spread(df).select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", cellExpr(col("v"), cents))
+    val dropped = v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    v.join(dropped, Seq("id"), "left_anti").select(col("id"), col("cell"))
+  }
+
   /** Bucketed ANN: top-k per query among corpus vectors in the *same* LSH
     * bucket. Recall < 1 by construction; the scale path for corpora where
     * brute force is impossible. Shuffles on bucket, never cross-joins the

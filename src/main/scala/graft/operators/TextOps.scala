@@ -214,6 +214,81 @@ object TextOps {
       lit(0L),
       (acc, c) => (acc * lit(31L) + c) % lit(rollingHashMod))
 
+  /** Overlapping token-window CHUNKING — split long documents into
+    * `width`-token windows every `stride` tokens (stride < width ⇒
+    * overlapping context, the shape RAG indexing and context-window
+    * training prep actually use; x6_pack is the inverse op, packing short
+    * docs *into* windows). Chunk count = floor((max(n-width,0)+stride-1)
+    * / stride) + 1, so every token lands in at least one chunk and a doc
+    * no longer than `width` yields exactly one.
+    *
+    * Scale posture: pure per-row projection + explode — no shuffle, no
+    * UDFs; the 100 TB form of "chunk the corpus" is one codegen'd map.
+    * The arithmetic is integer-exact (the floor-of-double division is
+    * exact for any real document length), so chunk boundaries are
+    * engine-portable.
+    *
+    * Output: (idCol, chunk_id, chunk, n_tok), chunk_id 0-based.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1 && stride <= width,
+      "need 1 <= stride <= width (stride > width would drop tokens)")
+    val base = Par.spread(df).select(col(idCol), tokens(col(textCol)).as("toks"))
+    val n = size(col("toks"))
+    val nChunks = floor(
+      (greatest(n - lit(width), lit(0)) + lit(stride - 1)).cast("double") /
+        lit(stride.toDouble)).cast("int") + lit(1)
+    base.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("toks"), i * lit(stride) + 1, lit(width))))
+          .as(Seq("chunk_id", "ctoks")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(col("ctoks"), " ").as("chunk"),
+        size(col("ctoks")).cast("long").as("n_tok"))
+  }
+
+  /** Bigram language-model corpus scoring (the CCNet-style "how much does
+    * this document look like the corpus" perplexity signal, in a gate-exact
+    * formulation): train bigram conditional probabilities p(w2|w1) =
+    * c(w1 w2) / c(w1 ·) over the whole corpus, then score each document by
+    * the mean probability of its bigram occurrences. Log-free on purpose —
+    * ln() is libm-dependent and breaks cross-engine bit-equality, while
+    * each p here is one double division of two exact longs and the mean
+    * accumulates on the fixed-point 1e-12 grid (floor(p*1e12) summed as
+    * exact decimals), so every step is IEEE-identical in any engine.
+    * Low-scoring docs are OCR garbage / wrong-language / shuffled text;
+    * the score is monotone in the (truncated) average likelihood, so
+    * threshold-filtering on it is LM-filtering.
+    *
+    * Scale posture: the model is vocabulary²-bounded (bigram-type-sized,
+    * not corpus-sized) — one groupBy builds it; scoring joins occurrences
+    * against it (sort-merge at scale, AQE-broadcast when small) and
+    * re-aggregates per doc. Three keyed shuffles total, no driver state,
+    * no UDFs.
+    *
+    * Output: (idCol, n_bigrams, avg_p); docs with < 2 tokens have no
+    * bigrams and are dropped (length-filter upstream is the curation
+    * contract for fragments, as in [[repetitionStats]]).
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = Par.spread(df).select(col(idCol),
+      explode(shingles(tokens(col(textCol)), 2)).as("bg"))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val model = c2.join(c1, "w1")
+      .select(col("bg"),
+        (col("c2").cast("double") / col("c1").cast("double")).as("p"))
+    bg.join(model, "bg")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(floor(col("p") * lit(1e12)).cast("decimal(38,0)")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s").cast("double") / lit(1e12) /
+          col("n_bigrams").cast("double")).as("avg_p"))
+  }
+
   /** 16-bit SimHash over *distinct* tokens, materialized as a '0'/'1' string.
     * Bit i is the sign of sum over tokens of +-1 depending on the high bit of
     * hex digit i of md5(token). md5 keeps it engine-portable; swap for

@@ -1455,5 +1455,82 @@ object Extensions extends QueryModule {
       val edges = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pageRankInt(edges, iters = 3).orderBy("id")
+    },
+
+    // Overlapping token-window chunking (TextOps.chunkTokens): 16-token
+    // windows every 12 tokens — the RAG/context-window splitting pass.
+    // Pure projection+explode; the oracle replays the identical integer
+    // chunk-boundary arithmetic with DuckDB's 1-based inclusive slices.
+    QueryDef("x6_chunk", Some("""
+      WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      ch AS (SELECT doc_id, i AS chunk_id,
+               array_to_string(toks[i*12+1 : i*12+16], ' ') AS chunk,
+               len(toks[i*12+1 : i*12+16]) AS n_tok
+             FROM tk, LATERAL (SELECT unnest(range(0,
+               (greatest(len(toks)-16, 0) + 11) // 12 + 1)) AS i) ii)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk,
+             CAST(n_tok AS BIGINT) AS n_tok
+      FROM ch ORDER BY doc_id, chunk_id""")) { (s, dir) =>
+      TextOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+          width = 16, stride = 12)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Bigram-LM corpus scoring (TextOps.bigramLmScore): train p(w2|w1)
+    // over the corpus, score each doc by its mean bigram probability on
+    // the fixed-point 1e-12 grid — the log-free, gate-exact form of the
+    // CCNet perplexity filter.
+    QueryDef("x5_bigram_lm", Some("""
+      WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
+             FROM tk, LATERAL (SELECT unnest(range(1, len(toks))) AS i) ii),
+      c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+      c2w AS (SELECT bg, c2, string_split(bg,' ')[1] AS w1 FROM c2),
+      c1 AS (SELECT w1, sum(c2) AS c1 FROM c2w GROUP BY w1),
+      p AS (SELECT bg, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+            FROM c2w JOIN c1 USING (w1)),
+      sc AS (SELECT doc_id, count(*) AS n_bigrams,
+               sum(CAST(floor(p * 1e12) AS HUGEINT)) AS s
+             FROM bg JOIN p USING (bg) GROUP BY doc_id)
+      SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+             CAST(s AS DOUBLE) / 1e12 / CAST(n_bigrams AS DOUBLE) AS avg_p
+      FROM sc ORDER BY doc_id""")) { (s, dir) =>
+      TextOps.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Semantic dedup (Similarity.semanticDedup, the SemDeDup recipe):
+    // quantizer cells from the 8 lowest-id embeddings, drop every vector
+    // with a lower-id same-cell neighbor at cosine >= 0.35, keep the rest.
+    // The oracle replays cell assignment (argmax cosine, min-cid ties) and
+    // the greedy min-id keep rule with the same sequential-fold vector
+    // arithmetic as the x3 gates.
+    QueryDef("x2_semdedup", Some("""
+      WITH ctr AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 8),
+      v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vv
+            FROM embeddings),
+      asn AS (SELECT id, vv, cid,
+                row_number() OVER (PARTITION BY id ORDER BY
+                  list_dot_product(vv, cv)
+                    / sqrt(list_dot_product(vv, vv) * list_dot_product(cv, cv))
+                    DESC, cid) AS rk
+              FROM v, ctr),
+      cell AS (SELECT id, vv, cid AS cell FROM asn WHERE rk = 1),
+      drp AS (SELECT DISTINCT b.id
+              FROM cell a JOIN cell b ON a.cell = b.cell AND a.id < b.id
+              WHERE list_dot_product(a.vv, b.vv)
+                      / sqrt(list_dot_product(a.vv, a.vv)
+                             * list_dot_product(b.vv, b.vv))
+                    >= CAST(0.35 AS DOUBLE))
+      SELECT id AS vec_id, CAST(cell AS BIGINT) AS cell
+      FROM cell WHERE id NOT IN (SELECT id FROM drp)
+      ORDER BY vec_id""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDedup(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          threshold = 0.35)
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy("vec_id")
     })
 }

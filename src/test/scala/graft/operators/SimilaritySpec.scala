@@ -20,6 +20,37 @@ class SimilaritySpec extends SparkSpec {
     assert(sims(2) == sims(3), "cosine is symmetric")
   }
 
+  test("semanticDedup: greedy min-id keep per cell; kept set is dup-free") {
+    val cents = emb.filter($"vec_id" < 8)
+    val tau = 0.35
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding", threshold = tau)
+    // recompute cells + sims brute-force for the invariant checks
+    val v = emb.select($"vec_id".cast("long").as("id"),
+      $"embedding".cast("array<double>").as("v"))
+    val pairs = v.as("a").crossJoin(v.as("b"))
+      .filter($"a.id" < $"b.id")
+      .withColumn("cos", Similarity.cosine($"a.v", $"b.v"))
+      .select($"a.id".as("ia"), $"b.id".as("ib"), $"cos")
+    val cellOf = kept.select("id", "cell")
+    val keptIds = kept.select("id").as[Long].collect().toSet
+    val all = v.select("id").as[Long].collect().toSet
+    assert(keptIds.subsetOf(all) && keptIds.nonEmpty && keptIds != all,
+      "some but not all vectors survive at this threshold")
+    // 1) no two KEPT vectors in the same cell are near-duplicates
+    val viol = kept.as("x").join(kept.as("y"),
+        $"x.cell" === $"y.cell" && $"x.id" < $"y.id")
+      .join(pairs, $"x.id" === $"ia" && $"y.id" === $"ib")
+      .filter($"cos" >= tau)
+    assert(viol.count() == 0, "kept set must be pairwise below threshold")
+    // 2) the minimum id of every cell is always kept (nothing below it)
+    val minPerCell = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding", threshold = -2.0) // drop everything possible
+    val mins = minPerCell.select("id").as[Long].collect().toSet
+    assert(mins.subsetOf(keptIds),
+      "per-cell min ids survive at any threshold")
+  }
+
   test("knnBruteForce returns exactly k ranked neighbors per query") {
     val out = Similarity.knnBruteForce(
       emb.filter($"vec_id" >= 10), emb.filter($"vec_id" < 5),

@@ -136,6 +136,60 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("chunkTokens: boundaries, overlap, and full token coverage") {
+    // 10 tokens, width 4, stride 3: chunks at 1-4, 4-7, 7-10 (3 chunks)
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = TextOps.chunkTokens(Seq((1L, doc)).toDF("id", "text"),
+        "id", "text", width = 4, stride = 3)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk", "n_tok")
+      .as[(Long, String, Long)].collect()
+    assert(out.map(_._2).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(out.map(_._3).toSeq == Seq(4L, 4L, 4L))
+    // short doc (<= width): exactly one whole chunk
+    val short = TextOps.chunkTokens(Seq((1L, "a b")).toDF("id", "text"),
+        "id", "text", width = 4, stride = 3)
+      .select("chunk", "n_tok").as[(String, Long)].collect()
+    assert(short.toSeq == Seq(("a b", 2L)))
+    // ragged tail: 11 tokens => last chunk is the 2-token remainder
+    val ragged = TextOps.chunkTokens(
+        Seq((1L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("id", "text"),
+        "id", "text", width = 4, stride = 3)
+      .orderBy("chunk_id").select("n_tok").as[Long].collect()
+    assert(ragged.toSeq == Seq(4L, 4L, 4L, 2L))
+    // coverage: every token of every fixture doc appears in some chunk
+    val docs = spark.read.parquet(sf("documents")).select("doc_id", "text")
+    val total = docs.select(explode(TextOps.tokens(col("text")))).count()
+    val covered = TextOps.chunkTokens(docs, "doc_id", "text", 16, 16)
+      .agg(sum("n_tok")).as[Long].head()
+    assert(covered == total, "non-overlapping chunks partition the tokens")
+  }
+
+  test("chunkTokens rejects stride > width (would drop tokens)") {
+    intercept[IllegalArgumentException] {
+      TextOps.chunkTokens(Seq((1L, "a")).toDF("id", "text"),
+        "id", "text", width = 3, stride = 4)
+    }
+  }
+
+  test("bigramLmScore: probabilities match hand-computed corpus counts") {
+    // corpus bigrams: "a b" x2, "a c" x1, "b a" x1, "c a" x1
+    // p(b|a)=2/3, p(c|a)=1/3, p(a|b)=1, p(a|c)=1
+    val docs = Seq((1L, "a b a c a"), (2L, "a b")).toDF("id", "text")
+    val out = TextOps.bigramLmScore(docs, "id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect()
+    // doc 1: bigrams (a b),(b a),(a c),(c a) -> mean of 2/3, 1, 1/3, 1
+    val grid = (p: Double) => math.floor(p * 1e12)
+    val exp1 = (grid(2.0 / 3) + grid(1.0) + grid(1.0 / 3) + grid(1.0)) / 1e12 / 4
+    val exp2 = grid(2.0 / 3) / 1e12 / 1
+    assert(out.toSeq == Seq((1L, 4L, exp1), (2L, 1L, exp2)))
+    // single-token doc: no bigrams, dropped
+    val one = TextOps.bigramLmScore(
+      Seq((1L, "solo")).toDF("id", "text"), "id", "text").count()
+    assert(one == 0)
+  }
+
   test("property: vocabCount never exceeds token count (scalacheck gen)") {
     val gen = Gen.nonEmptyListOf(Gen.choose(0, 9).map(i => s"w$i"))
     val texts = (0 until 30).flatMap(i =>
