@@ -342,6 +342,34 @@ object Relational extends QueryModule {
         .orderBy("o_orderstatus")
     },
 
+    // Unpivot (melt): the inverse of p1 — wide per-status priority counts
+    // back to (status, metric, n) long form via Dataset.unpivot
+    // (UNPIVOT/stack semantics). The oracle mirrors with UNION ALL, the
+    // engine-portable formulation. Pure projection over the aggregate:
+    // unpivot itself adds no exchange.
+    QueryDef("p2_unpivot", Some("""
+      WITH w AS (
+        SELECT o_orderstatus,
+          coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS urgent,
+          coalesce(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0) AS low
+        FROM orders GROUP BY o_orderstatus)
+      SELECT o_orderstatus, metric, CAST(n AS BIGINT) AS n FROM (
+        SELECT o_orderstatus, 'urgent' AS metric, urgent AS n FROM w
+        UNION ALL
+        SELECT o_orderstatus, 'low' AS metric, low AS n FROM w)
+      ORDER BY o_orderstatus, metric""")) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "5-LOW"))
+        .count()
+        .select(col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+          coalesce(col("5-LOW"), lit(0L)).as("low"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("urgent"), col("low")), "metric", "n")
+        .orderBy("o_orderstatus", "metric")
+    },
+
     // Semi/anti joins (EXISTS / NOT EXISTS).
     QueryDef("j1_semi_anti", Some("""
       SELECT p.p_partkey, p.p_brand FROM part p
