@@ -397,6 +397,113 @@ object Similarity {
       .select("qid", "rank", "nid", "est_d2")
   }
 
+  /** Centroid list collected to the driver — the coarse quantizer is
+    * config-sized by contract (it broadcasts into every cell/probe
+    * projection), exactly like LSH planes and PQ codebooks.
+    */
+  private def collectCents(centroids: DataFrame, cidCol: String,
+                           cvecCol: String): Array[(Long, Seq[Double])] =
+    centroids.select(col(cidCol).cast("long"), asDouble(col(cvecCol)))
+      .orderBy(col(cidCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** The assigned cell's centroid vector, as a chained-literal projection
+    * (same zero-shuffle pattern as [[cellExpr]]).
+    */
+  private def centroidVecExpr(cell: Column,
+                              cents: Array[(Long, Seq[Double])]): Column =
+    cents.foldRight(lit(null).cast("array<double>")) {
+      case ((cid, cv), els) => when(cell === cid, typedLit(cv)).otherwise(els)
+    }
+
+  /** RESIDUAL frame for composite indexes: each vector minus its assigned
+    * coarse-cell centroid, carried under the original `vecCol` name so the
+    * output feeds [[pqTrain]] unchanged. Pure projection (cell assignment
+    * + a zip_with subtraction against centroid literals) — no shuffle;
+    * subtraction is exact IEEE, so residuals are engine-portable.
+    *
+    * Output: (idCol, cell, vecCol = residual).
+    */
+  def residuals(df: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, cidCol: String,
+                cvecCol: String): DataFrame = {
+    val cents = collectCents(centroids, cidCol, cvecCol)
+    require(cents.nonEmpty, "residuals needs at least one centroid")
+    Par.spread(df)
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("cell", cellExpr(col("__v"), cents))
+      .select(col(idCol), col("cell"),
+        zip_with(col("__v"), centroidVecExpr(col("cell"), cents),
+          (a, b) => a - b).as(vecCol))
+  }
+
+  /** IVF-PQ composite index (the FAISS-style index layout): the coarse
+    * quantizer partitions the corpus into cells, and each vector is stored
+    * as (cell id, m-byte PQ code of its RESIDUAL vector-minus-centroid) —
+    * residual quantization concentrates the codebook's resolution around
+    * each cell instead of the whole space, which is why IVF-PQ beats flat
+    * PQ at equal code size. Queries probe their `nprobe` nearest cells,
+    * compute a per-(query, cell) residual, and rank candidates in probed
+    * cells by asymmetric distance (sum of per-subspace LUT distances to
+    * the codebook entry each code names) — the corpus vector is never
+    * decompressed.
+    *
+    * Scale posture: corpus-side work is ONE projection (cell + codes) —
+    * the compressed index a production pipeline persists: m bytes + a
+    * cell id per vector instead of dim floats. The probe fan-out lives on
+    * the small broadcast query side; candidates equijoin on cell, so a
+    * query touches only its probed cells' postings. Train codebooks on
+    * [[residuals]] output via [[pqTrain]]. The ADC sum is a fixed
+    * left-to-right chain; the m = 2 gate form is engine-portable because
+    * two-addend FP addition is order-free.
+    *
+    * Output: (qid, rank, nid, est_d2) — rank by estimated distance,
+    * nid tiebreak.
+    */
+  def knnIvfPq(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      codebooks: Seq[Array[Seq[Double]]], k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(codebooks.nonEmpty, "need at least one codebook")
+    val cents = collectCents(centroids, cidCol, cvecCol)
+    require(cents.nonEmpty, "knnIvfPq needs at least one centroid")
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val coded = {
+      val cv = Par.spread(corpus)
+        .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("__v"))
+        .withColumn("cell", cellExpr(col("__v"), cents))
+        .withColumn("__rv",
+          zip_with(col("__v"), centroidVecExpr(col("cell"), cents),
+            (a, b) => a - b))
+      cv.select(Seq(col("nid"), col("cell")) ++
+        codebooks.zipWithIndex.map { case (cb, j) =>
+          codeExpr(slice(col("__rv"), j * sub + 1, sub), cb).as(s"c$j")
+        }: _*)
+    }
+    val qb = broadcast(queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell", explode(probeCellsExpr(col("qv"), cents, nprobe)))
+      .withColumn("qrv",
+        zip_with(col("qv"), centroidVecExpr(col("cell"), cents),
+          (a, b) => a - b)))
+    val est = codebooks.zipWithIndex.map { case (cb, j) =>
+      val qsub = slice(col("qrv"), j * sub + 1, sub)
+      cb.indices.foldRight(lit(null).cast("double")) {
+        case (c, els) =>
+          when(col(s"c$j") === c, dist2(qsub, typedLit(cb(c)))).otherwise(els)
+      }
+    }.reduce(_ + _)
+    val scored = coded.join(qb, "cell").withColumn("est_d2", est)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("est_d2"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "est_d2")
+  }
+
   /** IVF-flat ANN: a coarse quantizer (the centroid list — small by
     * contract, collected once like LSH planes) partitions the corpus into
     * cells with a single projection; each query searches only its `nprobe`

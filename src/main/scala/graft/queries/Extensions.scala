@@ -1499,6 +1499,75 @@ object Extensions extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // IVF-PQ composite index (Similarity.knnIvfPq): coarse cells from the
+    // 8 lowest-id embeddings, per-RESIDUAL product quantization (m=2
+    // subspaces, 8-entry codebooks seeded from the lowest-id corpus
+    // residuals), nprobe=2 probes, ADC ranking. The oracle replays cell
+    // assignment, residual subtraction, encoding, the per-(query, cell)
+    // LUT, and the ADC sum end to end.
+    QueryDef("x3_ivfpq", Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+      ctr AS (SELECT vec_id AS cid, vv AS cv FROM v WHERE vec_id < 8),
+      a AS (SELECT v.vec_id, v.vv, c.cid, c.cv,
+              row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                list_dot_product(vv, cv)
+                  / sqrt(list_dot_product(vv, vv) * list_dot_product(cv, cv))
+                  DESC, cid) AS rk
+            FROM v, ctr c),
+      asn AS (SELECT vec_id, vv, cid AS cell, cv FROM a WHERE rk = 1),
+      res AS (SELECT vec_id, cell,
+                list_transform(range(1, 65), i -> vv[i] - cv[i]) AS rv
+              FROM asn),
+      sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv
+             FROM (SELECT vec_id, rv FROM res WHERE vec_id >= 20
+                   ORDER BY vec_id LIMIT 8)),
+      cb AS (SELECT code, 0 AS j, rv[1:32] AS cbv FROM sd
+             UNION ALL SELECT code, 1, rv[33:64] FROM sd),
+      c AS (SELECT vec_id AS nid, cell, rv FROM res WHERE vec_id >= 20),
+      cd AS (SELECT nid, cell, j, code,
+               row_number() OVER (PARTITION BY nid, j ORDER BY
+                 list_dot_product(sv, sv) - 2.0*list_dot_product(sv, cbv)
+                   + list_dot_product(cbv, cbv) ASC, code) AS rk
+             FROM (SELECT nid, cell, j, code, cbv,
+                     CASE j WHEN 0 THEN rv[1:32] ELSE rv[33:64] END AS sv
+                   FROM c, cb)),
+      codes AS (SELECT nid, cell, j, code FROM cd WHERE rk = 1),
+      qp AS (SELECT vec_id AS qid, vv, cid AS cell, cv FROM a
+             WHERE vec_id >= 10 AND vec_id < 20 AND rk <= 2),
+      qres AS (SELECT qid, cell,
+                 list_transform(range(1, 65), i -> vv[i] - cv[i]) AS qrv
+               FROM qp),
+      lut AS (SELECT qid, cell, j, code,
+                list_dot_product(qs, qs) - 2.0*list_dot_product(qs, cbv)
+                  + list_dot_product(cbv, cbv) AS d2
+              FROM (SELECT qid, cell, j, code, cbv,
+                      CASE j WHEN 0 THEN qrv[1:32] ELSE qrv[33:64] END AS qs
+                    FROM qres, cb)),
+      est AS (SELECT l.qid, s.nid, sum(l.d2) AS est_d2
+              FROM codes s JOIN lut l
+                ON l.cell = s.cell AND l.j = s.j AND l.code = s.code
+              GROUP BY l.qid, s.nid),
+      r AS (SELECT qid, nid, est_d2,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY est_d2 ASC, nid) AS rnk
+            FROM est)
+      SELECT qid, rnk, nid, est_d2 FROM r WHERE rnk <= 3
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val ctr = e.filter(col("vec_id") < 8)
+      val res = Similarity.residuals(e, "vec_id", "embedding",
+        ctr, "vec_id", "embedding")
+      val cbs = Similarity.pqTrain(res.filter(col("vec_id") >= 20),
+        "vec_id", "embedding", m = 2, k = 8, iters = 0)
+      Similarity.knnIvfPq(
+          e.filter(col("vec_id") >= 20),
+          e.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+          "vec_id", "embedding", ctr, "vec_id", "embedding",
+          cbs, k = 3, nprobe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
     // Semantic dedup (Similarity.semanticDedup, the SemDeDup recipe):
     // quantizer cells from the 8 lowest-id embeddings, drop every vector
     // with a lower-id same-cell neighbor at cosine >= 0.35, keep the rest.

@@ -51,6 +51,63 @@ class SimilaritySpec extends SparkSpec {
       "per-cell min ids survive at any threshold")
   }
 
+  test("residuals: zero at the centroids, exact reconstruction elsewhere") {
+    val ctr = emb.filter($"vec_id" < 8)
+    val res = Similarity.residuals(emb, "vec_id", "embedding",
+      ctr, "vec_id", "embedding")
+    // a centroid vector is its own cell's center: residual exactly zero
+    val atCtr = res.filter($"vec_id" < 8)
+      .select(explode($"embedding").as("x")).as[Double].collect()
+    assert(atCtr.nonEmpty && atCtr.forall(_ == 0.0))
+    // residual + assigned centroid reconstructs the original, bit-exact
+    val cents = ctr.select($"vec_id".cast("long"),
+        $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val orig = emb.select($"vec_id".cast("long"),
+        $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    res.select($"vec_id".cast("long"), $"cell", $"embedding")
+      .as[(Long, Long, Seq[Double])].collect().foreach { case (id, cell, rv) =>
+        val rebuilt = rv.zip(cents(cell)).map { case (r, c) => r + c }
+        assert(rebuilt == orig(id), s"vec $id must reconstruct exactly")
+      }
+  }
+
+  test("knnIvfPq: k ranked rows per query; exact L2 with a full codebook") {
+    val ctr = emb.filter($"vec_id" === 0) // single cell => no probe loss
+    val corpus = emb.filter($"vec_id" >= 10 && $"vec_id" < 26)
+    val queries = emb.filter($"vec_id" >= 1 && $"vec_id" < 5)
+    val res = Similarity.residuals(corpus, "vec_id", "embedding",
+      ctr, "vec_id", "embedding")
+    // codebook seeded from ALL 16 corpus residuals: every vector's code
+    // names its own residual, so ADC distance degrades to the TRUE
+    // residual-space (= original-space, same cell) squared L2
+    val cbs = Similarity.pqTrain(res, "vec_id", "embedding",
+      m = 2, k = 16, iters = 0)
+    val out = Similarity.knnIvfPq(corpus, queries, "vec_id", "embedding",
+      ctr, "vec_id", "embedding", cbs, k = 4, nprobe = 1)
+    val rows = out.as[(Long, Int, Long, Double)].collect()
+    assert(rows.length == 4 * 4)
+    assert(rows.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4)))
+    // true L2²
+    val vecs = emb.select($"vec_id".cast("long"),
+      $"embedding".cast("array<double>")).as[(Long, Seq[Double])]
+      .collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    rows.foreach { case (qid, _, nid, est) =>
+      assert(math.abs(est - d2(vecs(qid), vecs(nid))) < 1e-9,
+        s"full-codebook ADC must equal true squared L2 for ($qid,$nid)")
+    }
+    // and the ranking is the true-L2 ranking (nid tiebreak)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val got = rs.sortBy(_._2).map(_._3).toSeq
+      val want = vecs.keys.filter(n => n >= 10 && n < 26).toSeq
+        .sortBy(n => (d2(vecs(qid), vecs(n)), n)).take(4)
+      assert(got == want, s"query $qid: $got vs $want")
+    }
+  }
+
   test("knnBruteForce returns exactly k ranked neighbors per query") {
     val out = Similarity.knnBruteForce(
       emb.filter($"vec_id" >= 10), emb.filter($"vec_id" < 5),
