@@ -165,6 +165,66 @@ object Dedup {
       .filter(col("jacc") >= threshold)
       .select("da", "db", "jacc")
 
+  /** All-pairs sparse COSINE similarity over bag-of-words count vectors,
+    * through the same inverted-index self-join discipline as
+    * [[jaccardPairs]] — a pair is materialized only if it shares a token.
+    * Where Jaccard sees *sets*, this sees *frequencies*: near-dups that
+    * repeat the shared material different numbers of times score
+    * differently, and the score is the classic sparse-vector cosine that
+    * tf-idf retrieval stacks use.
+    *
+    * Gate-exact by construction: the numerator Σ_t tf_a(t)·tf_b(t) and the
+    * squared norms Σ_t tf(t)² are sums of exact integer products
+    * (accumulated as DECIMAL(38,0) — order-independent, overflow-proof),
+    * and the one double division + sqrt at the end is IEEE-identical in
+    * any engine. No floating-point accumulation anywhere.
+    *
+    * `maxDocFreq` (0 = off) prunes tokens above the document-frequency cut
+    * from the VECTOR SPACE itself — the standard stopword/boilerplate cut
+    * for sparse similarity. Unlike [[jaccardPairs]]' candidate-only cut,
+    * pruning here intentionally changes the reported value: the pruned
+    * space IS the similarity definition, and it is also what bounds
+    * posting-list explosion at corpus scale.
+    *
+    * Output: (da, db, sim) with da < db, sim >= threshold.
+    */
+  def sparseCosinePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+    val tf = Par.spread(df)
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    val space =
+      if (maxDocFreq <= 0) tf
+      else {
+        val keep = tf.groupBy("tok").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq).select("tok")
+        tf.join(keep, "tok")
+      }
+    // Feeds three branches (norms + both self-join sides) — materialize
+    // once, like jaccardPairs' shingle set.
+    val sp = space.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n2 = sp.groupBy(idCol)
+      .agg(sum((col("tf") * col("tf")).cast("decimal(38,0)")).as("n2"))
+    // Same pinned shuffle-merge as sharedShingleIntersections: the join
+    // OUTPUT (df² pairs per token) dwarfs its input, so input-sized AQE
+    // planning must not broadcast or coalesce it.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val byTok = sp.repartition(p, col("tok"))
+    val num = byTok.as("a").hint("shuffle_merge")
+      .join(byTok.as("b").hint("shuffle_merge"),
+        col("a.tok") === col("b.tok") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
+      .agg(sum((col("a.tf") * col("b.tf")).cast("decimal(38,0)")).as("num"))
+    num
+      .join(n2.select(col(idCol).as("da"), col("n2").as("na")), "da")
+      .join(n2.select(col(idCol).as("db"), col("n2").as("nb")), "db")
+      .withColumn("sim", col("num").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("sim") >= threshold)
+      .select("da", "db", "sim")
+  }
+
   /** MinHash signature column j for a shingle: portable variant hashes with
     * md5 (string min — reproducible in any engine), fast variant with
     * xxhash64 (codegen'd long min — what a production cluster should run).

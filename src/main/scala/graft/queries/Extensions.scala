@@ -1499,6 +1499,31 @@ object Extensions extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Sparse bag-of-words cosine pairs (Dedup.sparseCosinePairs): the
+    // tf-idf-retrieval-style frequency-sensitive sibling of
+    // x2_jaccard_pairs, same inverted-index discipline. Integer-exact
+    // numerator and norms; one IEEE division at the end.
+    QueryDef("x2_sparse_cosine", Some("""
+      WITH tf AS (SELECT doc_id, tok, count(*) AS tf
+                  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                        FROM documents) tt
+                  GROUP BY doc_id, tok),
+      n2 AS (SELECT doc_id, sum(tf*tf) AS n2 FROM tf GROUP BY doc_id),
+      num AS (SELECT a.doc_id AS da, b.doc_id AS db, sum(a.tf*b.tf) AS num
+              FROM tf a JOIN tf b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      sim AS (SELECT da, db,
+                CAST(num AS DOUBLE)
+                  / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS sim
+              FROM num JOIN n2 x ON x.doc_id = da JOIN n2 y ON y.doc_id = db)
+      SELECT da, db, sim FROM sim WHERE sim >= CAST(0.98 AS DOUBLE)
+      ORDER BY da, db""")) { (s, dir) =>
+      Dedup.sparseCosinePairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.98)
+        .orderBy("da", "db")
+    },
+
     // IVF-PQ composite index (Similarity.knnIvfPq): coarse cells from the
     // 8 lowest-id embeddings, per-RESIDUAL product quantization (m=2
     // subspaces, 8-entry codebooks seeded from the lowest-id corpus

@@ -84,6 +84,37 @@ class DedupSpec extends SparkSpec {
     assert(cut.subsetOf(all))
   }
 
+  test("sparseCosinePairs: exact count-vector cosine; df cut prunes the space") {
+    val df = Seq(
+      (1L, "a a b"),   // tf: a=2, b=1, |v|² = 5
+      (2L, "a b b"),   // tf: a=1, b=2, |v|² = 5
+      (3L, "c"))       // shares nothing
+      .toDF("id", "text")
+    val out = Dedup.sparseCosinePairs(df, "id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    // only (1,2): num = 2*1 + 1*2 = 4; the expression shape (one division
+    // by a product of sqrts) must reproduce bit-exactly
+    val want = 4.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+    assert(out.toSeq == Seq((1L, 2L, want)))
+    // identical docs score exactly 1? no — sqrt(n)² != n in FP; assert the
+    // defined expression instead of an idealized constant
+    val self = Dedup.sparseCosinePairs(
+        Seq((1L, "x y"), (2L, "x y")).toDF("id", "text"), "id", "text", 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(self.map(r => (r._1, r._2)).toSeq == Seq((1L, 2L)))
+    assert(math.abs(self.head._3 - 1.0) < 1e-12)
+    // maxDocFreq = 1 removes every token with df 2 from the space: docs
+    // 1 and 2 vanish (empty vectors), so no pairs survive
+    val pruned = Dedup.sparseCosinePairs(df, "id", "text",
+      threshold = 0.0, maxDocFreq = 1L)
+    assert(pruned.count() == 0)
+    // frequency sensitivity: Jaccard can't tell these apart, cosine can
+    val freq = Seq((1L, "a b"), (2L, "a a a a b")).toDF("id", "text")
+    val sim = Dedup.sparseCosinePairs(freq, "id", "text", 0.0)
+      .as[(Long, Long, Double)].head()._3
+    assert(sim < 1.0 && sim > 0.5, s"skewed frequencies must lower sim: $sim")
+  }
+
   test("resolveClusters: min-id propagates across chains, singletons stay") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // chain 1-2-3 (no direct 1-3 edge) plus island 5-6; 4 isolated
