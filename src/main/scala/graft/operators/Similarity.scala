@@ -397,6 +397,43 @@ object Similarity {
       .select("qid", "rank", "nid", "est_d2")
   }
 
+  /** Contrastive TRIPLET MINING — the (anchor, positive, negative) data
+    * prep for embedding training: each anchor's positive is its nearest
+    * corpus neighbor by cosine ([[knnBruteForce]] top-1 — swap in an ANN
+    * variant at scale), and its `nNeg` negatives are drawn in
+    * md5(anchor|candidate) hash order — a deterministic, engine-portable
+    * stand-in for uniform sampling (the same draw-by-hash contract as the
+    * X7 samplers), with the positive excluded.
+    *
+    * Scale posture: the anchor set is small by contract (it is the
+    * training batch's anchor pool) and broadcasts; the corpus is scanned
+    * once for the positive pass and once for the negative draw, each a
+    * projection + partial top-k window (WindowGroupLimit prunes losers
+    * map-side), never shuffled whole. For harder negatives, pre-filter the
+    * candidate side (e.g. same-cell vectors from [[semanticDedup]]'s
+    * quantizer) before the draw — the hash order composes with any
+    * candidate subset.
+    *
+    * Output: (qid, pos_id, pos_sim, neg_rank, neg_id), one row per
+    * (anchor, negative).
+    */
+  def mineTriplets(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, nNeg: Int): DataFrame = {
+    require(nNeg >= 1, "need at least one negative per anchor")
+    val pos = knnBruteForce(corpus, queries, idCol, vecCol, k = 1)
+      .select(col("qid"), col("nid").as("pos_id"), col("sim").as("pos_sim"))
+    val negCand = Par.spread(corpus).select(col(idCol).as("neg_id"))
+      .crossJoin(broadcast(pos))
+      .filter(col("neg_id") =!= col("pos_id"))
+      .withColumn("__h", md5(concat(col("qid").cast("string"), lit("|"),
+        col("neg_id").cast("string"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("__h"), col("neg_id"))
+    negCand.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= nNeg)
+      .select("qid", "pos_id", "pos_sim", "neg_rank", "neg_id")
+  }
+
   /** Centroid list collected to the driver — the coarse quantizer is
     * config-sized by contract (it broadcasts into every cell/probe
     * projection), exactly like LSH planes and PQ codebooks.

@@ -1499,6 +1499,38 @@ object Extensions extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Contrastive triplet mining (Similarity.mineTriplets): nearest
+    // neighbor as the positive, md5-hash-order draws as deterministic
+    // uniform negatives — the (anchor, positive, negative) prep for
+    // embedding training.
+    QueryDef("x3_triplets", Some("""
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id >= 10),
+      sc AS (SELECT qid, nid,
+               list_dot_product(qv, cv)
+                 / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS sim,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY list_dot_product(qv, cv)
+                   / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv))
+                   DESC, nid) AS rk
+             FROM q, c),
+      pos AS (SELECT qid, nid AS pos_id, sim AS pos_sim FROM sc WHERE rk = 1),
+      neg AS (SELECT p.qid, p.pos_id, p.pos_sim, c.nid AS neg_id,
+                row_number() OVER (PARTITION BY p.qid ORDER BY
+                  md5(CAST(p.qid AS VARCHAR) || '|' || CAST(c.nid AS VARCHAR)),
+                  c.nid) AS neg_rank
+              FROM pos p, c WHERE c.nid != p.pos_id)
+      SELECT qid, pos_id, pos_sim, CAST(neg_rank AS INT) AS neg_rank, neg_id
+      FROM neg WHERE neg_rank <= 2 ORDER BY qid, neg_rank""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.mineTriplets(
+          e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", nNeg = 2)
+        .orderBy("qid", "neg_rank")
+    },
+
     // Sparse bag-of-words cosine pairs (Dedup.sparseCosinePairs): the
     // tf-idf-retrieval-style frequency-sensitive sibling of
     // x2_jaccard_pairs, same inverted-index discipline. Integer-exact

@@ -51,6 +51,34 @@ class SimilaritySpec extends SparkSpec {
       "per-cell min ids survive at any threshold")
   }
 
+  test("mineTriplets: top-1 positive, hash-drawn negatives, deterministic") {
+    val corpus = emb.filter($"vec_id" >= 10)
+    val anchors = emb.filter($"vec_id" < 5)
+    val out = Similarity.mineTriplets(corpus, anchors,
+      "vec_id", "embedding", nNeg = 3)
+    val rows = out.as[(Long, Long, Double, Int, Long)].collect()
+    assert(rows.length == 5 * 3)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == Seq(1, 2, 3))
+      assert(rs.map(_._2).distinct.length == 1, "one positive per anchor")
+      assert(rs.forall(r => r._5 != r._2), "negatives exclude the positive")
+    }
+    // positive agrees with brute-force top-1
+    val top1 = Similarity.knnBruteForce(corpus, anchors,
+        "vec_id", "embedding", k = 1)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toMap
+    rows.foreach { case (qid, posId, _, _, _) => assert(top1(qid) == posId) }
+    // the draw is anchor-seeded: not every anchor gets the same negatives
+    val negSets = rows.groupBy(_._1).values.map(_.map(_._5).toSet).toSeq
+    assert(negSets.distinct.length > 1, "hash draw must vary by anchor")
+    // and deterministic: a second run returns the identical triplets
+    val again = Similarity.mineTriplets(corpus, anchors,
+      "vec_id", "embedding", nNeg = 3).as[(Long, Long, Double, Int, Long)]
+      .collect()
+    assert(rows.sortBy(r => (r._1, r._4)).toSeq ==
+      again.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
   test("residuals: zero at the centroids, exact reconstruction elsewhere") {
     val ctr = emb.filter($"vec_id" < 8)
     val res = Similarity.residuals(emb, "vec_id", "embedding",
