@@ -397,6 +397,29 @@ object Similarity {
       .select("qid", "rank", "nid", "est_d2")
   }
 
+  /** SEMANTIC DECONTAMINATION — drop every training vector whose cosine
+    * to ANY benchmark vector reaches `threshold`: the embedding-space
+    * analogue of n-gram decontamination
+    * ([[graft.operators.Dedup.contamination]]), catching paraphrased or
+    * re-encoded eval material that token overlap misses.
+    *
+    * EXACT, not cell-blocked: the benchmark side is eval-suite-sized by
+    * contract, so it broadcasts and the training corpus is scanned once
+    * with a per-row any-match — a left anti join on the threshold
+    * predicate, no shuffle of the corpus, no recall loss. (A 100 TB-side
+    * *benchmark* would be a category error; if one appears, block through
+    * [[semanticDedup]]'s quantizer cells instead.)
+    *
+    * Output: the KEPT training rows (original columns).
+    */
+  def semanticDecontaminate(train: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val b = broadcast(bench.select(asDouble(col(vecCol)).as("__bv")))
+    Par.spread(train).join(b,
+      cosine(asDouble(col(vecCol)), col("__bv")) >= threshold, "left_anti")
+  }
+
   /** Contrastive TRIPLET MINING — the (anchor, positive, negative) data
     * prep for embedding training: each anchor's positive is its nearest
     * corpus neighbor by cosine ([[knnBruteForce]] top-1 — swap in an ANN

@@ -1499,6 +1499,29 @@ object Extensions extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Semantic decontamination (Similarity.semanticDecontaminate): drop
+    // training vectors within cosine 0.35 of ANY benchmark vector — the
+    // embedding-space analogue of x6_decontam, exact via a broadcast
+    // anti join (benchmarks are eval-suite-sized by contract).
+    QueryDef("x6_semdecontam", Some("""
+      WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv
+                 FROM embeddings WHERE vec_id < 10),
+      t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tv
+            FROM embeddings WHERE vec_id >= 10)
+      SELECT vec_id FROM t
+      WHERE NOT EXISTS (SELECT 1 FROM b
+        WHERE list_dot_product(tv, bv)
+                / sqrt(list_dot_product(tv, tv) * list_dot_product(bv, bv))
+              >= CAST(0.35 AS DOUBLE))
+      ORDER BY vec_id""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+          e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", threshold = 0.35)
+        .select("vec_id")
+        .orderBy("vec_id")
+    },
+
     // Contrastive triplet mining (Similarity.mineTriplets): nearest
     // neighbor as the positive, md5-hash-order draws as deterministic
     // uniform negatives — the (anchor, positive, negative) prep for

@@ -51,6 +51,29 @@ class SimilaritySpec extends SparkSpec {
       "per-cell min ids survive at any threshold")
   }
 
+  test("semanticDecontaminate: exact any-match drop, keeps original schema") {
+    val train = emb.filter($"vec_id" >= 10)
+    val bench = emb.filter($"vec_id" < 10)
+    val tau = 0.35
+    val kept = Similarity.semanticDecontaminate(train, bench,
+      "vec_id", "embedding", tau)
+    assert(kept.columns.toSeq == train.columns.toSeq)
+    // brute-force recount of the contaminated set
+    val sims = train.select($"vec_id".cast("long").as("tid"),
+        $"embedding".cast("array<double>").as("tv"))
+      .crossJoin(bench.select($"embedding".cast("array<double>").as("bv")))
+      .withColumn("cos", Similarity.cosine($"tv", $"bv"))
+      .groupBy("tid").agg(max($"cos").as("mx"))
+      .as[(Long, Double)].collect().toMap
+    val keptIds = kept.select($"vec_id".cast("long")).as[Long].collect().toSet
+    sims.foreach { case (id, mx) =>
+      assert(keptIds.contains(id) == (mx < tau),
+        s"vec $id: maxSim $mx vs threshold")
+    }
+    assert(keptIds.nonEmpty && keptIds.size < sims.size,
+      "threshold must drop some but not all")
+  }
+
   test("mineTriplets: top-1 positive, hash-drawn negatives, deterministic") {
     val corpus = emb.filter($"vec_id" >= 10)
     val anchors = emb.filter($"vec_id" < 5)
