@@ -126,6 +126,46 @@ object StreamingGates extends QueryModule {
         .orderBy("user_id", "l_id", "r_id")
     },
 
+    // Stream-stream LEFT OUTER interval join: matched pairs ≡ the batch
+    // join; unmatched clicks emit null-purchase rows only once the final
+    // watermark passes their window end. The watermark is PER-STREAM
+    // (each side watermarks its own filtered input) and the engine takes
+    // the min — so the oracle's closed-state predicate uses
+    // least(max click ts, max purchase ts) − lateness, not the global
+    // max. NULLS FIRST pins the cross-engine sort of the null r_ids.
+    QueryDef("ev12_stream_outer", Some("""
+      WITH mx AS (SELECT least(
+          (SELECT max(ts) FROM events WHERE event_type = 'click'),
+          (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS m),
+      c AS (SELECT * FROM events WHERE event_type = 'click'),
+      p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT c.user_id, c.event_id AS l_id, c.ts AS l_ts,
+                   p.event_id AS r_id,
+                   epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+            FROM c LEFT JOIN p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES)
+      SELECT user_id, l_id, r_id, lag_ms FROM j, mx
+      WHERE r_id IS NOT NULL
+         OR l_ts + INTERVAL 30 MINUTES < m - INTERVAL 1 HOUR
+      ORDER BY user_id, l_id, r_id NULLS FIRST""")) { (s, dir) =>
+      val (in, out, ck) = stage(s, dir)
+      val clicks = Streams.readEventStream(s, in)
+        .filter(col("event_type") === "click")
+      val purchases = Streams.readEventStream(s, in)
+        .filter(col("event_type") === "purchase")
+      val q = Streams.intervalJoinLeftOuter(clicks, purchases, "user_id",
+          windowMs = 30 * 60 * 1000L, lateness = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("l_key").as("user_id"), col("l_id"), col("r_id"),
+          (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("lag_ms"))
+        .orderBy("user_id", "l_id", "r_id")
+    },
+
     // Streaming dedup ≡ batch distinct: the doubled input collapses back
     // to the original rows (identical duplicates land inside one
     // AvailableNow batch, well within the lateness window), so per-type

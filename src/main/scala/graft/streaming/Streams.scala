@@ -134,6 +134,31 @@ object Streams {
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowMs MILLISECONDS"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[intervalJoin]], but
+    * left events with no in-window right match still emit — with null
+    * right columns — once the watermark passes their window's end (only
+    * then can the engine prove no match is coming; matched pairs emit
+    * immediately like the inner join). This is the streaming form of
+    * "every click, with its purchase if one followed": the null rows are
+    * the negatives, and they are emitted exactly when their state is
+    * provably closed, which is what keeps join state bounded.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                            keyCol: String, windowMs: Long,
+                            lateness: String): DataFrame = {
+    val l = left.select(col(keyCol).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+      .withWatermark("l_ts", lateness)
+    val r = right.select(col(keyCol).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+      .withWatermark("r_ts", lateness)
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowMs MILLISECONDS"),
+      "left_outer")
+  }
+
   /** Streaming exact dedup on `keys`: per-key state is retained only until
     * the watermark passes the row's event time plus `lateness`, so state is
     * bounded by the lateness window instead of growing with the stream —

@@ -83,6 +83,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinLeftOuter: matches emit immediately, nulls on close") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[Event]
+    val right = MemoryStream[Event]
+    val q = Streams.intervalJoinLeftOuter(left.toDF(), right.toDF(),
+        "user_id", windowMs = 10 * 60 * 1000L, lateness = "5 minutes")
+      .writeStream.format("memory").queryName("loj").outputMode("append").start()
+    try {
+      // user 1's click finds a purchase in-window; user 2's click never will
+      left.addData(Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(2), 2, "click", 1.0))
+      right.addData(Event(10, ts(5), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      val matched = spark.table("loj")
+        .select("l_id", "r_id").as[(Long, Option[Long])].collect().toSet
+      assert(matched.contains((1L, Some(10L))),
+        "in-window match emits without waiting for the watermark")
+      assert(!matched.exists(_._2.isEmpty),
+        "no null row before the watermark closes the window")
+      // advance BOTH watermarks past click 2's window end (10:12 + 5min)
+      left.addData(Event(3, ts(40), 9, "click", 0.0))
+      right.addData(Event(11, ts(40), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      val after = spark.table("loj")
+        .select("l_id", "r_id").as[(Long, Option[Long])].collect().toSet
+      assert(after.contains((2L, None)),
+        s"closed unmatched click must emit a null row: $after")
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops in-window duplicates, evicts old state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
