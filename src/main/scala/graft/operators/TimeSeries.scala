@@ -24,6 +24,41 @@ object TimeSeries {
     * `date_trunc` unit plus matching step interval, e.g. ("hour",
     * "interval 1 hour").
     */
+  /** OHLC downsampling: collapse each (`keyCol`, `unit` bucket) to
+    * open/high/low/close/count/sum — the standard bar aggregation that
+    * turns a raw event stream into fixed-interval features. Open and
+    * close are the first/last values under the (`tsCol`, `ordCol`) total
+    * order (the tiebreak makes them deterministic, hence gate-able: every
+    * output is either a raw data value or a decimal-exact sum).
+    *
+    * Scale posture: one hash exchange on (key, bucket) shared by both
+    * window passes and the final aggregate; map-side partial aggregation
+    * applies to the min/max/count/sum. No grid explode — buckets exist
+    * only where data does (downsampling, not gap filling; compose with
+    * [[resampleFfill]] for a dense grid).
+    */
+  def downsampleOhlc(df: DataFrame, keyCol: String, tsCol: String,
+                     valCol: String, ordCol: String,
+                     unit: String): DataFrame = {
+    val k = col(keyCol)
+    val b = date_trunc(unit, col(tsCol))
+    val wAsc = Window.partitionBy(k, col("__b"))
+      .orderBy(col(tsCol).asc, col(ordCol).asc)
+    val wDesc = Window.partitionBy(k, col("__b"))
+      .orderBy(col(tsCol).desc, col(ordCol).desc)
+    df.withColumn("__b", b)
+      .withColumn("__ra", row_number().over(wAsc))
+      .withColumn("__rd", row_number().over(wDesc))
+      .groupBy(k, col("__b").as("bucket"))
+      .agg(
+        max(when(col("__ra") === 1, col(valCol))).as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max(when(col("__rd") === 1, col(valCol))).as("close"),
+        count(lit(1)).as("n"),
+        sum(col(valCol).cast("decimal(18,6)")).cast("double").as("sum_v"))
+  }
+
   def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
                     valCol: String, ordCol: String,
                     unit: String, step: String): DataFrame = {

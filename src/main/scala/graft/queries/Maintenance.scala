@@ -180,6 +180,35 @@ object Maintenance extends QueryModule {
         .orderBy("user_id", "hour_s")
     },
 
+    // OHLC downsampling (TimeSeries.downsampleOhlc): daily bars per event
+    // type — open/close under the (ts, event_id) total order, exact
+    // min/max/count, decimal-exact sum. The other half of resampling:
+    // ts1 fills gaps up, ts2 collapses detail down.
+    QueryDef("ts2_ohlc", Some("""
+      WITH r AS (SELECT event_type, date_trunc('day', ts) AS d, value,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                      ORDER BY ts, event_id) AS ra,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rd
+                 FROM events)
+      SELECT event_type, strftime(d, '%Y-%m-%d') AS day_s,
+             CAST(max(CASE WHEN ra = 1 THEN value END) AS DOUBLE) AS open,
+             CAST(max(value) AS DOUBLE) AS high,
+             CAST(min(value) AS DOUBLE) AS low,
+             CAST(max(CASE WHEN rd = 1 THEN value END) AS DOUBLE) AS close,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+      FROM r GROUP BY event_type, d ORDER BY event_type, day_s""")) { (s, dir) =>
+      graft.operators.TimeSeries.downsampleOhlc(
+          t(s, dir, "events"), "event_type", "ts", "value", "event_id",
+          unit = "day")
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd").as("day_s"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("n"), col("sum_v"))
+        .orderBy("event_type", "day_s")
+    },
+
     // Partitioned write + planning-time pruning, end to end: land events
     // Hive-partitioned by event_type, read one partition back, aggregate.
     QueryDef("s3_partition_prune", Some("""

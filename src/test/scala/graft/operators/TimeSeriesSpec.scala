@@ -8,6 +8,27 @@ class TimeSeriesSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("downsampleOhlc: first/last by (ts, ord), exact extremes and sum") {
+    val events = Seq(
+      (1L, ts("2026-01-01 10:05:00"), 3.0, 1L),  // open of day 1, key 1
+      (1L, ts("2026-01-01 18:00:00"), 1.0, 2L),  // low
+      (1L, ts("2026-01-01 23:59:00"), 5.0, 3L),  // close + high
+      (1L, ts("2026-01-02 00:01:00"), 8.0, 4L),  // new bucket
+      (2L, ts("2026-01-01 12:00:00"), 4.0, 5L),  // tie on ts: ord decides
+      (2L, ts("2026-01-01 12:00:00"), 6.0, 6L)
+    ).toDF("k", "ts", "value", "event_id")
+    val out = TimeSeries.downsampleOhlc(events, "k", "ts", "value",
+        "event_id", unit = "day")
+      .orderBy("k", "bucket")
+      .select("k", "open", "high", "low", "close", "n", "sum_v")
+      .as[(Long, Double, Double, Double, Double, Long, Double)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 3.0, 5.0, 1.0, 5.0, 3L, 9.0),
+      (1L, 8.0, 8.0, 8.0, 8.0, 1L, 8.0),
+      (2L, 4.0, 6.0, 4.0, 6.0, 2L, 10.0)))
+  }
+
   test("resampleFfill: grid per key span, last-in-bucket wins, gaps filled") {
     val events = Seq(
       (1L, ts("2026-01-01 10:05:00"), 1.0, 1L),
