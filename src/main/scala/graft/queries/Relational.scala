@@ -850,6 +850,51 @@ object Relational extends QueryModule {
             AS BIGINT) AS n_poisoned""")
     },
 
+    // Null-safe equijoin (<=> / IS NOT DISTINCT FROM): null keys MATCH
+    // each other — the semantics dimension-key joins need when "unknown"
+    // is itself a join value. Plans as a hash join on EqualNullSafe, not
+    // a nested loop. NULLS FIRST pins the cross-engine sort.
+    QueryDef("j6_null_safe_join", Some("""
+      WITH c AS (SELECT c_custkey, nullif(c_nationkey % 5, 4) AS k FROM customer),
+      s AS (SELECT s_suppkey, nullif(s_nationkey % 5, 4) AS k FROM supplier)
+      SELECT c.k, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(min(c_custkey) AS BIGINT) AS min_c,
+             CAST(max(s_suppkey) AS BIGINT) AS max_s
+      FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+      GROUP BY c.k ORDER BY c.k NULLS FIRST""")) { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          nullif(col("c_nationkey") % 5, lit(4)).as("k"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          nullif(col("s_nationkey") % 5, lit(4)).as("ks"))
+      c.join(sup, col("k") <=> col("ks"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          min("c_custkey").as("min_c"), max("s_suppkey").as("max_s"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+
+    // MapType surface: build a map from event columns, explode it to
+    // (key, value) rows (the oracle stacks the same pairs with UNION ALL),
+    // aggregate per pair. Exercises map(), explode-of-map and the
+    // Generate path for maps.
+    QueryDef("m3_map_explode", Some("""
+      WITH kv AS (
+        SELECT 'et' AS mk, event_type AS mv FROM events
+        UNION ALL
+        SELECT 'vid' AS mk, CAST(event_id % 7 AS VARCHAR) AS mv FROM events)
+      SELECT mk, mv, CAST(count(*) AS BIGINT) AS cnt
+      FROM kv GROUP BY mk, mv ORDER BY mk, mv""")) { (s, dir) =>
+      t(s, dir, "events")
+        .select(explode(map(
+          lit("et"), col("event_type"),
+          lit("vid"), (col("event_id") % 7).cast("string")))
+          .as(Seq("mk", "mv")))
+        .groupBy("mk", "mv").agg(count(lit(1)).as("cnt"))
+        .orderBy("mk", "mv")
+    },
+
     // Interval×interval overlap join (operators.RangeJoin.intervalOverlap):
     // daily per-user activity intervals from two user cohorts, paired when
     // they intersect. The bucket equijoin + first-shared-bucket filter
