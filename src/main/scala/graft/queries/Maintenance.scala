@@ -180,6 +180,41 @@ object Maintenance extends QueryModule {
         .orderBy("user_id", "hour_s")
     },
 
+    // Corrupt-tolerant JSON ingest (S1 hardened): a JSONL landing file
+    // where every doc_id % 50 line is malformed, read back PERMISSIVE
+    // with the corrupt records captured in _corrupt — the posture a crawl
+    // ingest needs (count and quarantine bad lines, never fail the job).
+    // The zip connector's mode=permissive is the archive-level sibling.
+    QueryDef("s8_json_corrupt", Some("""
+      SELECT CASE WHEN doc_id % 50 = 0 THEN '__corrupt' ELSE lang END AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(min(CASE WHEN doc_id % 50 = 0 THEN NULL ELSE doc_id END) AS BIGINT) AS min_id,
+             CAST(max(CASE WHEN doc_id % 50 = 0 THEN NULL ELSE doc_id END) AS BIGINT) AS max_id,
+             CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_raw
+      FROM documents GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val staged = graft.Scratch.fresh("json-corrupt")
+      t(s, dir, "documents")
+        .select(when(col("doc_id") % 50 === 0,
+            concat(lit("{broken "), col("doc_id").cast("string")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"))))
+          .as("value"))
+        .write.mode("overwrite").text(staged)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(staged)
+        .groupBy(coalesce(col("lang"), lit("__corrupt")).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_raw"))
+        .orderBy("grp")
+    },
+
     // OHLC downsampling (TimeSeries.downsampleOhlc): daily bars per event
     // type — open/close under the (ts, event_id) total order, exact
     // min/max/count, decimal-exact sum. The other half of resampling:
