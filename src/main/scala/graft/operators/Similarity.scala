@@ -397,6 +397,48 @@ object Similarity {
       .select("qid", "rank", "nid", "est_d2")
   }
 
+  /** SQ8 scalar-quantized ANN: each corpus vector is stored as a per-vector
+    * (min, max) pair plus one byte per dimension — dim bytes instead of
+    * dim floats, the simplest 4× vector compression (the middle rung of
+    * the flat → SQ8 → PQ → IVF-PQ ladder; unlike PQ it needs no training).
+    * Scoring is asymmetric: the raw query against the dequantized corpus
+    * vector, reconstructed inline in the scan — code i maps back to
+    * `mn + code * (mx - mn)/255`.
+    *
+    * Every arithmetic step (range scale, floor-to-code, reconstruction,
+    * sequential-fold cosine) is IEEE-exact and mirrored by the oracle, so
+    * the quantized ranking gates exactly. Constant vectors (mx == mn)
+    * code to 0 and reconstruct to mn via the nullif/coalesce guard —
+    * same totalization in both engines.
+    *
+    * Scale posture: identical to [[knnBruteForce]] (queries broadcast,
+    * corpus scanned once, partial top-k window) — the win is the 4×
+    * smaller persisted index the scan reads. Output: (qid, rank, nid, sim).
+    */
+  def knnSq8(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int): DataFrame = {
+    val sc = (col("__mx") - col("__mn")) / lit(255.0)
+    val c = Par.spread(corpus)
+      .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("__mn", array_min(col("cv")))
+      .withColumn("__mx", array_max(col("cv")))
+      .withColumn("__codes", transform(col("cv"), x =>
+        least(coalesce(
+          floor((x - col("__mn")) / nullif(sc, lit(0.0))).cast("int"),
+          lit(0)), lit(255))))
+      .withColumn("__rv", transform(col("__codes"), cd =>
+        col("__mn") + cd.cast("double") * sc))
+    val qb = broadcast(queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv")))
+    val scored = c.crossJoin(qb)
+      .withColumn("sim", cosine(col("qv"), col("__rv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "sim")
+  }
+
   /** SEMANTIC DECONTAMINATION — drop every training vector whose cosine
     * to ANY benchmark vector reaches `threshold`: the embedding-space
     * analogue of n-gram decontamination

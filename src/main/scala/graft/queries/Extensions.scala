@@ -1499,6 +1499,41 @@ object Extensions extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // SQ8 scalar-quantized ANN (Similarity.knnSq8): corpus stored as
+    // per-vector (min, max) + one byte per dimension, dequantized inline
+    // and ranked asymmetrically — the training-free 4x compression rung.
+    // The oracle replays the quantize/dequantize arithmetic exactly.
+    QueryDef("x3_sq8", Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+      c AS (SELECT vec_id AS nid, vv,
+              list_aggregate(vv, 'min') AS mn,
+              list_aggregate(vv, 'max') AS mx
+            FROM v WHERE vec_id >= 10),
+      cod AS (SELECT nid, mn, mx,
+                list_transform(vv, x ->
+                  least(coalesce(CAST(floor((x - mn) / nullif((mx - mn)/255.0, 0.0)) AS INT), 0), 255)) AS codes
+              FROM c),
+      rec AS (SELECT nid,
+                list_transform(codes, cd -> mn + CAST(cd AS DOUBLE) * ((mx - mn)/255.0)) AS rv
+              FROM cod),
+      q AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id < 10),
+      sc AS (SELECT qid, nid,
+               list_dot_product(qv, rv)
+                 / sqrt(list_dot_product(qv, qv) * list_dot_product(rv, rv)) AS sim
+             FROM q, rec),
+      r AS (SELECT qid, nid, sim,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+            FROM sc)
+      SELECT qid, rnk, nid, sim FROM r WHERE rnk <= 3 ORDER BY qid, rnk""")) {
+      (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.knnSq8(
+          e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
     // Semantic decontamination (Similarity.semanticDecontaminate): drop
     // training vectors within cosine 0.35 of ANY benchmark vector — the
     // embedding-space analogue of x6_decontam, exact via a broadcast

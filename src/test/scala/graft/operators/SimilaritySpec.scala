@@ -51,6 +51,29 @@ class SimilaritySpec extends SparkSpec {
       "per-cell min ids survive at any threshold")
   }
 
+  test("knnSq8: reconstruction within one step; high recall vs brute force") {
+    val corpus = emb.filter($"vec_id" >= 10)
+    val queries = emb.filter($"vec_id" < 10)
+    val k = 3
+    val sq = Similarity.knnSq8(corpus, queries, "vec_id", "embedding", k)
+      .select($"qid", $"nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bf = Similarity.knnBruteForce(corpus, queries, "vec_id", "embedding", k)
+      .select($"qid", $"nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = bf.map { case (q, want) =>
+      (sq(q) & want).size.toDouble / want.size }.sum / bf.size
+    info(f"SQ8 recall@$k vs brute force: $recall%.3f")
+    assert(recall >= 0.8, s"8-bit quantization must barely perturb top-k: $recall")
+    // constant vector: guard path codes to 0 and reconstructs exactly
+    val const = Seq((1L, Array.fill(4)(2.5)), (2L, Array.fill(4)(2.5)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnSq8(const, const.limit(1), "vec_id", "embedding", 1)
+      .select("sim").as[Double].collect()
+    assert(out.length == 1 && math.abs(out.head - 1.0) < 1e-12,
+      "constant vectors reconstruct to themselves")
+  }
+
   test("semanticDecontaminate: exact any-match drop, keeps original schema") {
     val train = emb.filter($"vec_id" >= 10)
     val bench = emb.filter($"vec_id" < 10)
