@@ -180,6 +180,42 @@ object Maintenance extends QueryModule {
         .orderBy("user_id", "hour_s")
     },
 
+    // TIME TRAVEL over versioned snapshots: three upsert versions land as
+    // v0/v1/v2 (the mergeSink layout), then the gate reads AS OF v1 via
+    // latestSnapshotBefore — historical reads from an immutable version
+    // chain, no rewritten files. The oracle reconstructs v1's content
+    // arithmetically (v0 keys + v1's doubled-price upserts, v2 absent).
+    QueryDef("e4_time_travel", Some("""
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(CASE WHEN o_orderkey % 3 = 1
+                             THEN o_totalprice * 2 ELSE o_totalprice END
+                           AS DECIMAL(18,6))) AS DOUBLE) AS sum_p
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val snapDir = graft.Scratch.fresh("ttravel")
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .write.mode("overwrite").parquet(s"$snapDir/v0")
+      val u1 = orders.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      Snapshot.upsert(s.read.parquet(s"$snapDir/v0"), u1, Seq("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$snapDir/v1")
+      val u2 = orders.filter(col("o_orderkey") % 3 === 2)
+      Snapshot.upsert(s.read.parquet(s"$snapDir/v1"), u2, Seq("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$snapDir/v2")
+      val asOfV1 = graft.streaming.Streams
+        .latestSnapshotBefore(s, snapDir, bound = 2)
+        .getOrElse(sys.error("v1 snapshot must exist"))
+      s.read.parquet(asOfV1)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("sum_p"))
+        .orderBy("o_orderstatus")
+    },
+
     // Corrupt-tolerant JSON ingest (S1 hardened): a JSONL landing file
     // where every doc_id % 50 line is malformed, read back PERMISSIVE
     // with the corrupt records captured in _corrupt — the posture a crawl
