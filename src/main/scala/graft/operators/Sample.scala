@@ -82,6 +82,43 @@ object Sample {
         md5(concat(lit(s"$seed|"), col(idCol).cast("string"))))
       .orderBy(col("shuffle_key"), col(idCol))
 
+  /** Weighted source INTERLEAVING (stride scheduling): order a multi-source
+    * corpus so that reading it front to back consumes sources in
+    * proportion to their weights — the mixture *schedule*, where
+    * [[graft.queries]]' x7_mixture gates the mixture *proportions*. Each
+    * row gets a deterministic within-source shuffle rank (md5 order, id
+    * tiebreak) and a virtual time `rank / weight`; ascending virtual time
+    * is the classic stride schedule: a weight-2 source appears twice as
+    * often as a weight-1 source at every prefix, and a depleted source
+    * simply stops contributing. `rank / weight` is one IEEE division of
+    * an exact integer, so the schedule is engine-portable and
+    * re-derivable from (id, source) alone.
+    *
+    * Scale posture: one window shuffle on the source key; the schedule
+    * order is the gate's ORDER BY (consumers read in that total order —
+    * materializing contiguous positions costs the same single range
+    * exchange as [[deterministicShuffle]]).
+    *
+    * Output: input columns + (src_rank, vtime).
+    */
+  def interleaveByWeight(df: DataFrame, sourceCol: String, idCol: String,
+                         weights: Map[String, Double],
+                         seed: String): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "every interleave weight must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5(concat(lit(s"$seed|"), col(idCol).cast("string"))),
+        col(idCol))
+    val weightExpr = weights.foldLeft(lit(Double.NaN): Column) {
+      case (acc, (src, wt)) =>
+        when(col(sourceCol) === src, lit(wt)).otherwise(acc)
+    }
+    df.withColumn("src_rank", row_number().over(w))
+      .filter(!isnan(weightExpr))
+      .withColumn("vtime", col("src_rank").cast("double") / weightExpr)
+  }
+
   /** Importance-weighted deterministic sampling: keep a row with
     * probability `weight` (a [0,1] column — e.g. a quality score), decided
     * by comparing the row's md5-uniform draw against the weight. The draw

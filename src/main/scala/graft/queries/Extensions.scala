@@ -1499,6 +1499,34 @@ object Extensions extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Weighted source interleaving (Sample.interleaveByWeight): stride
+    // scheduling — ascending virtual time rank/weight consumes sources
+    // proportionally to their weights at every prefix. The mixture
+    // SCHEDULE, where x7_mixture gates the proportions.
+    QueryDef("x7_interleave", Some("""
+      WITH d AS (SELECT doc_id, source FROM documents
+                 WHERE source IN ('src0','src1','src2')),
+      r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source
+                ORDER BY md5('ep1|' || CAST(doc_id AS VARCHAR)), doc_id) AS src_rank
+            FROM d),
+      v AS (SELECT doc_id, source, CAST(src_rank AS INT) AS src_rank,
+              CAST(src_rank AS DOUBLE) /
+                CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
+                            ELSE 1.0 END AS vtime
+            FROM r)
+      SELECT doc_id, source, src_rank, vtime
+      FROM v ORDER BY vtime, source, doc_id LIMIT 60""")) { (s, dir) =>
+      Sample.interleaveByWeight(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id",
+          weights = Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0),
+          seed = "ep1")
+        .select("doc_id", "source", "src_rank", "vtime")
+        .orderBy("vtime", "source", "doc_id")
+        .limit(60)
+    },
+
     // SQ8 scalar-quantized ANN (Similarity.knnSq8): corpus stored as
     // per-vector (min, max) + one byte per dimension, dequantized inline
     // and ranked asymmetrically — the training-free 4x compression rung.

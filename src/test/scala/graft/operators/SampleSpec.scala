@@ -118,6 +118,35 @@ class SampleSpec extends SparkSpec {
     }
   }
 
+  test("interleaveByWeight: stride property — prefixes consume by weight") {
+    val wts = Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0)
+    val sched = Sample.interleaveByWeight(
+        docs.select("doc_id", "source"), "source", "doc_id", wts, "ep1")
+      .orderBy("vtime", "source", "doc_id")
+      .select("source", "vtime").as[(String, Double)].collect()
+    assert(sched.map(_._1).toSet == wts.keySet, "unweighted sources dropped")
+    // stride scheduling invariant: among rows with vtime <= T, source s
+    // has contributed exactly floor(T * w_s) rows (rank/w <= T)
+    for (t <- Seq(1.0, 2.5, 5.0)) {
+      val pre = sched.filter(_._2 <= t).groupBy(_._1).view.mapValues(_.length)
+      wts.foreach { case (src, wgt) =>
+        val want = math.floor(t * wgt).toInt
+        assert(pre.getOrElse(src, 0) == want,
+          s"prefix T=$t source $src: ${pre.getOrElse(src, 0)} vs $want")
+      }
+    }
+    // depleted sources stop contributing (each source has 25 docs, so
+    // src0 caps at 25 where the pure stride would want 40); the rest
+    // keep their ratio
+    val bigT = sched.filter(_._2 <= 10.0).groupBy(_._1).view
+      .mapValues(_.length).toMap
+    assert(bigT("src0") == 25 && bigT("src1") == 20 && bigT("src2") == 10)
+    intercept[IllegalArgumentException] {
+      Sample.interleaveByWeight(docs, "source", "doc_id",
+        Map("src0" -> 0.0), "s")
+    }
+  }
+
   test("deterministicShuffle: a partition-invariant permutation; seed reorders") {
     val ordered = Sample.deterministicShuffle(docs, "doc_id", "s1")
       .select("doc_id").as[Long].collect().toSeq
