@@ -414,6 +414,40 @@ object Dedup {
         TextOps.simhashBits(array_distinct(TextOps.tokens(col(textCol))))
           .as("simhash"))
 
+  /** SimHash NEAR-DUP PAIRS (the Manku et al. web-dedup recipe): block by
+    * the four 4-bit nibble bands of the 16-bit signature — by pigeonhole,
+    * any pair within Hamming distance 3 shares at least one exact band —
+    * then verify exact Hamming distance on band-collision candidates
+    * only. The banding is the same candidate-bounding discipline as
+    * MinHash-LSH, but over *bit* signatures: one shuffle on (band, key),
+    * pair space bounded by band collisions, never all-pairs.
+    *
+    * Output: (da, db, hamming) with da < db, hamming <= maxHamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band blocking over 16 bits is complete only for Hamming <= 3")
+    val sig = simhash(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("simhash"), b * 4 + 1, 4)): _*))
+        .as(Seq("band", "bkey")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct() // a pair may collide in several bands
+    val hamming = (1 to 16).map(i =>
+      when(substring(col("sa"), i, 1) =!= substring(col("sb"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    cand.withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("da", "db", "hamming")
+  }
+
   /** Near-dup *resolution*: a pair list (da, db) → one cluster id per doc —
     * the minimum doc id reachable through the duplicate-pair graph (docs in
     * no pair are their own cluster). This is the step a training pipeline

@@ -502,6 +502,35 @@ object Extensions extends QueryModule {
         .orderBy("simhash")
     },
 
+    // SimHash Hamming-band near-dup pairs (Dedup.simhashPairs): nibble
+    // bands bound candidates (pigeonhole-complete for Hamming <= 3),
+    // exact Hamming verify on collisions. The oracle, free of scale
+    // concerns, verifies against the plain all-pairs Hamming join.
+    QueryDef("x2_simhash_pairs", Some("""
+      WITH tk AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok
+                  FROM documents WHERE doc_id % 5 = 0),
+      bits AS (SELECT doc_id,
+        """ + (0 until 16).map(i =>
+          s"""CASE WHEN sum(CASE WHEN substr(md5(tok),${i + 1},1) IN
+             ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0
+             THEN '1' ELSE '0' END AS b$i""").mkString(",\n        ") + """
+        FROM tk GROUP BY doc_id),
+      sig AS (SELECT doc_id, """ +
+        (0 until 16).map(i => s"b$i").mkString("||") + """ AS sh FROM bits),
+      pr AS (SELECT a.doc_id AS da, b.doc_id AS db, a.sh AS sa, b.sh AS sb
+             FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+      h AS (SELECT da, db, """ + (1 to 16).map(i =>
+          s"CASE WHEN substr(sa,$i,1) != substr(sb,$i,1) THEN 1 ELSE 0 END")
+          .mkString(" + ") + """ AS hamming
+            FROM pr)
+      SELECT da, db, CAST(hamming AS INT) AS hamming
+      FROM h WHERE hamming <= 2 ORDER BY da, db""")) { (s, dir) =>
+      Dedup.simhashPairs(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", maxHamming = 2)
+        .orderBy("da", "db")
+    },
+
     // ---------------- X3: similarity search ----------------
 
     QueryDef("x3_knn", Some("""

@@ -84,6 +84,25 @@ class DedupSpec extends SparkSpec {
     assert(cut.subsetOf(all))
   }
 
+  test("simhashPairs: banded candidates reproduce all-pairs Hamming exactly") {
+    val d = docs.filter($"doc_id" < 100)
+    val got = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+      .select("da", "db", "hamming").as[(Long, Long, Int)].collect().toSet
+    // brute force: all pairs over the signatures, no banding
+    val sigs = Dedup.simhash(d, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = sigs(a).zip(sigs(b)).count { case (x, y) => x != y }
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == want, "pigeonhole blocking must be lossless for h <= 3")
+    assert(got.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 4)
+    }
+  }
+
   test("sparseCosinePairs: exact count-vector cosine; df cut prunes the space") {
     val df = Seq(
       (1L, "a a b"),   // tf: a=2, b=1, |v|² = 5
