@@ -983,5 +983,208 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")
+    },
+
+    // Disjunctive join predicate (TPC-H Q19 flavor): OR-of-ANDs across both
+    // join sides. Catalyst extracts the common p_partkey equi-conjunct so the
+    // join stays a broadcast hash join; the residual disjunction evaluates
+    // post-probe, and each side's derivable prefix (brand IN, quantity range)
+    // pushes to its scan.
+    QueryDef("q19_disjunctive", Some("""
+      SELECT
+        CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                      AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity >= 1.0 AND l.l_quantity <= 20.0)
+         OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+             AND l.l_quantity >= 10.0 AND l.l_quantity <= 35.0)""")) {
+      (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val cond = p("p_partkey") === l("l_partkey") &&
+        ((p("p_brand") === "Brand#1" && p("p_size").between(1, 15)
+            && l("l_quantity") >= 1.0 && l("l_quantity") <= 20.0) ||
+         (p("p_brand") === "Brand#3" && p("p_size").between(10, 30)
+            && l("l_quantity") >= 10.0 && l("l_quantity") <= 35.0))
+      l.join(broadcast(p), cond)
+        .agg(dsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // Sole-returner suppliers (TPC-H Q21 shape): EXISTS another supplier in
+    // the order, NOT EXISTS another supplier who also returned. Both probes
+    // are lineitem self-joins on l_orderkey — same key, so the shuffles
+    // co-partition and AQE reuses the exchange; the <> conjunct rides the
+    // equi-join as a residual condition, never a nested loop.
+    QueryDef("q21_sole_returner", Some("""
+      SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      WHERE l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s.s_name
+      ORDER BY numwait DESC, s.s_name LIMIT 20""")) { (s, dir) =>
+      val l1 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey")
+      val l2 = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val su = t(s, dir, "supplier")
+      l1.join(l2, l1("l_orderkey") === l2("o2")
+          && l1("l_suppkey") =!= l2("s2"), "leftsemi")
+        .join(l3, l1("l_orderkey") === l3("o3")
+          && l1("l_suppkey") =!= l3("s3"), "leftanti")
+        .join(broadcast(su), su("s_suppkey") === l1("l_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+
+    // Idle rich customers (TPC-H Q22 shape): above the exact global mean of
+    // positive balances, with no urgent orders. The scalar mean is one
+    // broadcast row (decimal-exact sum → one double division); the NOT
+    // EXISTS is a left-anti join on o_custkey whose priority filter pushes
+    // to the orders scan before the shuffle.
+    QueryDef("q22_idle_rich", Some("""
+      WITH pos AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0)
+      SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_bal
+      FROM customer c, pos
+      WHERE c.c_acctbal > pos.avg_bal
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c.c_nationkey ORDER BY c.c_nationkey""")) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
+      val avg = c.filter(col("c_acctbal") > 0.0)
+        .agg((dsum("c_acctbal") / count(lit(1)).cast("double"))
+          .as("avg_bal"))
+      c.crossJoin(broadcast(avg))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(o, col("c_custkey") === col("o_custkey"), "leftanti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), dsum("c_acctbal").as("total_bal"))
+        .orderBy("c_nationkey")
+    },
+
+    // Distribution window functions: ntile / percent_rank / cume_dist.
+    // percent_rank and cume_dist are single divisions of exact integer
+    // counts — IEEE-identical cross-engine; c_custkey tiebreak totalizes
+    // the frame order.
+    QueryDef("w6_dist_funcs", Some("""
+      SELECT c_custkey, c_nationkey,
+             ntile(4)       OVER w AS tile,
+             percent_rank() OVER w AS pr,
+             cume_dist()    OVER w AS cd
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey""")) { (s, dir) =>
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).as("tile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_custkey")
+    },
+
+    // Ordered funnel (view → click → purchase): strictly increasing event
+    // times within a (user, day) cell. Three unordered windows over the
+    // same (user_id, day) partitioning — one shuffle total, each stage's
+    // anchor feeding the next as a per-partition min; no self-joins, no
+    // per-cell sorts. Day-scoping keeps the funnel discriminating (a
+    // month-long scope saturates every user at stage 3).
+    QueryDef("f1_funnel", Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type, ts
+                 FROM events
+                 WHERE event_type IN ('view', 'click', 'purchase')),
+      s1 AS (SELECT user_id, d, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id, d) AS a_ts FROM e),
+      s2 AS (SELECT user_id, d, event_type, ts, a_ts,
+               min(CASE WHEN event_type = 'click' AND ts > a_ts THEN ts END)
+                 OVER (PARTITION BY user_id, d) AS b_ts FROM s1),
+      s3 AS (SELECT user_id, d, a_ts, b_ts,
+               min(CASE WHEN event_type = 'purchase' AND ts > b_ts THEN ts END)
+                 OVER (PARTITION BY user_id, d) AS c_ts FROM s2),
+      u AS (SELECT user_id, d, max(a_ts) AS a_ts, max(b_ts) AS b_ts,
+                   max(c_ts) AS c_ts
+            FROM s3 GROUP BY user_id, d)
+      SELECT CASE WHEN c_ts IS NOT NULL THEN 3
+                  WHEN b_ts IS NOT NULL THEN 2
+                  WHEN a_ts IS NOT NULL THEN 1 ELSE 0 END AS stage,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM u GROUP BY 1 ORDER BY stage""")) { (s, dir) =>
+      val w = Window.partitionBy("user_id", "d")
+      val e = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("ts").cast("date").as("d"),
+          col("event_type"), col("ts"))
+      val s1 = e.withColumn("a_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      val s2 = s1.withColumn("b_ts",
+        min(when(col("event_type") === "click" && col("ts") > col("a_ts"),
+          col("ts"))).over(w))
+      val s3 = s2.withColumn("c_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("b_ts"),
+          col("ts"))).over(w))
+      s3.groupBy("user_id", "d")
+        .agg(max("a_ts").as("a_ts"), max("b_ts").as("b_ts"),
+          max("c_ts").as("c_ts"))
+        .select(when(col("c_ts").isNotNull, 3)
+          .when(col("b_ts").isNotNull, 2)
+          .when(col("a_ts").isNotNull, 1)
+          .otherwise(0).as("stage"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_cells"))
+        .orderBy("stage")
+    },
+
+    // Weekly cohort retention: cohort = ISO week of first event; cell =
+    // distinct users active k weeks later. Per-user min is one shuffle on
+    // user_id; the join back is on the same key (co-partitioned, and
+    // broadcast-able since cohorts are one row per user).
+    QueryDef("f2_retention", Some("""
+      WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+                 FROM events GROUP BY user_id),
+      a AS (SELECT e.user_id, f.cohort,
+              CAST(date_diff('day', CAST(f.cohort AS DATE),
+                     CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+                AS wk
+            FROM events e JOIN f ON e.user_id = f.user_id)
+      SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, wk,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM a GROUP BY cohort, wk ORDER BY cohort_week, wk""")) { (s, dir) =>
+      val e = t(s, dir, "events").select("user_id", "ts")
+      val f = e.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).as("cohort"))
+      e.join(f, "user_id")
+        .withColumn("wk",
+          expr("CAST(datediff(CAST(date_trunc('week', ts) AS DATE), " +
+            "CAST(cohort AS DATE)) div 7 AS INT)"))
+        .groupBy("cohort", "wk")
+        .agg(countDistinct("user_id").as("n_users"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("wk"), col("n_users"))
+        .orderBy("cohort_week", "wk")
     })
 }
