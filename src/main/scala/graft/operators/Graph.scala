@@ -38,6 +38,39 @@ object Graph {
     *              semantics wrap this the way resolveClusters does)
     * @return (id, rank) for every node appearing in `edges`
     */
+  /** Per-node triangle participation counts over an undirected graph.
+    *
+    * Input is the canonical unique-pair form (src < dst, one row per
+    * undirected edge). Triangles are enumerated once each as ordered
+    * id-triples a < b < c: wedges (a→b→c) come from the pair list joined
+    * with itself on the middle node, then a third join against the pair
+    * list closes the a—c side. Each corner of every closed triangle is
+    * exploded out and counted per node.
+    *
+    * Scale posture: two hash-shuffle equijoins on node ids plus one
+    * aggregation — no cross join, no adjacency list collected anywhere.
+    * The id-ordering (a < b < c) both deduplicates (each triangle counted
+    * exactly once, not 6×) and bounds the wedge fan-out to "higher
+    * neighbors" — the standard compact-forward bound of m^(3/2) candidate
+    * wedges regardless of skew. At 100 TB-class graphs the same plan
+    * holds; a degree-ordered relabeling (rank nodes by degree first)
+    * tightens the bound further and composes with this operator unchanged.
+    *
+    * @param pairs undirected unique pairs: (src, dst) long columns with
+    *              src < dst per row
+    * @return (id, triangles) for every node on at least one triangle
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val wedges = p.select(col("src").as("a"), col("dst").as("b"))
+      .join(p.select(col("src").as("b"), col("dst").as("c")), "b")
+    val tri = wedges.join(
+      p.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+  }
+
   def pageRankInt(edges: DataFrame, iters: Int,
                   scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")

@@ -92,4 +92,41 @@ object Snapshot {
       .filter(col("op").isNotNull)
       .select(col("op") +: image: _*)
   }
+
+  /** Mergeable partial aggregate of `raw`: per-key row count plus exact
+    * decimal sums of each `sumCols` entry (output column → source
+    * expression). This is Spark's own partial-aggregation contract
+    * (commutative, associative, exact) lifted across batch boundaries so
+    * a materialized aggregate can be maintained incrementally.
+    */
+  def aggPartials(raw: DataFrame, keys: Seq[String],
+                  sumCols: Seq[(String, String)]): DataFrame = {
+    val aggs = count(lit(1)).as("cnt") +: sumCols.map { case (out, src) =>
+      sum(expr(src).cast("decimal(18,6)")).as(out)
+    }
+    raw.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Refresh a materialized aggregate from a delta WITHOUT re-scanning the
+    * base fact table: union the stored partials with the delta's partials
+    * and re-combine. Counts add; exact decimal sums add without drift, so
+    * refresh(base ⊎ delta) ≡ full recompute, bit for bit — the property
+    * that makes incremental maintenance safe to run forever.
+    *
+    * Scale posture: cost ∝ |aggregate table| + |delta|, independent of the
+    * base fact table's size — the entire point at 100 TB, where the fact
+    * scan is the unaffordable part. One hash shuffle on `keys`; with both
+    * sides bucketed on `keys` (io.Writers) even that exchange drops out.
+    */
+  def mergePartials(baseAgg: DataFrame, deltaAgg: DataFrame,
+                    keys: Seq[String]): DataFrame = {
+    val valueCols = baseAgg.columns.filterNot(keys.contains).toSeq
+    val merged = baseAgg.unionByName(deltaAgg)
+    // sum(cnt) keeps longs long; decimal sums widen but stay exact.
+    val aggs = valueCols.map {
+      case "cnt" => sum(col("cnt")).as("cnt")
+      case c => sum(col(c)).as(c)
+    }
+    merged.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

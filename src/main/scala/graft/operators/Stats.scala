@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed descriptive statistics: equi-width histograms and exact
+  * second-moment statistics (variance / correlation). The reference's
+  * analytics surface stops at count(*) (SURVEY.md §2.2 R4); these are the
+  * profiling passes a data platform runs over every numeric column, built
+  * so the results are deterministic under any partitioning.
+  */
+object Stats {
+
+  /** Two-pass equi-width histogram: pass 1 reduces to the global (min, max)
+    * — one scalar row, broadcast back — pass 2 assigns each value its
+    * bucket by pure arithmetic and counts per bucket.
+    *
+    * Scale posture: two scans and one `buckets`-sized aggregate; the
+    * scalar (min, max) crossJoin is broadcast by construction, so nothing
+    * shuffles but the tiny bucket counts. Bucket assignment
+    * (`floor((x - lo) / w)`, clamped to the last bucket so `x = hi` lands
+    * in it) is the same IEEE double arithmetic in any engine — the oracle
+    * replays the formula verbatim. A degenerate column (`lo = hi`) puts
+    * all rows in bucket 0 instead of dividing by zero.
+    *
+    * Output: (bucket, cnt), absent buckets are zero / not emitted.
+    */
+  def histogram(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val v = col(valueCol)
+    val mm = df.agg(min(v).as("__lo"), max(v).as("__hi"))
+    df.crossJoin(broadcast(mm))
+      .select(
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((v - col("__lo")) /
+              ((col("__hi") - col("__lo")) / buckets.toDouble)),
+            lit(buckets - 1L)))
+          .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Exact sufficient statistics for variance and correlation of two
+    * integer-valued columns, per group: n, Σx, Σx², Σy, Σxy, plus the
+    * integer-exact variance numerator `n·Σx² − (Σx)²` and covariance
+    * numerator `n·Σxy − Σx·Σy`. Everything up to the numerators is long
+    * arithmetic — bit-identical under any partial-aggregation order, which
+    * double-accumulating variance can never be. Callers derive
+    * `var = var_num / (n(n−1))` and `corr = cov_num / √(var_num_x·var_num_y)`
+    * as a final single-expression step (one IEEE division / sqrt —
+    * deterministic); the exact integer core is what shuffles and merges.
+    *
+    * Overflow envelope: |x|,|y| ≤ B, n rows per group needs
+    * n·B⁴ < 2⁶³ for the numerators — B = 100 is safe past 9×10¹⁰ rows per
+    * group; larger domains should pre-scale or switch the numerators to
+    * decimal(38,0).
+    */
+  def momentsInt(df: DataFrame, keys: Seq[String],
+                 xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sum_x"), sum(x * x).as("sum_xx"),
+        sum(y).as("sum_y"), sum(x * y).as("sum_xy"),
+        sum(y * y).as("sum_yy"))
+      .withColumn("var_num_x",
+        col("n") * col("sum_xx") - col("sum_x") * col("sum_x"))
+      .withColumn("var_num_y",
+        col("n") * col("sum_yy") - col("sum_y") * col("sum_y"))
+      .withColumn("cov_num",
+        col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
+  }
+}

@@ -114,6 +114,29 @@ object TextOps {
     sh.select(col(idCol), min(col("h")).over(win).as("fp")).distinct()
   }
 
+  /** Hashing-trick bag-of-words: tokens are bucketed by the first
+    * `hexDigits` characters of their md5 (16^hexDigits buckets), counts
+    * aggregated per (doc, bucket) — the fixed-width sparse feature vector
+    * linear text classifiers train on, with no vocabulary table to build,
+    * broadcast, or keep consistent across batches.
+    *
+    * Scale posture: explode + one (doc, bucket) hash aggregate with
+    * map-side partials; bucketing is a pure codegen projection (md5 +
+    * substring), so no vocabulary join ever happens — the property that
+    * makes the hashing trick the 100 TB feature extractor. md5 keeps the
+    * bucket assignment engine-portable (the oracle replays it verbatim).
+    *
+    * Output: (idCol, bucket, cnt) — sparse rows, absent buckets are zero.
+    */
+  def hashFeatures(df: DataFrame, idCol: String, textCol: String,
+                   hexDigits: Int = 1): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 8, "hexDigits in [1,8]")
+    Par.spread(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), substring(md5(col("tok")), 1, hexDigits).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** Per-document repetition metrics (Gopher-style quality rules): the
     * duplicate-word fraction and the share of all bigrams taken by the
     * single most frequent bigram. High values flag boilerplate / template

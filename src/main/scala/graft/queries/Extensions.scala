@@ -1773,5 +1773,52 @@ object Extensions extends QueryModule {
           threshold = 0.35)
         .select(col("id").as("vec_id"), col("cell"))
         .orderBy("vec_id")
+    },
+
+    // Per-node triangle counts (Graph.triangleCounts) over the co-order
+    // supplier graph — the clustering-coefficient numerator community
+    // detection and spam-farm analysis start from. Ordered triples a<b<c
+    // count each triangle once and bound wedge fan-out; two equijoins plus
+    // one aggregate, no adjacency collected.
+    QueryDef("x8_triangles", Some("""
+      WITH pr AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+                  FROM lineitem a JOIN lineitem b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_suppkey < b.l_suppkey),
+      w AS (SELECT p1.src AS a, p1.dst AS b, p2.dst AS c
+            FROM pr p1 JOIN pr p2 ON p1.dst = p2.src),
+      tri AS (SELECT w.a, w.b, w.c
+              FROM w JOIN pr p3 ON p3.src = w.a AND p3.dst = w.c),
+      n AS (SELECT unnest([a, b, c]) AS id FROM tri)
+      SELECT id, CAST(count(*) AS BIGINT) AS triangles
+      FROM n GROUP BY id ORDER BY id""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .distinct()
+      // The pair table feeds three join sides — persist it or the
+      // lineitem self-join recomputes per branch (harness unpersists
+      // between queries).
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Graph.triangleCounts(pairs).orderBy("id")
+    },
+
+    // Hashing-trick bag-of-words (TextOps.hashFeatures): tokens bucketed
+    // by their first md5 nibble (16 buckets), counted per (doc, bucket) —
+    // fixed-width sparse features with NO vocabulary table to build or
+    // broadcast; bucketing is a pure codegen projection the oracle
+    // replays verbatim.
+    QueryDef("x5_hash_features", Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+      SELECT doc_id, substring(md5(tok), 1, 1) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tk GROUP BY doc_id, bucket
+      ORDER BY doc_id, bucket""")) { (s, dir) =>
+      TextOps.hashFeatures(t(s, dir, "documents"), "doc_id", "text",
+          hexDigits = 1)
+        .orderBy("doc_id", "bucket")
     })
 }

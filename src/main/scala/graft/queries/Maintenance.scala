@@ -585,6 +585,29 @@ object Maintenance extends QueryModule {
           Map("en" -> 2000L), default = 800L)
         .select("doc_id", "lang", "n_tok")
         .orderBy("doc_id")
+    },
+
+    // Incremental aggregate maintenance (Snapshot.aggPartials/mergePartials):
+    // a materialized per-customer aggregate built from the historical load
+    // (keys % 7 != 0) is refreshed with the new batch's partials only —
+    // the base fact table is never re-scanned. Counts add; decimal-exact
+    // sums add without drift, so the refresh is bit-identical to the full
+    // recompute the oracle runs.
+    QueryDef("e5_incr_agg", Some("""
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey""")) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val sums = Seq("total" -> "o_totalprice")
+      val base = Snapshot.aggPartials(
+        o.filter(col("o_orderkey") % 7 =!= 0), Seq("o_custkey"), sums)
+      val delta = Snapshot.aggPartials(
+        o.filter(col("o_orderkey") % 7 === 0), Seq("o_custkey"), sums)
+      Snapshot.mergePartials(base, delta, Seq("o_custkey"))
+        .select(col("o_custkey"), col("cnt"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_custkey")
     }
   )
 }

@@ -1186,5 +1186,64 @@ object Relational extends QueryModule {
         .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
           col("wk"), col("n_users"))
         .orderBy("cohort_week", "wk")
+    },
+
+    // Two-pass equi-width histogram (Stats.histogram): global (min,max)
+    // reduced then broadcast, bucket assignment as pure IEEE arithmetic
+    // the oracle replays verbatim. Nothing shuffles but the 20 bucket
+    // counts.
+    QueryDef("g4_histogram", Some("""
+      WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                  FROM orders),
+      b AS (SELECT CAST(CASE WHEN hi = lo THEN 0
+                   ELSE least(floor((o_totalprice - lo)
+                                    / ((hi - lo) / CAST(20 AS DOUBLE))), 19)
+                   END AS BIGINT) AS bucket
+            FROM orders, mm)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY bucket ORDER BY bucket""")) { (s, dir) =>
+      graft.operators.Stats.histogram(t(s, dir, "orders"), "o_totalprice", 20)
+        .orderBy("bucket")
+    },
+
+    // Exact second moments (Stats.momentsInt): variance / correlation
+    // sufficient statistics in pure long arithmetic — bit-identical under
+    // any partial-aggregation order, where double-accumulated variance
+    // never gates. The derived var/corr are single IEEE expressions over
+    // the exact integer core (one division / sqrt — deterministic).
+    QueryDef("g5_stats", Some("""
+      WITH m AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_x,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_xx,
+               CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_y,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_xy,
+               CAST(sum(CAST(l_linenumber AS BIGINT)
+                        * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_yy
+        FROM lineitem GROUP BY l_returnflag),
+      v AS (SELECT l_returnflag, n, sum_x,
+                   n * sum_xx - sum_x * sum_x AS var_num_x,
+                   n * sum_yy - sum_y * sum_y AS var_num_y,
+                   n * sum_xy - sum_x * sum_y AS cov_num
+            FROM m)
+      SELECT l_returnflag, n, sum_x, var_num_x, cov_num,
+             CAST(var_num_x AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+               AS var_x,
+             CAST(cov_num AS DOUBLE)
+               / sqrt(CAST(var_num_x AS DOUBLE) * CAST(var_num_y AS DOUBLE))
+               AS corr_xy
+      FROM v ORDER BY l_returnflag""")) { (s, dir) =>
+      graft.operators.Stats.momentsInt(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_quantity", "l_linenumber")
+        .select(col("l_returnflag"), col("n"), col("sum_x"),
+          col("var_num_x"), col("cov_num"),
+          (col("var_num_x").cast("double")
+            / (col("n") * (col("n") - 1)).cast("double")).as("var_x"),
+          (col("cov_num").cast("double")
+            / sqrt(col("var_num_x").cast("double")
+              * col("var_num_y").cast("double"))).as("corr_xy"))
+        .orderBy("l_returnflag")
     })
 }

@@ -53,4 +53,27 @@ class GraphSpec extends SparkSpec {
     assert(out.map(_._2).sum <= 3L * 1000000000L)
     assert(out.forall(_._2 >= 150000000L))
   }
+
+  test("triangleCounts: K4 minus an edge — hand-counted corners") {
+    // Nodes 1..4, all pairs except (1,4): triangles {1,2,3} and {2,3,4}.
+    // Corner counts: 1→1, 2→2, 3→2, 4→1.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.triangleCounts(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCounts: triangle-free graphs emit nothing") {
+    // A 4-cycle (1-2-3-4-1 with src<dst canonicalization) has no triangle.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(pairs).isEmpty)
+  }
+
+  test("triangleCounts: each triangle counted once regardless of partitioning") {
+    // Two triangles sharing edge (2,3); shared-edge corners see both.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 5L), (3L, 5L))
+      .toDF("src", "dst").repartition(7)
+    val out = Graph.triangleCounts(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 5L -> 1L))
+  }
 }

@@ -82,4 +82,43 @@ class SnapshotSpec extends SparkSpec {
       .as[(String, Long, Option[String])].collect().toSeq
     assert(out == Seq(("U", 1L, None))) // null==null is NOT a change
   }
+
+  private def facts = Seq(
+    (1L, "x", 1.25), (1L, "y", 2.50), (2L, "x", 10.00),
+    (2L, "y", 0.75), (3L, "z", 5.00)
+  ).toDF("k", "tag", "v")
+
+  test("aggPartials + mergePartials over a split equals the full aggregate") {
+    val sums = Seq("total" -> "v")
+    val full = Snapshot.aggPartials(facts, Seq("k"), sums)
+    val merged = Snapshot.mergePartials(
+      Snapshot.aggPartials(facts.filter($"tag" === "x"), Seq("k"), sums),
+      Snapshot.aggPartials(facts.filter($"tag" =!= "x"), Seq("k"), sums),
+      Seq("k"))
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"k", $"cnt", $"total".cast("double"))
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(canon(merged) == canon(full))
+  }
+
+  test("mergePartials with an empty delta is the identity") {
+    val sums = Seq("total" -> "v")
+    val baseAgg = Snapshot.aggPartials(facts, Seq("k"), sums)
+    val out = Snapshot.mergePartials(baseAgg,
+      Snapshot.aggPartials(facts.filter($"k" < 0), Seq("k"), sums), Seq("k"))
+    assert(out.select($"k", $"cnt", $"total".cast("double"))
+        .as[(Long, Long, Double)].collect().toSeq.sorted ==
+      baseAgg.select($"k", $"cnt", $"total".cast("double"))
+        .as[(Long, Long, Double)].collect().toSeq.sorted)
+  }
+
+  test("mergePartials keeps delta-only keys") {
+    val sums = Seq("total" -> "v")
+    val out = Snapshot.mergePartials(
+      Snapshot.aggPartials(facts.filter($"k" <= 2), Seq("k"), sums),
+      Snapshot.aggPartials(facts.filter($"k" === 3), Seq("k"), sums),
+      Seq("k"))
+    assert(out.filter($"k" === 3).select($"cnt").as[Long].collect().toSeq
+      == Seq(1L))
+  }
 }

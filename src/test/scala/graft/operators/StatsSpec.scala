@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram: hand-computed buckets, max value clamped into the last") {
+    // lo=0, hi=10, 5 buckets of width 2. 10 would floor to bucket 5 —
+    // clamped to 4.
+    val df = Seq(0.0, 1.9, 2.0, 5.0, 9.9, 10.0).toDF("v")
+    val out = Stats.histogram(df, "v", 5).as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 4L -> 2L))
+  }
+
+  test("histogram: degenerate constant column lands in bucket 0") {
+    val df = Seq(7.5, 7.5, 7.5).toDF("v")
+    val out = Stats.histogram(df, "v", 8).as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 3L))
+  }
+
+  test("momentsInt: hand-computed numerators") {
+    // Group g: x = 1,2,3; y = 2,4,6 (perfectly correlated).
+    // n=3, sum_x=6, sum_xx=14, sum_y=12, sum_xy=28, sum_yy=56.
+    // var_num_x = 3*14-36 = 6; var_num_y = 3*56-144 = 24;
+    // cov_num = 3*28-72 = 12; corr = 12/sqrt(6*24) = 1.
+    val df = Seq(("g", 1, 2), ("g", 2, 4), ("g", 3, 6)).toDF("k", "x", "y")
+    val r = Stats.momentsInt(df, Seq("k"), "x", "y")
+      .select($"n", $"var_num_x", $"var_num_y", $"cov_num")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((3L, 6L, 24L, 12L)))
+  }
+
+  test("momentsInt: bit-identical under repartitioning (long arithmetic)") {
+    val df = (1 to 500).map(i => ("g" + (i % 3), i % 97, (i * 7) % 89))
+      .toDF("k", "x", "y")
+    val a = Stats.momentsInt(df, Seq("k"), "x", "y")
+      .orderBy("k").collect().toSeq
+    val b = Stats.momentsInt(df.repartition(13), Seq("k"), "x", "y")
+      .orderBy("k").collect().toSeq
+    assert(a == b)
+  }
+}

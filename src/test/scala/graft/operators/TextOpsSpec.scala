@@ -201,4 +201,30 @@ class TextOpsSpec extends SparkSpec {
       .as[(Int, Int)].collect()
     assert(rows.forall { case (n, v) => v >= 0 && v <= n })
   }
+
+  test("hashFeatures: identical tokens share a bucket, counts add up") {
+    val df = Seq((1L, "a b a b a"), (2L, "a")).toDF("doc_id", "text")
+    val out = TextOps.hashFeatures(df, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSeq
+    // Per-doc bucket counts must sum to the doc's token count.
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perDoc == Map(1L -> 5L, 2L -> 1L))
+    // 'a' hashes identically everywhere: doc 1 has a 3-count bucket and a
+    // 2-count bucket (unless 'a','b' collide into one 5-count bucket).
+    val d1 = out.filter(_._1 == 1L).map(_._3).sorted
+    assert(d1 == Seq(2L, 3L) || d1 == Seq(5L))
+    // Doc 2's 'a' bucket matches doc 1's 3-count bucket id.
+    val aBucket = out.find(r => r._1 == 2L).get._2
+    assert(out.exists(r => r._1 == 1L && r._2 == aBucket))
+  }
+
+  test("hashFeatures: buckets are md5-nibble keys, stable across runs") {
+    val df = Seq((1L, "x y z x")).toDF("doc_id", "text")
+    val a = TextOps.hashFeatures(df, "doc_id", "text")
+      .orderBy("bucket").collect().toSeq
+    val b = TextOps.hashFeatures(df.repartition(5), "doc_id", "text")
+      .orderBy("bucket").collect().toSeq
+    assert(a == b)
+    assert(a.forall(_.getString(1).matches("[0-9a-f]")))
+  }
 }
