@@ -38,6 +38,48 @@ object Graph {
     *              semantics wrap this the way resolveClusters does)
     * @return (id, rank) for every node appearing in `edges`
     */
+  /** Multi-source BFS: minimum hop distance from any seed node, bounded at
+    * `maxHops`. Classic frontier expansion — per round, one equijoin of the
+    * edge list with the (shrinking) frontier plus an anti join against the
+    * settled set, so each node is expanded exactly once no matter how many
+    * paths reach it. That per-node-once guarantee is what separates this
+    * from path enumeration (a recursive-CTE oracle explores every path and
+    * must dedup after; on a dense graph that's combinatorial — the frontier
+    * form is the one that scales).
+    *
+    * Scale posture: round cost is one shuffle join keyed on node id; state
+    * is the settled (id, hop) table, persisted and grown by union — never
+    * collected. Hop levels are data-independent, so results are
+    * deterministic under any partitioning.
+    *
+    * @param edges   directed (src, dst) long columns; pass both directions
+    *                for an undirected graph
+    * @param sources seed nodes, column `id` (hop 0)
+    * @param maxHops frontier rounds to run (result hops ≤ maxHops)
+    * @return (id, hop) — minimum hops from the nearest seed; nodes
+    *         unreached within `maxHops` are absent
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    var dist = sources.select(col("id").cast("long").as("id"),
+      lit(0L).as("hop")).distinct().persist(lvl)
+    var frontier = dist
+    for (h <- 1 to maxHops) {
+      val next = e.join(frontier.withColumnRenamed("id", "src")
+          .select("src"), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(h.toLong).as("hop"))
+        .persist(lvl)
+      dist = dist.unionByName(next).persist(lvl)
+      frontier = next
+    }
+    dist
+  }
+
   /** Per-node triangle participation counts over an undirected graph.
     *
     * Input is the canonical unique-pair form (src < dst, one row per

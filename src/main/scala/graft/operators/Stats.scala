@@ -40,6 +40,28 @@ object Stats {
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Exact heavy hitters: the top-`k` most frequent `valueCol` values per
+    * group, rank totalized by (count desc, value) so ties are
+    * deterministic. Plans as one (group, value) hash aggregate with
+    * map-side partials, then a per-group window that Spark executes as
+    * WindowGroupLimit — the partial top-k is taken map-side before the
+    * final shuffle, so only ~k rows per group per partition move. The
+    * exact companion to sketch-based frequent-items at 100 TB: counts are
+    * exact because the aggregate is, no CMS error bound to reason about.
+    *
+    * Output: (group cols…, valueCol, cnt, rk) with rk in [1, k].
+    */
+  def topKByCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counts = df.groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("cnt").desc, col(valueCol))
+    counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Exact sufficient statistics for variance and correlation of two
     * integer-valued columns, per group: n, Σx, Σx², Σy, Σxy, plus the
     * integer-exact variance numerator `n·Σx² − (Σx)²` and covariance

@@ -1820,5 +1820,59 @@ object Extensions extends QueryModule {
       TextOps.hashFeatures(t(s, dir, "documents"), "doc_id", "text",
           hexDigits = 1)
         .orderBy("doc_id", "bucket")
+    },
+
+    // Multi-source BFS hop distance (Graph.bfsHops) over the co-order part
+    // graph, bounded at 2 hops. The frontier form expands each node once
+    // (anti join against the settled set); the oracle's recursive CTE
+    // explores every path and min-aggregates after — same answer, but only
+    // the frontier form survives a dense 100 TB graph.
+    QueryDef("x8_bfs", Some("""
+      WITH RECURSIVE pr AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      eg AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+      seeds AS (SELECT DISTINCT src AS id FROM eg WHERE src % 100 = 0),
+      bfs(id, h) AS (
+        SELECT id, 0 FROM seeds
+        UNION ALL
+        SELECT e.dst, b.h + 1 FROM bfs b JOIN eg e ON e.src = b.id
+        WHERE b.h < 2)
+      SELECT id, CAST(min(h) AS BIGINT) AS hop
+      FROM bfs GROUP BY id ORDER BY id""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .filter(col("id") % 100 === 0)
+      Graph.bfsHops(edges, seeds, maxHops = 2).orderBy("id")
+    },
+
+    // Exact per-language heavy hitters (Stats.topKByCount): top-3 tokens
+    // by frequency, ties totalized by token — one (lang, tok) aggregate
+    // then WindowGroupLimit partial top-k; the exact companion to
+    // sketch-based frequent items.
+    QueryDef("x5_heavy_hitters", Some("""
+      WITH tc AS (SELECT lang, tok, count(*) AS cnt
+                  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                        FROM documents)
+                  GROUP BY lang, tok),
+      r AS (SELECT lang, tok, cnt,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY cnt DESC, tok) AS rk
+            FROM tc)
+      SELECT lang, tok, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS INT) AS rk
+      FROM r WHERE rk <= 3 ORDER BY lang, rk""")) { (s, dir) =>
+      val toks = spread(t(s, dir, "documents"))
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      graft.operators.Stats.topKByCount(toks, Seq("lang"), "tok", k = 3)
+        .orderBy("lang", "rk")
     })
 }

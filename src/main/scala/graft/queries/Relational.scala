@@ -1245,5 +1245,28 @@ object Relational extends QueryModule {
             / sqrt(col("var_num_x").cast("double")
               * col("var_num_y").cast("double"))).as("corr_xy"))
         .orderBy("l_returnflag")
+    },
+
+    // LATERAL correlated subquery with ORDER BY + LIMIT: top-2 customers
+    // per nation through the SQL surface. Catalyst decorrelates the
+    // lateral into a per-nation window (WindowGroupLimit top-k map-side),
+    // NOT a per-row re-execution — the plan shape that survives a
+    // million-row driving table.
+    QueryDef("j7_lateral", Some("""
+      SELECT n.n_name, c.c_custkey, c.c_acctbal
+      FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+      ORDER BY n.n_name, c.c_custkey""")) { (s, dir) =>
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        ORDER BY n.n_name, c.c_custkey""")
     })
 }

@@ -326,5 +326,35 @@ object StreamingGates extends QueryModule {
           .getOrElse(sys.error("mergeSink wrote no snapshot")))
         .select("user_id", "event_id", "event_type", "value")
         .orderBy("user_id")
+    },
+
+    // Streaming incremental aggregate maintenance (Streams.aggSink): the
+    // events table streamed one file per micro-batch, each batch's
+    // partials merged onto the versioned aggregate snapshot — per-batch
+    // work is |batch| + |aggregate|, history never rescanned. Exact
+    // partials make the final snapshot bit-identical to the oracle's
+    // batch recompute under ANY batch split, so the nondeterministic
+    // 4-way repartition staging is still hash-gateable.
+    QueryDef("ev13_stream_incr_agg", Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
+      val in = Scratch.fresh("incragg-src")
+      val snap = Scratch.fresh("incragg-snap")
+      val ck = Scratch.fresh("incragg-ck")
+      Tables.load(s, dir, "events").repartition(4)
+        .write.mode("overwrite").parquet(in)
+      val src = s.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Streams.aggSink(src, Seq("event_type"),
+          Seq("total" -> "value"), snap)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(Streams.latestSnapshot(s, snap)
+          .getOrElse(sys.error("aggSink wrote no snapshot")))
+        .select(col("event_type"), col("cnt"),
+          col("total").cast("double").as("total"))
+        .orderBy("event_type")
     })
 }

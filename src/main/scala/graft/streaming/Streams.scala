@@ -232,6 +232,40 @@ object Streams {
       ()
     }
 
+  /** Streaming incremental-aggregate sink: each micro-batch is reduced to
+    * mergeable partials ([[graft.operators.Snapshot.aggPartials]]) and
+    * merged onto the latest versioned snapshot of the materialized
+    * aggregate ([[graft.operators.Snapshot.mergePartials]]) — the
+    * streaming form of incremental view maintenance. Per batch the work
+    * is |batch| + |aggregate|; the full event history is never rescanned.
+    * Counts and decimal-exact sums merge without drift, so after any
+    * sequence of micro-batches the snapshot is bit-identical to a batch
+    * recompute over everything ingested — under ANY batch split, which is
+    * what lets an oracle gate a nondeterministically-partitioned stream.
+    * Same versioned layout as [[mergeSink]]: batch `i` writes `dir/v{i}`,
+    * replays overwrite their own version (idempotent), readers always see
+    * a complete snapshot.
+    */
+  def aggSink(df: DataFrame, keys: Seq[String],
+              sumCols: Seq[(String, String)],
+              dir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      val s = batch.sparkSession
+      val delta = graft.operators.Snapshot.aggPartials(batch.toDF(), keys, sumCols)
+      val merged = latestSnapshotBefore(s, dir, id)
+        .map(p => graft.operators.Snapshot.mergePartials(
+          s.read.parquet(p), delta, keys))
+        .getOrElse(delta)
+      // Pin sum columns to one decimal type so every version's schema is
+      // identical (merge widening would otherwise drift precision).
+      val stable = merged.select(keys.map(col) ++ (col("cnt") +:
+        sumCols.map { case (out, _) =>
+          col(out).cast("decimal(38,6)").as(out)
+        }): _*)
+      stable.write.mode("overwrite").parquet(s"$dir/v$id")
+      ()
+    }
+
   /** Append-mode parquet sink with checkpointing — the streaming version of
     * the batch zone write.
     */

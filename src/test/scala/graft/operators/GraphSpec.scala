@@ -69,6 +69,26 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCounts(pairs).isEmpty)
   }
 
+  test("bfsHops: path graph — hops settle at min distance, bounded") {
+    // Path 1-2-3-4-5 (undirected), seed 1, 2 rounds: nodes 4 (distance 3)
+    // and 5 (distance 4) stay unreached within the bound.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val out = Graph.bfsHops(edges, seeds, maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsHops: multi-source takes the nearer seed; re-reached nodes keep first hop") {
+    // Cycle 1-2-3-4 with seeds 1 and 3: everything within hop 1.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.bfsHops(edges, Seq(1L, 3L).toDF("id"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("triangleCounts: each triangle counted once regardless of partitioning") {
     // Two triangles sharing edge (2,3); shared-edge corners see both.
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 5L), (3L, 5L))

@@ -20,6 +20,16 @@ class StatsSpec extends SparkSpec {
     assert(out == Map(0L -> 3L))
   }
 
+  test("topKByCount: ranks by count desc with value tiebreak, keeps k") {
+    val df = Seq("g" -> "a", "g" -> "a", "g" -> "b", "g" -> "b",
+      "g" -> "c", "h" -> "z").toDF("k", "v")
+    val out = Stats.topKByCount(df, Seq("k"), "v", k = 2)
+      .select($"k", $"v", $"cnt", $"rk").as[(String, String, Long, Int)]
+      .collect().toSet
+    // a and b tie at 2 — 'a' wins rank 1 lexicographically; c is cut.
+    assert(out == Set(("g", "a", 2L, 1), ("g", "b", 2L, 2), ("h", "z", 1L, 1)))
+  }
+
   test("momentsInt: hand-computed numerators") {
     // Group g: x = 1,2,3; y = 2,4,6 (perfectly correlated).
     // n=3, sum_x=6, sum_xx=14, sum_y=12, sum_xy=28, sum_yy=56.

@@ -154,6 +154,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("aggSink maintains the aggregate incrementally across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val snap = Scratch.fresh("stream-agg")
+    val ck = Scratch.fresh("stream-agg-ck")
+    val in = MemoryStream[(String, Double)]
+    val q = Streams.aggSink(in.toDF().toDF("k", "v"), Seq("k"),
+        Seq("total" -> "v"), snap)
+      .option("checkpointLocation", ck).start()
+    try {
+      in.addData(("a", 1.5), ("a", 2.5), ("b", 10.0))
+      q.processAllAvailable()
+      in.addData(("a", 4.0), ("c", 7.0))
+      q.processAllAvailable()
+      val latest = Streams.latestSnapshot(spark, snap).get
+      assert(latest.endsWith("/v1"))
+      val rows = spark.read.parquet(latest)
+        .select($"k", $"cnt", $"total".cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("a", 3L, 8.0), ("b", 1L, 10.0), ("c", 1L, 7.0)))
+      // v0 holds only batch 0's contribution — versions are immutable.
+      val v0 = spark.read.parquet(s"$snap/v0")
+        .select($"k", $"cnt", $"total".cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(v0 == Set(("a", 2L, 4.0), ("b", 1L, 10.0)))
+    } finally q.stop()
+  }
+
   test("enrichWithDim: stream-static join matches the batch join, stateless") {
     val dir = Scratch.fresh("enrich-in")
     val batch = graft.model.Tables.load(spark, "/root/testdata/sf0.001", "events")
