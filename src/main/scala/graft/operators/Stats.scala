@@ -40,6 +40,63 @@ object Stats {
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-group min-max feature scaling: `(v − min) / (max − min)` into
+    * [0, 1], the standard normalization before distance-based models.
+    * Degenerate groups (all values equal) scale to 0.0 by definition
+    * rather than dividing by zero.
+    *
+    * Scale posture: unordered min/max windows over the group key — one
+    * exchange, no join, no second scan; the scaling itself is a pure
+    * IEEE projection (identical in any engine, which is what lets the
+    * oracle replay it).
+    */
+  def minMaxScale(df: DataFrame, keys: Seq[String], valueCol: String,
+                  outCol: String = "scaled"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val v = col(valueCol)
+    df.withColumn("__lo", min(v).over(w))
+      .withColumn("__hi", max(v).over(w))
+      .withColumn(outCol,
+        when(col("__hi") === col("__lo"), lit(0.0))
+          .otherwise((v - col("__lo")) / (col("__hi") - col("__lo"))))
+      .drop("__lo", "__hi")
+  }
+
+  /** Robust outlier detection by Tukey fences: per group, quartiles are
+    * EXACT order statistics (the value at rank ⌈0.25·n⌉ / ⌈0.75·n⌉ under
+    * the (`valueCol`, `ordCol`) total order — no interpolation, so every
+    * derived bound is an actual data value and the whole computation is
+    * engine-portable), and a row is an outlier when it falls outside
+    * [q1 − k·iqr, q3 + k·iqr]. The robust alternative to z-score cuts:
+    * the fences themselves are immune to the outliers they hunt.
+    *
+    * Scale posture: one ordered window (rank) and one unordered window
+    * (n, quartile pick) over the same group key — one exchange total;
+    * flagging is a projection. `k = 1.5` is exactly representable, so
+    * the fence arithmetic is deterministic IEEE.
+    *
+    * Output: input columns + q1, q3, lo, hi, is_outlier.
+    */
+  def iqrOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+                  ordCol: String, k: Double = 1.5): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(valueCol), col(ordCol))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val v = col(valueCol)
+    df.withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("q1",
+        max(when(col("__rn") === ceil(col("__n") * 0.25), v)).over(wAll))
+      .withColumn("q3",
+        max(when(col("__rn") === ceil(col("__n") * 0.75), v)).over(wAll))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * k)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * k)
+      .withColumn("is_outlier", v < col("lo") || v > col("hi"))
+      .drop("__rn", "__n")
+  }
+
   /** Exact heavy hitters: the top-`k` most frequent `valueCol` values per
     * group, rank totalized by (count desc, value) so ties are
     * deterministic. Plans as one (group, value) hash aggregate with

@@ -82,4 +82,47 @@ object TimeSeries {
       .withColumn(valCol, last(col("__v"), ignoreNulls = true).over(wFill))
       .select(k, col("__h").as("bucket"), col(valCol))
   }
+
+  /** Time-weighted average of an irregular series per key: each
+    * observation holds until the next one, so its weight is the gap to
+    * the successor (the final observation carries no weight — there is no
+    * interval it governs). The irregular-sampling-proof mean: a sensor
+    * reporting 1000× per second while idle no longer drowns out the one
+    * reading that held for an hour.
+    *
+    * Determinism contract (what makes this gate-able cross-engine):
+    * values land on a fixed-point grid (`floor(value · gridScale)` — one
+    * IEEE multiply + floor, identical anywhere) and durations are
+    * integer milliseconds, so the weighted sum is EXACT long arithmetic;
+    * only the final `wsum / dur / gridScale` runs in floating point (two
+    * divisions, written identically in the oracle). Envelope:
+    * Σ (value·gridScale)·dur_ms per key must stay under 2⁶³ — grid 10³,
+    * values ≤ 10⁶ and 30-day spans leave ×100 headroom per million rows.
+    *
+    * Scale posture: one window exchange on the key (lead) feeding a
+    * same-key aggregate — Catalyst plans one shuffle total. Ordering is
+    * totalized by (`tsCol` at microsecond precision, `ordCol`).
+    *
+    * Output: (keyCol, twap, dur_ms) — keys whose observations all share
+    * one timestamp (zero total duration) are dropped.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, ordCol: String,
+                      gridScale: Long = 1000L): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us"), col(ordCol))
+    df.select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+        floor(col(valueCol) * gridScale).as("__gv"), col(ordCol))
+      .withColumn("__gap", lead(col("__us"), 1).over(w) - col("__us"))
+      .withColumn("__dur", expr("__gap div 1000"))
+      .filter(col("__dur").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(col("__gv") * col("__dur")).as("__wsum"),
+        sum(col("__dur")).as("dur_ms"))
+      .filter(col("dur_ms") > 0)
+      .select(col(keyCol),
+        (col("__wsum").cast("double") / col("dur_ms").cast("double")
+          / gridScale.toDouble).as("twap"),
+        col("dur_ms"))
+  }
 }

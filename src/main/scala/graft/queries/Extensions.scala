@@ -1874,5 +1874,58 @@ object Extensions extends QueryModule {
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
       graft.operators.Stats.topKByCount(toks, Seq("lang"), "tok", k = 3)
         .orderBy("lang", "rk")
+    },
+
+    // Per-nation min-max feature scaling (Stats.minMaxScale): one window
+    // exchange computes (min, max); the scaling is a pure IEEE projection
+    // the oracle replays verbatim — the normalization pass before any
+    // distance-based model.
+    QueryDef("x9_minmax", Some("""
+      SELECT c_custkey,
+             CASE WHEN hi = lo THEN CAST(0 AS DOUBLE)
+                  ELSE (c_acctbal - lo) / (hi - lo) END AS scaled
+      FROM (SELECT c_custkey, c_acctbal,
+              min(c_acctbal) OVER (PARTITION BY c_nationkey) AS lo,
+              max(c_acctbal) OVER (PARTITION BY c_nationkey) AS hi
+            FROM customer)
+      ORDER BY c_custkey""")) { (s, dir) =>
+      graft.operators.Stats.minMaxScale(t(s, dir, "customer"),
+          Seq("c_nationkey"), "c_acctbal")
+        .select(col("c_custkey"), col("scaled"))
+        .orderBy("c_custkey")
+    },
+
+    // Tukey-fence outlier counts per event type (Stats.iqrOutliers):
+    // quartiles are exact order statistics under a total order — every
+    // bound is a real data value, so the whole fence computation is
+    // engine-portable; k = 1.0 (exactly representable) tightens the
+    // fences enough to exercise both tails on this distribution.
+    QueryDef("x9_outliers", Some("""
+      WITH r AS (SELECT event_type, value, event_id,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+                 FROM events),
+      q AS (SELECT event_type, value,
+              max(CASE WHEN rn = ceil(n * 0.25) THEN value END)
+                OVER (PARTITION BY event_type) AS q1,
+              max(CASE WHEN rn = ceil(n * 0.75) THEN value END)
+                OVER (PARTITION BY event_type) AS q3
+            FROM r)
+      SELECT event_type, CAST(q1 AS DOUBLE) AS q1, CAST(q3 AS DOUBLE) AS q3,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value < q1 - (q3 - q1) * 1.0
+                             OR value > q3 + (q3 - q1) * 1.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+      FROM q GROUP BY event_type, q1, q3
+      ORDER BY event_type""")) { (s, dir) =>
+      graft.operators.Stats.iqrOutliers(t(s, dir, "events"),
+          Seq("event_type"), "value", "event_id", k = 1.0)
+        .groupBy("event_type", "q1", "q3")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_out"))
+        .select(col("event_type"), col("q1"), col("q3"), col("n"),
+          col("n_out"))
+        .orderBy("event_type")
     })
 }

@@ -608,6 +608,32 @@ object Maintenance extends QueryModule {
         .select(col("o_custkey"), col("cnt"),
           col("total").cast("double").as("total"))
         .orderBy("o_custkey")
+    },
+
+    // Time-weighted average per user (TimeSeries.timeWeightedAvg): each
+    // observation holds until its successor, so its weight is the gap —
+    // the irregular-sampling-proof mean. Grid-scaled values × integer-ms
+    // durations keep the weighted sum in exact long arithmetic; only the
+    // final two divisions are floating point, written identically in the
+    // oracle.
+    QueryDef("ts3_twap", Some("""
+      WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+                   CAST(floor(value * 1000) AS BIGINT) AS gv, event_id
+                 FROM events),
+      d AS (SELECT user_id, gv,
+              (lead(us) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) - us) // 1000 AS dur
+            FROM o),
+      a AS (SELECT user_id, sum(gv * dur) AS wsum, sum(dur) AS dur_ms
+            FROM d WHERE dur IS NOT NULL GROUP BY user_id)
+      SELECT user_id,
+             CAST(wsum AS DOUBLE) / CAST(dur_ms AS DOUBLE)
+               / CAST(1000 AS DOUBLE) AS twap,
+             CAST(dur_ms AS BIGINT) AS dur_ms
+      FROM a WHERE dur_ms > 0 ORDER BY user_id""")) { (s, dir) =>
+      graft.operators.TimeSeries.timeWeightedAvg(t(s, dir, "events"),
+          "user_id", "ts", "value", "event_id")
+        .orderBy("user_id")
     }
   )
 }

@@ -20,6 +20,30 @@ class StatsSpec extends SparkSpec {
     assert(out == Map(0L -> 3L))
   }
 
+  test("minMaxScale: [0,1] endpoints hit, degenerate group scales to 0") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 15.0),
+      ("b", 7.0), ("b", 7.0)).toDF("k", "v")
+    val out = Stats.minMaxScale(df, Seq("k"), "v")
+      .select($"k", $"v", $"scaled").as[(String, Double, Double)]
+      .collect().toSet
+    assert(out == Set(("a", 10.0, 0.0), ("a", 20.0, 1.0), ("a", 15.0, 0.5),
+      ("b", 7.0, 0.0)))
+  }
+
+  test("iqrOutliers: quartiles are order statistics; fences flag by hand") {
+    // n=8 sorted: 1,2,3,4,5,6,7,100. q1 = rank ceil(2)=2 → 2;
+    // q3 = rank ceil(6)=6 → 6. iqr=4, fences k=1.5: [-4, 12] → 100 out.
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("k", "v", "o")
+    val out = Stats.iqrOutliers(df, Seq("k"), "v", "o")
+    val flagged = out.filter($"is_outlier").select($"v").as[Double]
+      .collect().toSeq
+    assert(flagged == Seq(100.0))
+    val bounds = out.select($"q1", $"q3").distinct()
+      .as[(Double, Double)].head()
+    assert(bounds == ((2.0, 6.0)))
+  }
+
   test("topKByCount: ranks by count desc with value tiebreak, keeps k") {
     val df = Seq("g" -> "a", "g" -> "a", "g" -> "b", "g" -> "b",
       "g" -> "c", "h" -> "z").toDF("k", "v")

@@ -55,4 +55,29 @@ class TimeSeriesSpec extends SparkSpec {
       .select("value").as[Double].collect().toSeq
     assert(out == Seq(2.0))
   }
+
+  test("timeWeightedAvg: gaps weight values; last observation carries none") {
+    // value 10 holds 1s, value 20 holds 3s, value 99 is terminal (no
+    // weight): twap = (10*1000 + 20*3000)/4000 = 17.5.
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 10.0, 1L),
+      (1L, ts("2026-01-01 10:00:01"), 20.0, 2L),
+      (1L, ts("2026-01-01 10:00:04"), 99.0, 3L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = TimeSeries.timeWeightedAvg(events, "user_id", "ts", "value",
+        "event_id").as[(Long, Double, Long)].collect().toSeq
+    assert(out == Seq((1L, 17.5, 4000L)))
+  }
+
+  test("timeWeightedAvg: single-instant keys are dropped, ties broken by ord") {
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 5.0, 1L), // all at one instant
+      (1L, ts("2026-01-01 10:00:00"), 6.0, 2L),
+      (2L, ts("2026-01-01 10:00:00"), 1.0, 1L),
+      (2L, ts("2026-01-01 10:00:02"), 3.0, 2L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = TimeSeries.timeWeightedAvg(events, "user_id", "ts", "value",
+        "event_id").as[(Long, Double, Long)].collect().toSeq
+    assert(out == Seq((2L, 1.0, 2000L)))
+  }
 }
