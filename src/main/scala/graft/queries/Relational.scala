@@ -1247,6 +1247,173 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // Late-shipment priority counts (TPC-H Q4 shape): EXISTS with an
+    // equi-conjunct plus a cross-table date residual — plans as one semi
+    // join on l_orderkey, the interval comparison riding as residual.
+    QueryDef("q4_late_orders", Some("""
+      SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""")) {
+      (s, dir) =>
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l, l("l_orderkey") === o("o_orderkey")
+          && l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAY"),
+          "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Market share (TPC-H Q8 shape): NATION_5 suppliers' share of PROMO
+    // revenue from EUROPE customers, per year. Both the numerator and
+    // denominator are decimal-exact conditional sums; the share is their
+    // single IEEE division. All dims broadcast; the fact table shuffles
+    // once for the order join.
+    QueryDef("q8_market_share", Some("""
+      WITH vol AS (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+               CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                    AS DECIMAL(18,6)) AS v,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier su ON su.s_suppkey = l.l_suppkey
+        JOIN nation sn  ON sn.n_nationkey = su.s_nationkey
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO')
+      SELECT yr,
+             CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN v END)
+                  AS DOUBLE) AS promo_rev,
+             CAST(sum(v) AS DOUBLE) AS total_rev,
+             CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN v END)
+                  AS DOUBLE) / CAST(sum(v) AS DOUBLE) AS share
+      FROM vol GROUP BY yr ORDER BY yr""")) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val cn = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val su = t(s, dir, "supplier")
+      val sn = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      val vol = l
+        .join(o, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(c), c("c_custkey") === o("o_custkey"))
+        .join(broadcast(cn), cn("n_nationkey") === c("c_nationkey"))
+        .join(broadcast(r), r("r_regionkey") === cn("n_regionkey"))
+        .join(broadcast(su), su("s_suppkey") === l("l_suppkey"))
+        .join(broadcast(sn), col("sn_key") === su("s_nationkey"))
+        .join(broadcast(p), p("p_partkey") === l("l_partkey"))
+        .select(year(o("o_orderdate")).as("yr"),
+          (l("l_extendedprice") * (lit(1.0) - l("l_discount")))
+            .cast("decimal(18,6)").as("v"),
+          col("supp_nation"))
+      vol.groupBy("yr")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5", col("v")))
+            .cast("double").as("promo_rev"),
+          sum(col("v")).cast("double").as("total_rev"))
+        .withColumn("share", col("promo_rev") / col("total_rev"))
+        .orderBy("yr")
+    },
+
+    // Customer order-count distribution (TPC-H Q13 shape): left join with
+    // an ON-clause filter (anti-matched customers keep count 0), then a
+    // distribution over the counts — two cascaded aggregates, the first
+    // on the join key it already shuffled on.
+    QueryDef("q13_cust_dist", Some("""
+      WITH co AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey)
+      SELECT CAST(c_count AS BIGINT) AS c_count,
+             CAST(count(*) AS BIGINT) AS custdist
+      FROM co GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")) { (s, dir) =>
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Promo revenue share per month (TPC-H Q14 shape): conditional and
+    // total decimal-exact sums over one scan, share derived as
+    // (100 · promo) / total — fixed left-associative IEEE chain.
+    QueryDef("q14_promo_share", Some("""
+      WITH v AS (
+        SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS mon,
+               CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                    AS DECIMAL(18,6)) AS rev,
+               p.p_type
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+      SELECT mon,
+             CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,6)) END)
+                  AS DOUBLE) AS promo_rev,
+             CAST(sum(rev) AS DOUBLE) AS total_rev,
+             CAST(100 AS DOUBLE)
+               * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(sum(rev) AS DOUBLE) AS promo_share
+      FROM v GROUP BY mon ORDER BY mon""")) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").select("p_partkey", "p_type")
+      l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
+        .select(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM")
+            .as("mon"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)").as("rev"),
+          col("p_type"))
+        .groupBy("mon")
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(lit(0).cast("decimal(18,6)")))
+            .cast("double").as("promo_rev"),
+          sum(col("rev")).cast("double").as("total_rev"))
+        .withColumn("promo_share",
+          lit(100.0) * col("promo_rev") / col("total_rev"))
+        .orderBy("mon")
+    },
+
+    // Relational division: customers active in EVERY year the business
+    // operated. The classic "for all" query — implemented as per-group
+    // distinct counts matched against the broadcast universe count, never
+    // as nested NOT EXISTS double negation.
+    QueryDef("j8_division", Some("""
+      WITH yrs AS (SELECT count(DISTINCT year(o_orderdate)) AS ny
+                   FROM orders),
+      cy AS (SELECT o_custkey,
+                    count(DISTINCT year(o_orderdate)) AS n_years
+             FROM orders GROUP BY o_custkey)
+      SELECT c.o_custkey AS custkey, CAST(c.n_years AS BIGINT) AS n_years
+      FROM cy c, yrs WHERE c.n_years = yrs.ny
+      ORDER BY custkey""")) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      val universe = o.agg(countDistinct("yr").as("ny"))
+      o.groupBy("o_custkey")
+        .agg(countDistinct("yr").as("n_years"))
+        .crossJoin(broadcast(universe))
+        .filter(col("n_years") === col("ny"))
+        .select(col("o_custkey").as("custkey"), col("n_years"))
+        .orderBy("custkey")
+    },
+
     // LATERAL correlated subquery with ORDER BY + LIMIT: top-2 customers
     // per nation through the SQL surface. Catalyst decorrelates the
     // lateral into a per-nation window (WindowGroupLimit top-k map-side),
