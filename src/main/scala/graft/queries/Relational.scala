@@ -1414,6 +1414,271 @@ object Relational extends QueryModule {
         .orderBy("custkey")
     },
 
+    // Min-cost supplier (TPC-H Q2 shape): for each small part, the
+    // supplier(s) offering the minimum observed unit price. The correlated
+    // `= (SELECT min ...)` decorrelates to a window min over the part key —
+    // one shuffle on l_partkey shared by the aggregate and the window, no
+    // per-row re-execution. Unit price is a single IEEE division, min is
+    // exact selection, so the equality filter is bit-deterministic.
+    QueryDef("q2_min_cost", Some("""
+      WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+      SELECT p.p_partkey, s.s_suppkey, s.s_name, su.cost
+      FROM supply su
+      JOIN part p ON p.p_partkey = su.l_partkey
+      JOIN supplier s ON s.s_suppkey = su.l_suppkey
+      WHERE p.p_size <= 5
+        AND su.cost = (SELECT min(cost) FROM supply s2
+                       WHERE s2.l_partkey = su.l_partkey)
+      ORDER BY p.p_partkey, s.s_suppkey""")) { (s, dir) =>
+      val supply = t(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+      val best = supply.withColumn("min_cost",
+        min("cost").over(Window.partitionBy("l_partkey")))
+        .filter(col("cost") === col("min_cost"))
+      val p = t(s, dir, "part").filter(col("p_size") <= 5)
+        .select("p_partkey", "p_size")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_name")
+      best
+        .join(broadcast(p), p("p_partkey") === col("l_partkey"))
+        .join(broadcast(su), su("s_suppkey") === col("l_suppkey"))
+        .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("cost"))
+        .orderBy("p_partkey", "s_suppkey")
+    },
+
+    // Product-line profit (TPC-H Q9 shape): per supplier nation and year,
+    // revenue minus retail cost over one fact scan. All five dimension
+    // joins broadcast; the per-row profit expression is double arithmetic
+    // (two products, one subtract — IEEE-identical cross-engine) cast to
+    // decimal once, so the grouped sum is order-independent and exact.
+    QueryDef("q9_profit", Some("""
+      SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+             CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                           - p.p_retailprice * l.l_quantity
+                           AS DECIMAL(18,6))) AS DOUBLE) AS profit
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%red%'
+      GROUP BY n.n_name, yr ORDER BY n.n_name, yr""")) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val p = t(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+      l.join(o, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(su), su("s_suppkey") === l("l_suppkey"))
+        .join(broadcast(n), n("n_nationkey") === su("s_nationkey"))
+        .join(broadcast(p), p("p_partkey") === l("l_partkey"))
+        .select(col("n_name"), year(col("o_orderdate")).as("yr"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - col("p_retailprice") * col("l_quantity"))
+            .cast("decimal(18,6)").as("pf"))
+        .groupBy("n_name", "yr")
+        .agg(sum(col("pf")).cast("double").as("profit"))
+        .orderBy("n_name", "yr")
+    },
+
+    // Important stock (TPC-H Q11 shape): per-part supply value from one
+    // nation's suppliers, kept only where it exceeds a fraction of the
+    // nation's total. The global total is a one-row broadcast; the
+    // threshold compare is a single double multiply both engines do
+    // identically on the decimal-exact sums.
+    QueryDef("q11_top_stock", Some("""
+      WITH supply AS (
+        SELECT l.l_partkey,
+               CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,6)) AS v
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'),
+      pv AS (SELECT l_partkey, CAST(sum(v) AS DOUBLE) AS part_value
+             FROM supply GROUP BY l_partkey),
+      tot AS (SELECT CAST(sum(v) AS DOUBLE) AS total_value FROM supply)
+      SELECT pv.l_partkey AS p_partkey, pv.part_value
+      FROM pv, tot
+      WHERE pv.part_value > CAST(0.001 AS DOUBLE) * tot.total_value
+      ORDER BY pv.part_value DESC, p_partkey""")) { (s, dir) =>
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, dir, "nation").filter(col("n_name") === "NATION_3")
+        .select("n_nationkey")
+      val supply = t(s, dir, "lineitem")
+        .join(broadcast(su), su("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n), n("n_nationkey") === su("s_nationkey"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * col("l_quantity"))
+            .cast("decimal(18,6)").as("v"))
+      val pv = supply.groupBy("l_partkey")
+        .agg(sum("v").cast("double").as("part_value"))
+      val tot = supply.agg(sum("v").cast("double").as("total_value"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("part_value") > lit(0.001) * col("total_value"))
+        .select(col("l_partkey").as("p_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("p_partkey"))
+    },
+
+    // Late-shipment priority split (TPC-H Q12 shape): conditional counts
+    // of high- vs low-priority orders among late shipments — two exact
+    // integer sums riding one aggregation pass over the order join.
+    QueryDef("q12_priority_split", Some("""
+      SELECT l.l_linestatus,
+             CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+             CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_cnt
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      GROUP BY l.l_linestatus ORDER BY l.l_linestatus""")) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, o("o_orderkey") === l("l_orderkey")
+          && l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_cnt"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_cnt"))
+        .orderBy("l_linestatus")
+    },
+
+    // Top supplier (TPC-H Q15 shape): revenue per supplier over a quarter,
+    // keeping the max-revenue supplier(s). Revenue stays DECIMAL through
+    // the max-equality filter — the `= max` is exact, no double compare —
+    // and only the output column casts to double. The max is a one-row
+    // broadcast, not a rescan.
+    QueryDef("q15_top_supplier", Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(18,6))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1998-04-01'
+        GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+      FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+      WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+      ORDER BY s.s_suppkey""")) { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("total_rev"))
+      val top = rev.agg(max("total_rev").as("max_rev"))
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_name")
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(broadcast(su), su("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    },
+
+    // Supplier diversity (TPC-H Q16 shape): distinct suppliers per
+    // (brand, size) excluding one brand and a denylist of suppliers.
+    // NOT IN over the non-null denylist plans as a broadcast anti join;
+    // the distinct count is exact two-level aggregation.
+    QueryDef("q16_supplier_cnt", Some("""
+      SELECT p.p_brand, p.p_size,
+             CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supp_cnt
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand <> 'Brand#1'
+        AND l.l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p.p_brand, p.p_size
+      ORDER BY supp_cnt DESC, p.p_brand, p.p_size""")) { (s, dir) =>
+      val deny = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      val p = t(s, dir, "part").filter(col("p_brand") =!= "Brand#1")
+        .select("p_partkey", "p_brand", "p_size")
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(deny), col("l_suppkey") === deny("s_suppkey"),
+          "left_anti")
+        .join(broadcast(p), p("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct("l_suppkey").as("supp_cnt"))
+        .orderBy(col("supp_cnt").desc, col("p_brand"), col("p_size"))
+    },
+
+    // Small-quantity revenue (TPC-H Q17 shape): lineitems of one brand
+    // shipped below 20% of their part's average quantity. The correlated
+    // per-part average becomes a broadcast part-level aggregate — the
+    // fact table is scanned twice but never self-joined row-to-row. The
+    // average is (exact decimal sum → double) / count, then one multiply
+    // and one compare — every step IEEE-identical cross-engine.
+    QueryDef("q17_small_qty", Some("""
+      WITH pa AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS avg_qty
+        FROM lineitem GROUP BY l_partkey)
+      SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(7 AS DOUBLE) AS avg_yearly
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN pa ON pa.l_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#3'
+        AND l.l_quantity < CAST(0.2 AS DOUBLE) * pa.avg_qty
+      ORDER BY avg_yearly""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val pa = li.groupBy(col("l_partkey").as("pa_partkey"))
+        .agg((sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)).cast("double")).as("avg_qty"))
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#3")
+        .select("p_partkey")
+      li.join(broadcast(p), p("p_partkey") === col("l_partkey"))
+        .join(broadcast(pa), col("pa_partkey") === col("l_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,6)"))
+          .cast("double") / lit(7.0)).as("avg_yearly"))
+        .orderBy("avg_yearly")
+    },
+
+    // Dominant suppliers (TPC-H Q20 shape): suppliers shipping more than a
+    // an eighth of a part family's total volume. Share test is exact decimal
+    // arithmetic (sum × 4 vs sum — no division, no doubles), so the
+    // qualifying set is bit-deterministic; DISTINCT collapses multi-part
+    // qualifiers. Both aggregates shuffle on the part key once.
+    QueryDef("q20_dominant_supp", Some("""
+      WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+        FROM lineitem GROUP BY l_suppkey, l_partkey),
+      pt AS (
+        SELECT l_partkey,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) AS total_qty
+        FROM lineitem GROUP BY l_partkey)
+      SELECT DISTINCT s.s_suppkey, s.s_name
+      FROM sp
+      JOIN pt ON pt.l_partkey = sp.l_partkey
+      JOIN part p ON p.p_partkey = sp.l_partkey
+      JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+      WHERE p.p_name LIKE 'small%' AND sp.qty * 8 > pt.total_qty
+      ORDER BY s.s_suppkey""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val sp = li.groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("qty"))
+      val pt = li.groupBy(col("l_partkey").as("pt_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("total_qty"))
+      val p = t(s, dir, "part").filter(col("p_name").like("small%"))
+        .select("p_partkey")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_name")
+      sp.join(pt, col("pt_partkey") === col("l_partkey"))
+        .join(broadcast(p), p("p_partkey") === col("l_partkey"))
+        .filter(col("qty") * 8 > col("total_qty"))
+        .join(broadcast(su), su("s_suppkey") === col("l_suppkey"))
+        .select("s_suppkey", "s_name").distinct()
+        .orderBy("s_suppkey")
+    },
+
     // LATERAL correlated subquery with ORDER BY + LIMIT: top-2 customers
     // per nation through the SQL surface. Catalyst decorrelates the
     // lateral into a per-nation window (WindowGroupLimit top-k map-side),
