@@ -83,6 +83,65 @@ object TimeSeries {
       .select(k, col("__h").as("bucket"), col(valCol))
   }
 
+  /** Linear interpolation onto a fixed per-key grid: each grid point takes
+    * `v0 + (v1 − v0) · (t − t0)/(t1 − t0)` between its neighboring
+    * observations (the last at-or-before and the first strictly-after
+    * anchor); grid points before the first anchor back-fill, at-or-after
+    * the last anchor forward-fill. Same-timestamp observations dedup to
+    * the highest `ordCol` so the anchor set is deterministic.
+    *
+    * Determinism contract: times enter the arithmetic as exact integer
+    * microseconds and the interpolation is five IEEE double ops written
+    * identically in the oracle — no engine-variant rounding anywhere.
+    *
+    * Scale posture: anchors and grid union into ONE stream sorted per key,
+    * and both neighbor lookups are frame-bounded `last/first IGNORE NULLS`
+    * window passes over that stream — Catalyst plans a single hash
+    * exchange on the key shared by the dedup window, both fill windows and
+    * the grid explode. The classic alternative (range join of grid against
+    * anchor intervals) shuffles twice and explodes; this never builds a
+    * pair space.
+    */
+  def interpolate(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, ordCol: String,
+                  unit: String, step: String): DataFrame = {
+    val k = col(keyCol)
+    val wTs = Window.partitionBy(k, col(tsCol)).orderBy(col(ordCol).desc)
+    val anchors = df.withColumn("__rn", row_number().over(wTs))
+      .filter(col("__rn") === 1)
+      .select(k, col(tsCol).as("__t"), col(valCol).as("__v"),
+        lit(1).as("__a"))
+    val grid = df.groupBy(k)
+      .agg(date_trunc(unit, min(col(tsCol))).as("__h0"),
+        date_trunc(unit, max(col(tsCol))).as("__h1"))
+      .select(k, explode(expr(s"sequence(__h0, __h1, $step)")).as("__t"),
+        lit(null).cast(df.schema(valCol).dataType).as("__v"),
+        lit(0).as("__a"))
+    // Anchors sort before a grid point at the identical timestamp, so the
+    // backward pass sees them (v0 = the coincident value, frac = 0) and
+    // the forward pass skips them (t1 is strictly later).
+    val wPrev = Window.partitionBy(k).orderBy(col("__t"), col("__a").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(k).orderBy(col("__t"), col("__a").desc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val anchorUs = when(col("__a") === 1, col("__us"))
+    anchors.unionByName(grid)
+      .withColumn("__us", unix_micros(col("__t")))
+      .withColumn("__v0", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("__t0", last(anchorUs, ignoreNulls = true).over(wPrev))
+      .withColumn("__v1", first(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("__t1", first(anchorUs, ignoreNulls = true).over(wNext))
+      .filter(col("__a") === 0)
+      .select(k, col("__t").as("bucket"),
+        when(col("__t0").isNull, col("__v1"))
+          .when(col("__t1").isNull || col("__t1") === col("__t0"),
+            col("__v0"))
+          .otherwise(col("__v0") + (col("__v1") - col("__v0"))
+            * ((col("__us") - col("__t0")).cast("double")
+              / (col("__t1") - col("__t0")).cast("double")))
+          .as(valCol))
+  }
+
   /** Time-weighted average of an irregular series per key: each
     * observation holds until the next one, so its weight is the gap to
     * the successor (the final observation carries no weight — there is no

@@ -82,6 +82,28 @@ object Extensions extends QueryModule {
         .orderBy("doc_id").limit(100)
     },
 
+    // Text canonicalization via the native one-pass TextClean expression
+    // (NFC + control/format-char strip + space collapse + trim), the first
+    // stage of any web-scrape ingest. The input is salted with a tab, a
+    // decomposed accent (e + U+0301 -> é under NFC) and a zero-width space
+    // (U+200B, category Cf) so every cleaning step is load-bearing. The
+    // oracle mirrors it as nfc_normalize + two regexp_replace + trim;
+    // the expression does all four in one String traversal and stays
+    // inside whole-stage codegen.
+    QueryDef("x5_clean", Some("""
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               nfc_normalize(concat(text, chr(9), ' cafe', chr(769),
+                                    ' ', chr(8203), 'x')),
+               '[\p{Cc}\p{Cf}]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+      FROM documents ORDER BY doc_id LIMIT 200""")) { (s, dir) =>
+      spread(t(s, dir, "documents")).select(
+        col("doc_id"),
+        org.apache.spark.sql.graft.TextClean.of(
+          concat(col("text"), lit("\t cafe\u0301 \u200bx"))).as("clean"))
+        .orderBy("doc_id").limit(200)
+    },
+
     QueryDef("x5_langid", Some("""
       WITH scored AS (
         SELECT lang,

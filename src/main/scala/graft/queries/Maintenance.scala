@@ -180,6 +180,57 @@ object Maintenance extends QueryModule {
         .orderBy("user_id", "hour_s")
     },
 
+    // Resample + LINEAR interpolation: the other half of the resampling
+    // story (ts1 carries values flat; this draws the line between
+    // neighboring observations). Anchors and grid merge into one per-key
+    // sorted stream with frame-bounded IGNORE NULLS window passes — one
+    // exchange, no grid-vs-interval join. Times are exact integer
+    // microseconds; the interpolation is five IEEE ops mirrored verbatim
+    // in the oracle.
+    QueryDef("ts4_interp", Some("""
+      WITH e AS (SELECT user_id, ts, value, event_id
+                 FROM events WHERE user_id % 25 = 0),
+      a0 AS (SELECT user_id, ts, value,
+                    row_number() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) AS rn
+             FROM e),
+      a AS (SELECT user_id, ts, value FROM a0 WHERE rn = 1),
+      sp AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                    date_trunc('hour', max(ts)) AS h1
+             FROM e GROUP BY user_id),
+      g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS t
+            FROM sp),
+      u AS (SELECT user_id, ts AS t, value AS v, 1 AS a FROM a
+            UNION ALL SELECT user_id, t, NULL, 0 FROM g),
+      w AS (SELECT user_id, t, a, epoch_us(t) AS us,
+              last_value(v IGNORE NULLS) OVER pw AS v0,
+              last_value(CASE WHEN a = 1 THEN epoch_us(t) END IGNORE NULLS)
+                OVER pw AS t0,
+              first_value(v IGNORE NULLS) OVER nw AS v1,
+              first_value(CASE WHEN a = 1 THEN epoch_us(t) END IGNORE NULLS)
+                OVER nw AS t1
+            FROM u
+            WINDOW pw AS (PARTITION BY user_id ORDER BY t, a DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   nw AS (PARTITION BY user_id ORDER BY t, a DESC
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS hour_s,
+             CASE WHEN t0 IS NULL THEN v1
+                  WHEN t1 IS NULL OR t1 = t0 THEN v0
+                  ELSE v0 + (v1 - v0) * (CAST(us - t0 AS DOUBLE)
+                                         / CAST(t1 - t0 AS DOUBLE)) END AS v
+      FROM w WHERE a = 0
+      ORDER BY user_id, hour_s""")) { (s, dir) =>
+      graft.operators.TimeSeries.interpolate(
+          t(s, dir, "events").filter(col("user_id") % 25 === 0),
+          "user_id", "ts", "value", "event_id",
+          unit = "hour", step = "interval 1 hour")
+        .select(col("user_id"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+          col("value").as("v"))
+        .orderBy("user_id", "hour_s")
+    },
+
     // TIME TRAVEL over versioned snapshots: three upsert versions land as
     // v0/v1/v2 (the mergeSink layout), then the gate reads AS OF v1 via
     // latestSnapshotBefore — historical reads from an immutable version

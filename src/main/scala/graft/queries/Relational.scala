@@ -1414,6 +1414,30 @@ object Relational extends QueryModule {
         .orderBy("custkey")
     },
 
+    // Forecast revenue change (TPC-H Q6 shape): a pure selective scan-and-
+    // sum — all three predicates (date range, discount band, quantity cap)
+    // push into the parquet scan, no join, no shuffle beyond the one-row
+    // final aggregate. The canonical "is pushdown working" probe.
+    QueryDef("q6_forecast_rev", Some("""
+      SELECT CAST(sum(CAST(l_extendedprice * l_discount
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount >= CAST(0.05 AS DOUBLE)
+        AND l_discount <= CAST(0.07 AS DOUBLE)
+        AND l_quantity < CAST(24 AS DOUBLE)
+      ORDER BY revenue""")) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy("revenue")
+    },
+
     // Min-cost supplier (TPC-H Q2 shape): for each small part, the
     // supplier(s) offering the minimum observed unit price. The correlated
     // `= (SELECT min ...)` decorrelates to a window min over the part key —

@@ -39,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children(0), children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("text_clean"),
+      new ExpressionInfo(classOf[TextClean].getName, "text_clean"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "text_clean takes exactly 1 argument")
+        TextClean(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) => {

@@ -36,6 +36,66 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Native text canonicalization in one pass: Unicode NFC normalization,
+  * control/format characters (categories Cc, Cf) mapped to spaces, space
+  * runs collapsed, leading/trailing spaces trimmed. The per-row cost is a
+  * single String traversal — versus a 4-deep regexp_replace tree which
+  * re-scans the string per pattern and can't whole-stage-compile the NFC
+  * step at all. Semantics are pinned to what an oracle can express as
+  * `trim(regexp_replace(regexp_replace(nfc_normalize(s),
+  * '[\p{Cc}\p{Cf}]', ' ', 'g'), ' +', ' ', 'g'))`: non-space whitespace
+  * (e.g. U+00A0) is deliberately preserved, so the two forms stay
+  * bit-identical.
+  */
+case class TextClean(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "text_clean"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextClean.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextClean.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextClean {
+  /** Static so generated code can call it directly. */
+  def compute(text: UTF8String): UTF8String = {
+    val s = java.text.Normalizer.normalize(
+      text.toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val tp = Character.getType(cp)
+      if (cp == ' ' || tp == Character.CONTROL || tp == Character.FORMAT) {
+        // Space or a char the cleaner maps to space: fold into one
+        // separator, dropped entirely at the string edges (trim).
+        if (started) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.appendCodePoint(cp)
+        started = true
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def of(text: Column): Column =
+    ExpressionUtils.column(TextClean(ExpressionUtils.expression(text)))
+}
+
 object WordShingles {
   private val SPACE = UTF8String.fromString(" ")
 

@@ -17,6 +17,27 @@ class TextOpsSpec extends SparkSpec {
     assert(sh(2).isEmpty)
   }
 
+  test("TextClean: NFC composes, Cc/Cf fold to one space, edges trim") {
+    val dirty = Seq(
+      "a\tb",                       // control char -> separator
+      "  lead  and   trail   ",     // space runs collapse, edges trim
+      "cafe\u0301",                 // NFC composes e + U+0301
+      "zero\u200bwidth",            // Cf chars fold into the separator
+      "\u0007\u0007",               // control-only -> empty
+      "keep\u00a0nbsp"              // U+00A0 is Zs, NOT collapsed
+    ).toDF("text")
+    val out = dirty.select(org.apache.spark.sql.graft.TextClean.of(col("text")))
+      .as[String].collect().toSeq
+    assert(out == Seq(
+      "a b", "lead and trail", "caf\u00e9", "zero width", "",
+      "keep\u00a0nbsp"))
+  }
+
+  test("TextClean: registered on the SQL surface via extensions") {
+    spark.sql("SELECT text_clean(' x\ty ') AS c").as[String].collect()
+      .toSeq match { case Seq(c) => assert(c == "x y") }
+  }
+
   test("native WordShingles matches the HOF shingles exactly, incl. edges") {
     val docs = spark.read.parquet(sf("documents")).select("text")
       .union(Seq("a b", "x", "", "one two three four").toDF("text"))

@@ -45,6 +45,39 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 7.0)))
   }
 
+  test("interpolate: linear between anchors, backfill head, ffill tail") {
+    val events = Seq(
+      (1L, ts("2026-01-01 10:30:00"), 10.0, 1L),
+      (1L, ts("2026-01-01 12:30:00"), 30.0, 2L),
+      (2L, ts("2026-01-01 05:00:00"), 4.0, 3L), // anchor exactly on grid
+      (2L, ts("2026-01-01 07:00:00"), 8.0, 4L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = TimeSeries.interpolate(events, "user_id", "ts", "value",
+        "event_id", unit = "hour", step = "interval 1 hour")
+      .orderBy("user_id", "bucket")
+      .select("user_id", "value").as[(Long, Double)].collect().toSeq
+    assert(out == Seq(
+      // key 1 grid 10:00..12:00 — 10:00 precedes the first anchor
+      // (backfill), 11:00 is 1/4 of the 10:30→12:30 segment, 12:00 is 3/4
+      (1L, 10.0), (1L, 15.0), (1L, 25.0),
+      // key 2 grid 05:00..07:00 — on-anchor hit, midpoint, on-anchor hit
+      (2L, 4.0), (2L, 6.0), (2L, 8.0)))
+  }
+
+  test("interpolate: same-ts anchors dedup to highest ord; single-anchor key") {
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1.0, 1L),
+      (1L, ts("2026-01-01 10:00:00"), 5.0, 2L), // wins the 10:00 anchor
+      (1L, ts("2026-01-01 11:00:00"), 7.0, 3L),
+      (3L, ts("2026-01-01 09:20:00"), 2.0, 4L)  // grid = the single 09:00
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = TimeSeries.interpolate(events, "user_id", "ts", "value",
+        "event_id", unit = "hour", step = "interval 1 hour")
+      .orderBy("user_id", "bucket")
+      .select("user_id", "value").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 5.0), (1L, 7.0), (3L, 2.0)))
+  }
+
   test("resampleFfill: same-timestamp tie broken by ordCol") {
     val events = Seq(
       (1L, ts("2026-01-01 10:00:00"), 1.0, 5L),
