@@ -97,6 +97,95 @@ object Stats {
       .drop("__rn", "__n")
   }
 
+  /** Robust (median/IQR) scaling: `(v − median) / (q3 − q1)` per group,
+    * the outlier-immune alternative to z-scoring — the heavy tail that
+    * wrecks a mean/stddev scaler moves a rank-based one by at most one
+    * rank. Quartiles are EXACT order statistics under the
+    * (`valueCol`, `ordCol`) total order (same contract as
+    * [[iqrOutliers]]), so every bound is a real data value and the scaled
+    * output is one subtract + one divide — engine-portable. Degenerate
+    * groups (q1 = q3) scale to 0.0.
+    *
+    * Scale posture: one ordered + one unordered window over the same
+    * group key — a single exchange; the scaling is a projection.
+    */
+  def robustScale(df: DataFrame, keys: Seq[String], valueCol: String,
+                  ordCol: String, outCol: String = "scaled"): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(valueCol), col(ordCol))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val v = col(valueCol)
+    def rankPick(q: Double) =
+      max(when(col("__rn") === ceil(col("__n") * q), v)).over(wAll)
+    df.withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("med", rankPick(0.5))
+      .withColumn("q1", rankPick(0.25))
+      .withColumn("q3", rankPick(0.75))
+      .withColumn(outCol,
+        when(col("q3") === col("q1"), lit(0.0))
+          .otherwise((v - col("med")) / (col("q3") - col("q1"))))
+      .drop("__rn", "__n")
+  }
+
+  /** Smoothed target encoding: each category maps to
+    * `(Σ target + m · global_mean) / (n + m)` — the shrinkage estimator
+    * that backs a rare category off toward the prior instead of
+    * memorizing its handful of labels. Sums are decimal-exact (order-
+    * independent), the global mean is a one-row broadcast, and the
+    * blend is three IEEE ops written identically in the oracle.
+    *
+    * Scale posture: one hash aggregate on the category (map-side
+    * partials) plus a scalar crossJoin — broadcast by construction.
+    * Output: (catCol, n, te) — the encoding table, joined back to
+    * examples by the caller (broadcast: it is vocabulary-sized).
+    */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+                   m: Double): DataFrame = {
+    val g = df.agg(
+      (sum(col(targetCol).cast("decimal(18,6)")).cast("double")
+        / count(lit(1)).cast("double")).as("__gm"))
+    df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(targetCol).cast("decimal(18,6)")).cast("double").as("__s"))
+      .crossJoin(broadcast(g))
+      .select(col(catCol), col("n"),
+        ((col("__s") + lit(m) * col("__gm"))
+          / (col("n").cast("double") + lit(m))).as("te"))
+  }
+
+  /** Deterministic label indexing: the distinct categories in
+    * lexicographic order get indices 0..|V|−1. Returns the MAPPING table
+    * (catCol, idx) — broadcast-join it back to examples. The global
+    * ordered window runs over the distinct set only (vocabulary-sized,
+    * post-aggregation), never over the data, so the single-partition
+    * sort is a few thousand rows regardless of corpus size.
+    */
+  def stringIndex(df: DataFrame, catCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(catCol))
+    df.select(col(catCol)).distinct()
+      .withColumn("idx", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** Equal-frequency (quantile) binning per group: `ntile(n)` under the
+    * (`valueCol`, `ordCols`) total order — deterministic bucket
+    * membership, bucket sizes differing by at most one (standard ntile,
+    * identical in any SQL engine). Per-group windows keep the sort
+    * parallel across groups; for a single global binning at 100 TB,
+    * derive boundaries from [[robustScale]]-style order statistics
+    * instead of sorting the world.
+    */
+  def quantileBins(df: DataFrame, keys: Seq[String], valueCol: String,
+                   ordCols: Seq[String], n: Int,
+                   outCol: String = "bin"): DataFrame = {
+    require(n >= 1, "bin count must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((valueCol +: ordCols).map(col): _*)
+    df.withColumn(outCol, ntile(n).over(w))
+  }
+
   /** Exact heavy hitters: the top-`k` most frequent `valueCol` values per
     * group, rank totalized by (count desc, value) so ties are
     * deterministic. Plans as one (group, value) hash aggregate with

@@ -1949,5 +1949,101 @@ object Extensions extends QueryModule {
         .select(col("event_type"), col("q1"), col("q3"), col("n"),
           col("n_out"))
         .orderBy("event_type")
+    },
+
+    // Robust (median/IQR) scaling per nation (Stats.robustScale): exact
+    // rank-based quartiles under a total order, then one subtract + one
+    // divide — the outlier-immune normalizer, engine-portable because
+    // every bound is a real data value.
+    QueryDef("x9_robust_scale", Some("""
+      WITH r AS (SELECT c_custkey, c_nationkey, c_acctbal,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal, c_custkey) AS rn,
+                   count(*) OVER (PARTITION BY c_nationkey) AS n
+                 FROM customer),
+      q AS (SELECT c_custkey, c_acctbal,
+              max(CASE WHEN rn = ceil(n * 0.5) THEN c_acctbal END)
+                OVER (PARTITION BY c_nationkey) AS med,
+              max(CASE WHEN rn = ceil(n * 0.25) THEN c_acctbal END)
+                OVER (PARTITION BY c_nationkey) AS q1,
+              max(CASE WHEN rn = ceil(n * 0.75) THEN c_acctbal END)
+                OVER (PARTITION BY c_nationkey) AS q3
+            FROM r)
+      SELECT c_custkey, CASE WHEN q3 = q1 THEN CAST(0 AS DOUBLE)
+                             ELSE (c_acctbal - med) / (q3 - q1) END AS scaled
+      FROM q ORDER BY c_custkey""")) { (s, dir) =>
+      graft.operators.Stats.robustScale(t(s, dir, "customer"),
+          Seq("c_nationkey"), "c_acctbal", "c_custkey")
+        .select(col("c_custkey"), col("scaled"))
+        .orderBy("c_custkey")
+    },
+
+    // Smoothed target encoding (Stats.targetEncode): rare categories
+    // shrink toward the global prior — sums decimal-exact, the blend a
+    // three-op IEEE expression mirrored verbatim in the oracle; the
+    // global mean is a one-row broadcast.
+    QueryDef("x9_target_encode", Some("""
+      WITH g AS (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gm
+                 FROM orders),
+      c AS (SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                        AS DOUBLE) AS s
+            FROM orders GROUP BY o_orderpriority)
+      SELECT c.o_orderpriority, CAST(c.n AS BIGINT) AS n,
+             (c.s + CAST(10 AS DOUBLE) * g.gm)
+               / (CAST(c.n AS DOUBLE) + CAST(10 AS DOUBLE)) AS te
+      FROM c, g ORDER BY o_orderpriority""")) { (s, dir) =>
+      graft.operators.Stats.targetEncode(t(s, dir, "orders"),
+          "o_orderpriority", "o_totalprice", m = 10.0)
+        .orderBy("o_orderpriority")
+    },
+
+    // Equal-frequency binning (Stats.quantileBins): per-flag price
+    // quartiles via ntile under a total order — bucket membership is
+    // standard-SQL deterministic, so per-bin counts and extrema gate
+    // exactly; the sort parallelizes across groups.
+    QueryDef("x9_qbins", Some("""
+      WITH b AS (SELECT l_returnflag,
+                   ntile(4) OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                     AS bin,
+                   l_extendedprice AS v
+                 FROM lineitem)
+      SELECT l_returnflag, CAST(bin AS INT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+      FROM b GROUP BY l_returnflag, bin
+      ORDER BY l_returnflag, bin""")) { (s, dir) =>
+      graft.operators.Stats.quantileBins(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_extendedprice",
+          Seq("l_orderkey", "l_linenumber"), n = 4)
+        .groupBy(col("l_returnflag"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy("l_returnflag", "bin")
+    },
+
+    // Deterministic label indexing (Stats.stringIndex): lexicographic
+    // vocabulary indices built over the DISTINCT set only (the global
+    // sort touches |V| rows, not the corpus), then broadcast-joined back
+    // for per-label counts.
+    QueryDef("x9_stringindex", Some("""
+      WITH m AS (SELECT p_brand,
+                   CAST(row_number() OVER (ORDER BY p_brand) - 1 AS BIGINT)
+                     AS idx
+                 FROM (SELECT DISTINCT p_brand FROM part)),
+      j AS (SELECT m.idx, m.p_brand FROM part p
+            JOIN m ON m.p_brand = p.p_brand)
+      SELECT p_brand, idx, CAST(count(*) AS BIGINT) AS n
+      FROM j GROUP BY p_brand, idx ORDER BY idx""")) { (s, dir) =>
+      val part = t(s, dir, "part")
+      val mapping = graft.operators.Stats.stringIndex(part, "p_brand")
+      part.select(col("p_brand").as("pb"))
+        .join(broadcast(mapping), col("pb") === mapping("p_brand"))
+        .groupBy("p_brand", "idx")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("idx")
     })
 }

@@ -75,4 +75,44 @@ class StatsSpec extends SparkSpec {
       .orderBy("k").collect().toSeq
     assert(a == b)
   }
+
+  test("robustScale: median/IQR by hand, degenerate group scales to 0") {
+    // group a: values 1..5 → med=3 (rank 3), q1=2 (rank ceil(1.25)=2),
+    // q3=4 (rank 4), iqr=2 → scaled = (v-3)/2
+    val df = (1 to 5).map(v => ("a", v.toDouble, v.toLong)) ++
+      Seq(("b", 7.0, 10L), ("b", 7.0, 11L))
+    val out = Stats.robustScale(df.toDF("k", "v", "id"), Seq("k"), "v", "id")
+      .orderBy("k", "id").select("k", "scaled")
+      .as[(String, Double)].collect().toSeq
+    assert(out == Seq(("a", -1.0), ("a", -0.5), ("a", 0.0), ("a", 0.5),
+      ("a", 1.0), ("b", 0.0), ("b", 0.0)))
+  }
+
+  test("targetEncode: shrinkage blend by hand; rare category pulls to prior") {
+    // global mean = (10+10+10+70)/4 = 25; m = 2
+    // cat x: n=3 sum=30 → (30 + 2*25)/(3+2) = 16
+    // cat y: n=1 sum=70 → (70 + 2*25)/(1+2) = 40  (vs raw mean 70)
+    val df = Seq(("x", 10.0), ("x", 10.0), ("x", 10.0), ("y", 70.0))
+      .toDF("cat", "tgt")
+    val out = Stats.targetEncode(df, "cat", "tgt", m = 2.0)
+      .orderBy("cat").select("cat", "n", "te")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("x", 3L, 16.0), ("y", 1L, 40.0)))
+  }
+
+  test("stringIndex: lexicographic dense 0-based indices over distinct") {
+    val df = Seq("c", "a", "b", "a", "c", "c").toDF("cat")
+    val out = Stats.stringIndex(df, "cat").orderBy("idx")
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 0L), ("b", 1L), ("c", 2L)))
+  }
+
+  test("quantileBins: equal heights with earlier bins taking the extras") {
+    // 10 rows into 4 bins → sizes 3,3,2,2 in value order
+    val df = (1 to 10).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("k", "v", "id")
+    val out = Stats.quantileBins(df, Seq("k"), "v", Seq("id"), n = 4)
+      .orderBy("id").select("bin").as[Int].collect().toSeq
+    assert(out == Seq(1, 1, 1, 2, 2, 2, 3, 3, 4, 4))
+  }
 }
