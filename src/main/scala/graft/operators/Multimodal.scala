@@ -130,6 +130,57 @@ object Multimodal {
     df.join(keep, Seq(idCol))
   }
 
+  /** Perceptual average-hash over decoded feature codes: bit `j` of the
+    * 8-bit hash is set iff code `j` exceeds the mean of the 8 codes
+    * (compared cross-multiplied — `8·cⱼ > Σc` — so the test is exact
+    * integer arithmetic, no division). Over real pixel features this is
+    * the classic aHash; over the [[StubDecoder]]'s md5-char codes it is
+    * the same arithmetic on a deterministic stand-in, which keeps the
+    * whole path oracle-able. Pure projection — no shuffle.
+    */
+  def avgHash(feats: DataFrame, idCol: String = "id",
+              codesCol: String = "codes"): DataFrame = {
+    val c = (j: Int) => element_at(col(codesCol), j + 1)
+    val s = (0 until 8).map(c).reduce(_ + _)
+    val hash = (0 until 8)
+      .map(j => when(c(j) * 8 > s, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    feats.select(col(idCol), hash.as("phash"))
+  }
+
+  /** Near-duplicate media pairs by perceptual-hash Hamming distance,
+    * band-blocked: the 8-bit hash splits into two nibbles; a pair is a
+    * candidate iff it shares a (band, nibble) bucket — pigeonhole-complete
+    * for Hamming ≤ 1 (one differing bit leaves the other nibble equal) —
+    * then the exact `bit_count(xor)` filter runs on candidates only.
+    * Never an all-pairs join: the shuffle is keyed on (band, nibble)
+    * buckets, and at 100 TB bucket sizes are corpus/16 per band, with the
+    * quadratic work confined inside buckets of hash-equal-ish media.
+    */
+  def phashPairs(hashes: DataFrame, idCol: String = "id",
+                 hashCol: String = "phash",
+                 maxHamming: Int = 1): DataFrame = {
+    require(maxHamming <= 1,
+      "two 4-bit bands are pigeonhole-complete only for Hamming <= 1")
+    val bands = hashes.select(col(idCol).as("__id"), col(hashCol).as("__h"),
+      explode(array(
+        struct(lit(0).as("band"), col(hashCol).bitwiseAND(lit(15L)).as("key")),
+        struct(lit(1).as("band"), shiftright(col(hashCol), 4).as("key"))))
+        .as("b"))
+      .select(col("__id"), col("__h"), col("b.band").as("band"),
+        col("b.key").as("key"))
+    val a = bands.select(col("band"), col("key"), col("__id").as("da"),
+      col("__h").as("pa"))
+    val b = bands.select(col("band"), col("key"), col("__id").as("db"),
+      col("__h").as("pb"))
+    a.join(b, Seq("band", "key")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("pa"), col("pb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling for video-like payloads: every `stride`-th fixed-size
     * block of the content bytes becomes one "frame" row (id, frameNo,
     * frame). Pure projection — no shuffle.

@@ -223,6 +223,53 @@ object Stats {
     * group; larger domains should pre-scale or switch the numerators to
     * decimal(38,0).
     */
+  /** Rolling z-score anomaly detection in EXACT integer arithmetic: values
+    * land on a fixed-point grid (`floor(value · gridScale)` longs) and the
+    * trailing-window test `|x − mean| > τ·σ` is evaluated in its squared,
+    * cross-multiplied form
+    *
+    *   `(n·x − Σx)² > τ² · (n·Σx² − (Σx)²)`
+    *
+    * — every quantity a 64-bit integer, no division, no sqrt, no FP at
+    * all, hence bit-portable to any engine (σ here is the population σ of
+    * the window). `tau2` is τ² (τ = 2 → 4). Rows without a full window
+    * (fewer than `win`+1 trailing rows) are warmup — flagged null.
+    *
+    * Overflow envelope: |grid value| ≤ G with window w = `win`+1 needs
+    * w²·G² < 2⁶³ (the dev² term) and τ²·w·G²·w < 2⁶³ — G ≤ 10⁸ is safe at
+    * w = 5, i.e. values to a million at gridScale 100.
+    *
+    * Scale posture: the three rolling sums share one frame over one
+    * (`ordCols`)-sorted window — a single hash exchange on the keys; the
+    * quadratic test is a projection. The trailing frame is
+    * restart-exact: no global state, any key range recomputes
+    * independently.
+    */
+  def rollingAnomalies(df: DataFrame, keys: Seq[String], valueCol: String,
+                       ordCols: Seq[String], win: Int = 4, tau2: Long = 4L,
+                       gridScale: Long = 100L,
+                       outCol: String = "is_anom"): DataFrame = {
+    require(win >= 1, "window must cover at least one trailing row")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(ordCols.map(col): _*)
+      .rowsBetween(-win, 0)
+    val gv = floor(col(valueCol) * gridScale).cast("long")
+    df.withColumn("__gv", gv)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("__gv")).over(w))
+      .withColumn("__sxx", sum(col("__gv") * col("__gv")).over(w))
+      .withColumn("dev2",
+        (col("__n") * col("__gv") - col("__sx"))
+          * (col("__n") * col("__gv") - col("__sx")))
+      .withColumn("var_num",
+        col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn(outCol,
+        when(col("__n") === (win + 1),
+          col("dev2") > lit(tau2) * col("var_num")))
+      .drop("__gv", "__n", "__sx", "__sxx")
+  }
+
   def momentsInt(df: DataFrame, keys: Seq[String],
                  xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("long")

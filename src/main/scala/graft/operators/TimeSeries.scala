@@ -142,6 +142,38 @@ object TimeSeries {
           .as(valCol))
   }
 
+  /** Truncated exponentially-weighted moving average (α = ½) per key:
+    * `v/2 + lag₁/4 + lag₂/8 + lag₃/8` — dyadic weights ½, ¼, ⅛ plus the
+    * entire geometric tail (Σᵢ≥₃ 2⁻ⁱ⁻¹ = ⅛) assigned to the 3rd lag, so
+    * the weights sum to exactly 1 with a bounded state window. Missing
+    * history warm-starts at the oldest available value (each lag
+    * coalesces to its younger neighbor), the standard EWMA
+    * initialization.
+    *
+    * Determinism contract: every weight is a power of two, so each term
+    * is an exact FP exponent decrement, and the sum is a FIXED 4-leaf
+    * expression tree — bit-identical in any IEEE-754 engine (no window
+    * sum whose accumulation order an engine could choose).
+    *
+    * Scale posture: the four lags share one (`tsCol`, `ordCol`)-sorted
+    * window pass — a single hash exchange on the key; the blend is a
+    * projection. Unlike the recursive EWMA definition (an inherently
+    * sequential scan per key), truncation makes the operator a bounded
+    * frame lookback — embarrassingly parallel across keys AND restart-
+    * safe mid-stream.
+    */
+  def ewmaTruncated(df: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, ordCol: String,
+                    outCol: String = "ewma"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(ordCol))
+    val v0 = col(valCol)
+    val l1 = coalesce(lag(v0, 1).over(w), v0)
+    val l2 = coalesce(lag(v0, 2).over(w), l1)
+    val l3 = coalesce(lag(v0, 3).over(w), l2)
+    df.withColumn(outCol, ((v0 / 2 + l1 / 4) + l2 / 8) + l3 / 8)
+  }
+
   /** Time-weighted average of an irregular series per key: each
     * observation holds until the next one, so its weight is the gap to
     * the successor (the final observation carries no weight — there is no

@@ -1265,6 +1265,33 @@ object Extensions extends QueryModule {
         .orderBy("id").limit(100)
     },
 
+    // Perceptual-hash near-dup media pairs (Multimodal.avgHash +
+    // phashPairs): 8-bit average-hash over the batched mapPartitions
+    // decode, nibble-band blocking (pigeonhole-complete for Hamming ≤ 1),
+    // exact bit_count(xor) verify on candidates only. The oracle, free of
+    // scale concerns, verifies against the plain all-pairs Hamming join.
+    QueryDef("x4_phash", Some("""
+      WITH c AS (SELECT doc_id, md5(text) AS h FROM documents),
+      s AS (SELECT doc_id, h,
+        """ + (1 to 8).map(j => s"ascii(substr(h,$j,1))")
+          .mkString(" + ") + """ AS tot FROM c),
+      p AS (SELECT doc_id,
+        """ + (1 to 8).map(j =>
+          s"CASE WHEN 8*ascii(substr(h,$j,1)) > tot THEN ${1L << (j - 1)} ELSE 0 END")
+          .mkString("\n        + ") + """ AS phash FROM s)
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(a.phash AS BIGINT) AS pa, CAST(b.phash AS BIGINT) AS pb,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      FROM p a JOIN p b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 1
+      ORDER BY da, db""")) { (s, dir) =>
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+      val feats = Multimodal.extractFeatures(media, Multimodal.StubDecoder)
+      val hashes = Multimodal.avgHash(feats.toDF(), "id", "codes")
+      Multimodal.phashPairs(hashes, "id", "phash", maxHamming = 1)
+        .orderBy("da", "db")
+    },
+
     // Byte-plane resize (crop/pad to a fixed 16x12 target): per-source
     // counts of truncated vs padded docs and exact in/out byte totals —
     // all integer arithmetic, so the stub resize gates exactly.

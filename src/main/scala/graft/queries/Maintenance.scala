@@ -231,6 +231,61 @@ object Maintenance extends QueryModule {
         .orderBy("user_id", "hour_s")
     },
 
+    // Truncated EWMA (TimeSeries.ewmaTruncated): dyadic weights make every
+    // term an exact FP halving and the blend a fixed 4-leaf expression
+    // tree — bit-identical cross-engine with no window-sum accumulation
+    // order to disagree on. One window exchange; the four lags share one
+    // sorted pass.
+    QueryDef("ts5_ewma", Some("""
+      SELECT event_id, user_id,
+             ((value/2 + coalesce(lag(value,1) OVER w, value)/4)
+               + coalesce(lag(value,2) OVER w,
+                          coalesce(lag(value,1) OVER w, value))/8)
+               + coalesce(lag(value,3) OVER w,
+                          coalesce(lag(value,2) OVER w,
+                                   coalesce(lag(value,1) OVER w, value)))/8
+               AS ewma
+      FROM events WHERE user_id % 5 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id""")) { (s, dir) =>
+      graft.operators.TimeSeries.ewmaTruncated(
+          t(s, dir, "events").filter(col("user_id") % 5 === 0),
+          "user_id", "ts", "value", "event_id")
+        .select(col("event_id"), col("user_id"), col("ewma"))
+        .orderBy("event_id")
+    },
+
+    // Rolling z-score anomalies (Stats.rollingAnomalies): the trailing
+    // |x − mean| > 2σ test evaluated squared and cross-multiplied — pure
+    // 64-bit integer arithmetic on fixed-point-gridded values, so the
+    // flag set is engine-exact (no FP variance, no sqrt). One window
+    // exchange on the user; all three rolling sums share the frame.
+    QueryDef("ts6_anomaly", Some("""
+      WITH g AS (SELECT event_id, user_id, ts, value,
+                   CAST(floor(value * 100) AS BIGINT) AS gv
+                 FROM events),
+      m AS (SELECT event_id, user_id, value, gv,
+              count(*) OVER w AS n,
+              sum(gv) OVER w AS sx,
+              sum(gv * gv) OVER w AS sxx
+            FROM g
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, value,
+             CAST((n*gv - sx)*(n*gv - sx) AS BIGINT) AS dev2,
+             CAST(n*sxx - sx*sx AS BIGINT) AS var_num
+      FROM m
+      WHERE n = 10 AND (n*gv - sx)*(n*gv - sx) > 4 * (n*sxx - sx*sx)
+      ORDER BY event_id""")) { (s, dir) =>
+      graft.operators.Stats.rollingAnomalies(t(s, dir, "events"),
+          Seq("user_id"), "value", Seq("ts", "event_id"),
+          win = 9, tau2 = 4L)
+        .filter(col("is_anom"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("dev2"), col("var_num"))
+        .orderBy("event_id")
+    },
+
     // TIME TRAVEL over versioned snapshots: three upsert versions land as
     // v0/v1/v2 (the mergeSink layout), then the gate reads AS OF v1 via
     // latestSnapshotBefore — historical reads from an immutable version

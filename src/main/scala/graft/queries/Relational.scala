@@ -968,6 +968,74 @@ object Relational extends QueryModule {
       } finally s.conf.unset("spark.graft.rangeJoin.bucket")
     },
 
+    // Recursive CTE on the SQL surface (WITH RECURSIVE, new in Spark 4):
+    // per-region nation chains walked root→leaf. Edges derive from a
+    // window (lead over nationkey within region) in a plain CTE; the
+    // recursive member is then a co-partitioned equijoin per iteration —
+    // depth is bounded by the longest chain, every step distributed, all
+    // arithmetic integer. The same statement text runs in DuckDB.
+    QueryDef("r11_recursive_cte", Some("""
+      WITH RECURSIVE e AS (
+        SELECT n_regionkey AS r, n_nationkey AS src,
+               lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                       ORDER BY n_nationkey) AS dst
+        FROM nation),
+      roots AS (SELECT r, min(src) AS root FROM e GROUP BY r),
+      chain(r, nk, depth) AS (
+        SELECT r, root, 0 FROM roots
+        UNION ALL
+        SELECT c.r, e.dst, c.depth + 1
+        FROM chain c JOIN e ON e.r = c.r AND e.src = c.nk
+        WHERE e.dst IS NOT NULL)
+      SELECT CAST(nk AS BIGINT) AS n_nationkey, CAST(r AS BIGINT) AS region,
+             CAST(depth AS INT) AS depth
+      FROM chain ORDER BY n_nationkey""")) { (s, dir) =>
+      t(s, dir, "nation").createOrReplaceTempView("graft_r11_nation")
+      val out = s.sql("""
+        WITH RECURSIVE e AS (
+          SELECT n_regionkey AS r, n_nationkey AS src,
+                 lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                         ORDER BY n_nationkey) AS dst
+          FROM graft_r11_nation),
+        roots AS (SELECT r, min(src) AS root FROM e GROUP BY r),
+        chain(r, nk, depth) AS (
+          SELECT r, root, 0 FROM roots
+          UNION ALL
+          SELECT c.r, e.dst, c.depth + 1
+          FROM chain c JOIN e ON e.r = c.r AND e.src = c.nk
+          WHERE e.dst IS NOT NULL)
+        SELECT CAST(nk AS BIGINT) AS n_nationkey,
+               CAST(r AS BIGINT) AS region, CAST(depth AS INT) AS depth
+        FROM chain ORDER BY n_nationkey""")
+      s.catalog.dropTempView("graft_r11_nation")
+      out
+    },
+
+    // VARIANT semi-structured type (new in Spark 4): props parses ONCE
+    // into the binary VARIANT encoding and fields extract via typed
+    // variant_get path queries — the open-schema alternative to
+    // get_json_object string re-parsing (m1). All-integer aggregates, so
+    // the oracle (DuckDB JSON extraction) matches exactly.
+    QueryDef("m4_variant", Some("""
+      WITH v AS (SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                 FROM events)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             CAST(min(k) AS BIGINT) AS min_k,
+             CAST(max(k) AS BIGINT) AS max_k,
+             CAST(count(DISTINCT k) AS BIGINT) AS n_k
+      FROM v GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
+      val k = variant_get(parse_json(col("props")), "$.k", "bigint")
+      t(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          countDistinct(col("k")).as("n_k"))
+        .orderBy("event_type")
+    },
+
     // JSON payload extraction (multimodal metadata path, X4).
     QueryDef("m1_props_json", Some("""
       SELECT event_type,

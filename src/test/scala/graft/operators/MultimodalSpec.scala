@@ -92,4 +92,25 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("avgHash sets bit j iff code j strictly exceeds the mean") {
+    val feats = Seq(
+      (1L, Array(1L, 1L, 1L, 1L, 1L, 1L, 1L, 9L)),  // mean 2: only c7 above
+      (2L, Array(2L, 2L, 2L, 2L, 2L, 2L, 2L, 2L)))  // all equal: no bits
+      .toDF("id", "codes")
+    val out = Multimodal.avgHash(feats, "id", "codes")
+      .orderBy("id").select("phash").as[Long].collect().toSeq
+    assert(out == Seq(128L, 0L))
+  }
+
+  test("phashPairs: nibble bands find every Hamming<=1 pair, none twice") {
+    val hashes = Seq((1L, 0L), (2L, 1L), (3L, 16L), (4L, 48L))
+      .toDF("id", "phash")
+    val out = Multimodal.phashPairs(hashes, "id", "phash", maxHamming = 1)
+      .orderBy("da", "db").select("da", "db", "hamming")
+      .as[(Long, Long, Int)].collect().toSeq
+    // (1,2) share the high nibble, (1,3) and (3,4) the low one; (2,3),
+    // (1,4), (2,4) are Hamming >= 2 and must not appear
+    assert(out == Seq((1L, 2L, 1), (1L, 3L, 1), (3L, 4L, 1)))
+  }
 }

@@ -107,6 +107,18 @@ class StatsSpec extends SparkSpec {
     assert(out == Seq(("a", 0L), ("b", 1L), ("c", 2L)))
   }
 
+  test("rollingAnomalies: integer cross-multiplied test, warmup is null") {
+    // window = 3 rows (win=2), tau^2 = 1, grid 1:1. The spike at row 4
+    // dominates its window's variance (dev2 324 > var_num 162); row 5
+    // sees the same spike as context and stays quiet (81 < 162).
+    val df = Seq(1.0, 1.0, 1.0, 10.0, 1.0).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, v) }.toDF("k", "t", "v")
+    val out = Stats.rollingAnomalies(df, Seq("k"), "v", Seq("t"),
+        win = 2, tau2 = 1L, gridScale = 1L)
+      .orderBy("t").select("is_anom").as[Option[Boolean]].collect().toSeq
+    assert(out == Seq(None, None, Some(false), Some(true), Some(false)))
+  }
+
   test("quantileBins: equal heights with earlier bins taking the extras") {
     // 10 rows into 4 bins → sizes 3,3,2,2 in value order
     val df = (1 to 10).map(i => ("g", i.toDouble, i.toLong))

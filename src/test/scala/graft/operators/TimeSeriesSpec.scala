@@ -113,4 +113,17 @@ class TimeSeriesSpec extends SparkSpec {
         "event_id").as[(Long, Double, Long)].collect().toSeq
     assert(out == Seq((2L, 1.0, 2000L)))
   }
+
+  test("ewmaTruncated: dyadic blend by hand, warm-start repeats oldest value") {
+    val events = (1 to 5).map(i =>
+      (1L, ts(f"2026-01-01 10:0$i:00"), Seq(16.0, 8.0, 4.0, 2.0, 1.0)(i - 1),
+        i.toLong))
+      .toDF("user_id", "ts", "value", "event_id")
+    val out = TimeSeries.ewmaTruncated(events, "user_id", "ts", "value",
+        "event_id")
+      .orderBy("event_id").select("ewma").as[Double].collect().toSeq
+    // 16: full warm start; then 8/2+16/4+16/8+16/8, 4/2+8/4+16/8+16/8,
+    // 2/2+4/4+8/8+16/8, 1/2+2/4+4/8+8/8
+    assert(out == Seq(16.0, 12.0, 8.0, 5.0, 2.5))
+  }
 }
