@@ -113,6 +113,46 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Bounded k-core peeling over an undirected unique-pair edge list
+    * (src < dst): each round recomputes degrees over the surviving edge
+    * set and removes every node below `k`, cascading — the standard
+    * densest-subgraph / spam-farm / community-core filter. `rounds` bounds
+    * the cascade depth explicitly (a fixpoint wrapper composes the way
+    * resolveClusters' does); rounds past convergence are no-ops.
+    *
+    * Scale posture: a round is one degree aggregation (map-side partials
+    * on node id) plus two semi joins of the edge list against the
+    * (node-sized) keep set — all hash-shuffles keyed on node id, nothing
+    * driver-side but the loop counter. Each round's survivor edge set is
+    * persisted and strictly shrinks; peeling is deterministic under any
+    * partitioning (degree thresholds are data-independent of order).
+    *
+    * @return survivors of round `rounds`' threshold test: (id, degree),
+    *         degree counted over the edge set that test saw (i.e. after
+    *         `rounds` − 1 cascades of removals)
+    */
+  def kCorePeel(pairs: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var e = pairs.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .persist(lvl)
+    var keep: DataFrame = null
+    for (r <- 1 to rounds) {
+      keep = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+        .filter(col("degree") >= k)
+      if (r < rounds) {
+        e = e.join(keep.select(col("id").as("src")), "src", "left_semi")
+          .join(keep.select(col("id").as("dst")), "dst", "left_semi")
+          .select("src", "dst")
+          .persist(lvl)
+      }
+    }
+    keep
+  }
+
   def pageRankInt(edges: DataFrame, iters: Int,
                   scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")

@@ -330,4 +330,44 @@ object TextOps {
     }
     concat(bits: _*)
   }
+
+  /** Corpus distribution drift: per-token two-sample χ² contributions
+    * between corpora A and B over their union vocabulary, add-one
+    * smoothed —
+    *
+    *   `χ²(t) = (n₂·a − n₁·b)² / (n₁·n₂·(a + b))`,  a = c₁+1, b = c₂+1
+    *
+    * — the distribution-shift detector a training pipeline runs between
+    * crawl snapshots / domain mixes; ranking by χ² surfaces the tokens
+    * driving the drift. χ² (not KL/JSD) deliberately: it is RATIONAL in
+    * the counts, so no logarithm — whose last-ulp rounding is
+    * engine-specific — ever enters, and the double arithmetic is a fixed
+    * tree over exact integers (products stay below 2⁵³ through corpora of
+    * ~10⁸ tokens; beyond that, pre-aggregate counts per shard and rescale
+    * before the χ² pass).
+    *
+    * Scale posture: two token hash-aggregates (map-side partials over the
+    * explode — the only corpus-sized work), a vocabulary-sized full-outer
+    * join, totals as a one-row broadcast; the χ² itself is a projection
+    * over |V| rows.
+    */
+  def tokenDrift(dfA: DataFrame, dfB: DataFrame,
+                 textCol: String): DataFrame = {
+    def tokCounts(df: DataFrame, out: String) =
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(out))
+    val j = tokCounts(dfA, "__ca").join(tokCounts(dfB, "__cb"),
+        Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("__ca"), lit(0L)).as("c1"),
+        coalesce(col("__cb"), lit(0L)).as("c2"))
+      .withColumn("__a", col("c1") + 1).withColumn("__b", col("c2") + 1)
+    val tot = j.agg(sum("__a").as("__n1"), sum("__b").as("__n2"))
+    val (a, b) = (col("__a").cast("double"), col("__b").cast("double"))
+    val (n1, n2) = (col("__n1").cast("double"), col("__n2").cast("double"))
+    val num = n2 * a - n1 * b
+    j.crossJoin(broadcast(tot))
+      .select(col("token"), col("c1"), col("c2"),
+        ((num * num) / ((n1 * n2) * (a + b))).as("chi2"))
+  }
 }

@@ -90,6 +90,38 @@ object Extensions extends QueryModule {
     // oracle mirrors it as nfc_normalize + two regexp_replace + trim;
     // the expression does all four in one String traversal and stays
     // inside whole-stage codegen.
+    // Corpus drift (TextOps.tokenDrift): per-token two-sample χ² between
+    // the even- and odd-id halves of the corpus. χ² (not KL) so the whole
+    // statistic is rational — no logarithm, whose last-ulp rounding is
+    // engine-specific, ever enters; products of exact counts stay below
+    // 2^53, so the fixed double tree is bit-identical cross-engine.
+    QueryDef("x5_drift", Some("""
+      WITH ta AS (SELECT unnest(string_split(text,' ')) AS token
+                  FROM documents WHERE doc_id % 2 = 0),
+      tb AS (SELECT unnest(string_split(text,' ')) AS token
+             FROM documents WHERE doc_id % 2 = 1),
+      ca AS (SELECT token, count(*) AS c1 FROM ta GROUP BY token),
+      cb AS (SELECT token, count(*) AS c2 FROM tb GROUP BY token),
+      j AS (SELECT coalesce(ca.token, cb.token) AS token,
+                   coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+            FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+      sm AS (SELECT token, c1, c2, c1 + 1 AS a, c2 + 1 AS b FROM j),
+      tt AS (SELECT sum(a) AS n1, sum(b) AS n2 FROM sm)
+      SELECT token, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+             ((CAST(n2 AS DOUBLE) * CAST(a AS DOUBLE)
+               - CAST(n1 AS DOUBLE) * CAST(b AS DOUBLE))
+              * (CAST(n2 AS DOUBLE) * CAST(a AS DOUBLE)
+                 - CAST(n1 AS DOUBLE) * CAST(b AS DOUBLE)))
+             / ((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))) AS chi2
+      FROM sm, tt ORDER BY token""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextOps.tokenDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "text")
+        .orderBy("token")
+    },
+
     QueryDef("x5_clean", Some("""
       SELECT doc_id,
              trim(regexp_replace(regexp_replace(
@@ -1852,6 +1884,34 @@ object Extensions extends QueryModule {
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Graph.triangleCounts(pairs).orderBy("id")
+    },
+
+    // Bounded k-core peeling (Graph.kCorePeel) on the co-purchase part
+    // graph: three cascading degree-threshold rounds — the densest-
+    // subgraph filter behind spam-farm pruning and community cores. Each
+    // round is one degree aggregate + two semi joins on node id; the
+    // oracle unrolls the identical rounds as CTEs.
+    QueryDef("x8_kcore", Some(s"""
+      WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey),
+      ${(1 to 3).map { r =>
+        s"""d$r AS (SELECT n, count(*) AS c
+             FROM (SELECT u AS n FROM e${r - 1}
+                   UNION ALL SELECT v FROM e${r - 1}) GROUP BY n),
+      k$r AS (SELECT n, c FROM d$r WHERE c >= 90),
+      e$r AS (SELECT u, v FROM e${r - 1}
+              WHERE u IN (SELECT n FROM k$r) AND v IN (SELECT n FROM k$r))"""
+      }.mkString(",\n      ")}
+      SELECT CAST(n AS BIGINT) AS id, CAST(c AS BIGINT) AS degree
+      FROM k3 ORDER BY id""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      Graph.kCorePeel(pairs, k = 90L, rounds = 3).orderBy("id")
     },
 
     // Hashing-trick bag-of-words (TextOps.hashFeatures): tokens bucketed

@@ -49,7 +49,54 @@ object Maintenance extends QueryModule {
     Seq(s"(((px >> $b) & 1) << ${2 * b})", s"(((sy >> $b) & 1) << ${2 * b + 1})")
   }.mkString(" | ")
 
+  /** DuckDB unrolled Hilbert xy→d walk on a 32×32 grid — one CTE per
+    * round, same rotate/swap/accumulate arithmetic as
+    * [[ZOrder.hilbertIndex]] (aliases indexed per round; DuckDB's lateral
+    * column aliases would otherwise shadow the previous round's x/y).
+    */
+  private val hilbertCtes: String = {
+    val bits = 5
+    val rounds = (1 to bits).map { r =>
+      val s = 1L << (bits - r)
+      val (px, py, pd) = (s"x${r - 1}", s"y${r - 1}", s"d${r - 1}")
+      s"""h$r AS (SELECT p_partkey, px, py,
+         CASE WHEN ($py & $s) = 0
+              THEN (CASE WHEN ($px & $s) > 0 THEN ${s - 1} - $py ELSE $py END)
+              ELSE $px END AS x$r,
+         CASE WHEN ($py & $s) = 0
+              THEN (CASE WHEN ($px & $s) > 0 THEN ${s - 1} - $px ELSE $px END)
+              ELSE $py END AS y$r,
+         $pd + ${s * s} * xor(3 * (CASE WHEN ($px & $s) > 0 THEN 1 ELSE 0 END),
+                              (CASE WHEN ($py & $s) > 0 THEN 1 ELSE 0 END)) AS d$r
+       FROM h${r - 1})"""
+    }
+    s"""h0 AS (SELECT p_partkey,
+         CAST(p_size % 32 AS BIGINT) AS px, CAST(p_partkey % 32 AS BIGINT) AS py,
+         CAST(p_size % 32 AS BIGINT) AS x0, CAST(p_partkey % 32 AS BIGINT) AS y0,
+         CAST(0 AS BIGINT) AS d0 FROM part),
+       ${rounds.mkString(",\n       ")}"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Hilbert-curve layout index (ZOrder.hilbertIndex): the
+    // locality-tighter space-filling curve — consecutive cells are always
+    // grid neighbors, so a contiguous index range bounds both keys at
+    // least as tightly as the same-size z-range. Unrolled integer
+    // CASE/bit rounds, codegen'd; the oracle walks the identical rounds
+    // as CTEs.
+    QueryDef("z2_hilbert", Some(s"""
+      WITH $hilbertCtes
+      SELECT p_partkey, px, py, CAST(d5 AS BIGINT) AS hidx
+      FROM h5 ORDER BY p_partkey""")) { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          (col("p_size") % 32).cast("long").as("px"),
+          (col("p_partkey") % 32).cast("long").as("py"))
+        .withColumn("hidx",
+          ZOrder.hilbertIndex(col("px"), col("py"), bits = 5))
+        .orderBy("p_partkey")
+    },
 
     // MERGE upsert: updates replace, inserts append, untouched rows survive.
     QueryDef("e1_upsert", Some(s"""

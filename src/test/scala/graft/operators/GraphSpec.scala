@@ -96,4 +96,20 @@ class GraphSpec extends SparkSpec {
     val out = Graph.triangleCounts(pairs).as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 5L -> 1L))
   }
+  test("kCorePeel: cascading removals, round-bounded") {
+    // path 1-2-3-4 dissolves under k=2; triangle 5-6-7 is the 2-core
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("src", "dst").repartition(5)
+    val r1 = Graph.kCorePeel(pairs, k = 2L, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(2L -> 2L, 3L -> 2L, 5L -> 2L, 6L -> 2L, 7L -> 2L))
+    val r2 = Graph.kCorePeel(pairs, k = 2L, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(5L -> 2L, 6L -> 2L, 7L -> 2L))
+    // converged: further rounds are no-ops
+    val r3 = Graph.kCorePeel(pairs, k = 2L, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == r2)
+  }
+
 }

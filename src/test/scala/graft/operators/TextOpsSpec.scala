@@ -248,4 +248,14 @@ class TextOpsSpec extends SparkSpec {
     assert(a == b)
     assert(a.forall(_.getString(1).matches("[0-9a-f]")))
   }
+  test("tokenDrift: smoothed two-sample chi-square by hand") {
+    val a = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val b = Seq((2L, "a b b b")).toDF("doc_id", "text")
+    // smoothed: a:(3,2) b:(2,4); n1=5 n2=6
+    // chi2(a) = (6*3-5*2)^2/((5*6)*5); chi2(b) = (6*2-5*4)^2/((5*6)*6)
+    val out = TextOps.tokenDrift(a, b, "text").orderBy("token")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", 2L, 1L, 64.0 / 150.0), ("b", 1L, 3L, 64.0 / 180.0)))
+  }
+
 }

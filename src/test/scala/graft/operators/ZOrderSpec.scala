@@ -48,4 +48,17 @@ class ZOrderSpec extends SparkSpec {
       .collect()
     zs.foreach(p => assert(p == p.sorted))
   }
+  test("hilbertIndex: bijective and unit-step on the 8x8 grid") {
+    val cells = for { x <- 0 until 8; y <- 0 until 8 } yield (x.toLong, y.toLong)
+    val out = cells.toDF("x", "y")
+      .withColumn("d", ZOrder.hilbertIndex(col("x"), col("y"), bits = 3))
+      .select("d", "x", "y").as[(Long, Long, Long)].collect().sortBy(_._1)
+    // bijection onto 0..63
+    assert(out.map(_._1).toSeq == (0L until 64L))
+    // the defining Hilbert property: consecutive indices are grid neighbors
+    out.sliding(2).foreach { case Array((_, x0, y0), (_, x1, y1)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1)
+    }
+  }
+
 }
