@@ -98,6 +98,55 @@ object Dedup {
     scorePairs(inter, cnt, idCol, threshold)
   }
 
+  /** ASYMMETRIC near-containment pairs over winnowing fingerprints: doc
+    * `da` is (near-)contained in `db` when the shared fraction of da's
+    * OWN fingerprint set reaches `minNum/minDen` —
+    * `|F(da) ∩ F(db)| · minDen ≥ |F(da)| · minNum` — the
+    * quote/mirror/boilerplate-expansion detector symmetric Jaccard
+    * misses: a paragraph wholly copied into a 100× longer document has
+    * tiny Jaccard but containment ≈ 1. The threshold is an integer
+    * cross-multiplication, so membership never hinges on FP rounding.
+    *
+    * Winnowing (MOSS) supplies the guarantee: any shared run of ≥ w+k−1
+    * tokens contributes at least one shared fingerprint, at ~2/(w+1)
+    * selection density — so fingerprint containment tracks substring
+    * containment at a fraction of the set size.
+    *
+    * `maxDocFreq` drops corpus-boilerplate fingerprints (appearing in
+    * more than that many docs) BEFORE both the intersection and the
+    * denominators — both sides of the test see the same filtered world,
+    * keeping the ratio meaningful.
+    *
+    * Scale posture: inverted-index self-join on fingerprint (posting
+    * lists bounded by `maxDocFreq`, so the pair explosion is capped at
+    * df² per list), one (da, db) count aggregate, doc-sized size join —
+    * never an all-pairs product.
+    *
+    * Output: (da, db, ni, na, contain) — directed; both directions
+    * appear when containment is mutual.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, w: Int, minNum: Long, minDen: Long,
+                       maxDocFreq: Long): DataFrame = {
+    require(minDen > 0 && minNum >= 0, "threshold must be a ratio >= 0")
+    val fps = TextOps.winnowFingerprints(df, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq).select("fp")
+    val keep = fps.join(rare, "fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = keep.groupBy(idCol).agg(count(lit(1)).as("na"))
+    val inter = keep.select(col("fp"), col(idCol).as("da"))
+      .join(keep.select(col("fp"), col(idCol).as("db")), "fp")
+      .filter(col("da") =!= col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+    inter.join(sizes.withColumnRenamed(idCol, "da"), "da")
+      .filter(col("ni") * minDen >= col("na") * minNum)
+      .select(col("da"), col("db"), col("ni"), col("na"),
+        (col("ni").cast("double") / col("na").cast("double"))
+          .as("contain"))
+  }
+
   /** Candidate (da, db) pairs sharing at least one PREFIX shingle — the
     * prefix being each doc's `n - ceil(t*n) + 1` rarest shingles in the
     * global (document frequency, shingle) order. Complete for Jaccard >= t

@@ -286,6 +286,41 @@ object Extensions extends QueryModule {
         .orderBy("doc_id", "fp").limit(500)
     },
 
+    // Asymmetric near-containment over winnowing fingerprints: the
+    // quote/mirror detector symmetric Jaccard misses — a paragraph
+    // wholly copied into a much longer doc has tiny Jaccard but
+    // containment ~= 1. Integer cross-multiplied threshold (7/10),
+    // boilerplate fingerprints (doc-freq > 20) dropped on both sides.
+    QueryDef("x2_containment", Some("""
+      WITH sh AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(toks[i:i+2],' ')) AS h
+        FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents) dd,
+             LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-1,1))) AS i) ii),
+      w AS (SELECT doc_id,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM sh),
+      fps AS (SELECT DISTINCT doc_id, fp FROM w),
+      rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+      keep AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r USING (fp)),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS na
+                FROM keep GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                       CAST(count(*) AS BIGINT) AS ni
+                FROM keep a JOIN keep b
+                  ON a.fp = b.fp AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2)
+      SELECT da, db, ni, na,
+             CAST(ni AS DOUBLE) / CAST(na AS DOUBLE) AS contain
+      FROM inter JOIN sizes s ON s.doc_id = da
+      WHERE ni * 10 >= na * 7
+      ORDER BY da, db""")) { (s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4, minNum = 7, minDen = 10, maxDocFreq = 20)
+        .orderBy("da", "db")
+    },
+
     // ---------------- X1: exact dedup ----------------
 
     QueryDef("x1_dedup", Some("""

@@ -322,6 +322,37 @@ class DedupSpec extends SparkSpec {
     assert(hits >= 1000 && hits < 1100, s"hits=$hits")
   }
 
+  test("containmentPairs: embedded doc is contained, container is not") {
+    // doc 2 is a verbatim prefix of doc 1 plus nothing else; doc 1 has a
+    // long unique tail — containment(2 in 1) ~ 1, containment(1 in 2) low.
+    val core = (1 to 12).map(i => s"c$i").mkString(" ")
+    val tail = (1 to 40).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, core + " " + tail),
+      (2L, core),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(df, "doc_id", "text",
+        k = 3, w = 4, minNum = 7, minDen = 10, maxDocFreq = 10)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(rows.contains((2L, 1L)), s"missing (2,1) in $rows")
+    assert(rows((2L, 1L)) >= 0.7)
+    assert(!rows.contains((1L, 2L)), "container must not be 'contained'")
+    assert(rows.keys.forall { case (a, b) => a != 3L && b != 3L })
+  }
+
+  test("containmentPairs drops boilerplate fingerprints on both sides") {
+    // A fingerprint present in every doc (shared boilerplate) must not
+    // drive containment: with maxDocFreq=1 nothing is shared, so no pairs.
+    val boiler = (1 to 15).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (1L, boiler + " x1 x2 x3"),
+      (2L, boiler + " y1 y2 y3")).toDF("doc_id", "text")
+    val none = Dedup.containmentPairs(df, "doc_id", "text",
+        k = 3, w = 4, minNum = 1, minDen = 10, maxDocFreq = 1)
+    assert(none.isEmpty)
+  }
+
   test("simhash emits 16-bit strings and groups identical docs together") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
