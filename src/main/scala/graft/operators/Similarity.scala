@@ -606,6 +606,38 @@ object Similarity {
       .select("qid", "rank", "nid", "est_d2")
   }
 
+  /** Signed random projection (the Johnson-Lindenstrauss sketch with a
+    * ±1 Rademacher matrix): `y_j = Σ_i sign(j,i) · x_i`, where the sign
+    * is derived from md5 of `(seed, j, i)` — a deterministic,
+    * engine-portable stand-in for a seeded RNG, so the "random" matrix
+    * needs no table, no broadcast, and no state: every task regenerates
+    * the same entry from the hash. Signs are ±1 (not Gaussian), which
+    * preserves JL distance bounds up to constants (Achlioptas 2001) and
+    * keeps each output coordinate an exact left-to-right fold of
+    * negations — bit-identical across engines.
+    *
+    * Scale posture: a pure per-row projection — zero shuffles, zero
+    * joins; dOut·dIn work per row inside whole-stage codegen. The
+    * standard front-end for cheap ANN / clustering on wide embeddings:
+    * project once, run the distance-heavy ops in dOut ≪ dIn dims.
+    *
+    * Output: (idCol, rp: array<double> of length dOut).
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    dOut: Int, seed: String): DataFrame = {
+    require(dOut >= 1, "dOut must be >= 1")
+    val vv = asDouble(col(vecCol))
+    val proj = transform(sequence(lit(0), lit(dOut - 1)), j =>
+      aggregate(
+        transform(sequence(lit(1), size(vv)), i =>
+          when(substring(md5(concat_ws(":", lit(seed),
+              j.cast("string"), (i - 1).cast("string"))), 1, 1) < "8",
+            element_at(vv, i))
+            .otherwise(-element_at(vv, i))),
+        lit(0.0), (acc, v) => acc + v))
+    Par.spread(df).select(col(idCol), proj.as("rp"))
+  }
+
   /** IVF-flat ANN: a coarse quantizer (the centroid list — small by
     * contract, collected once like LSH planes) partitions the corpus into
     * cells with a single projection; each query searches only its `nprobe`

@@ -114,6 +114,69 @@ object TextOps {
     sh.select(col(idCol), min(col("h")).over(win).as("fp")).distinct()
   }
 
+  /** BM25 top-k retrieval for a fixed query-term set, in an arithmetic
+    * form that is bit-identical across engines:
+    *
+    *   - idf is the RATIONAL core of the Robertson-Sparck Jones weight,
+    *     `(2(N - df) + 1) / (2 df + 1)` — the inside of the standard
+    *     `log((N - df + 0.5)/(df + 0.5))`, doubled to stay integer. The
+    *     log is a monotone transform, so per-term ranking is unchanged,
+    *     and dropping it removes the one libm call whose last-ulp
+    *     rounding differs across engines.
+    *   - k1 = 1.5 and b = 0.75 are DYADIC, so `tf·(k1+1)` and
+    *     `1 − b + b·dl/avgdl` round identically everywhere.
+    *   - the per-doc score sums per-term scores in the FIXED order of
+    *     `terms` via a left-associated fold over conditional aggregates
+    *     (never a groupBy SUM, whose partial-aggregation order is
+    *     nondeterministic for doubles).
+    *
+    * Scale posture: token explode is filtered to the query terms BEFORE
+    * the (doc, term) tf aggregate, so only matching postings shuffle; df
+    * and the corpus stats are term-/one-row-sized broadcasts; global
+    * top-k plans as TakeOrderedAndProject (no single-partition window).
+    *
+    * Output: (idCol, dl, score) for the topK docs under the total order
+    * (score desc, idCol).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], topK: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = Par.spread(df)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("long").as("dl"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = toks
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df0"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        ((col("n_docs") - col("df0")) * 2 + 1).cast("double")
+          / (col("df0") * 2 + 1).cast("double"))
+      .withColumn("s",
+        col("idf") * (col("tf").cast("double") * lit(2.5))
+          / (col("tf").cast("double")
+            + lit(1.5) * (lit(0.25)
+              + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("s"))).as(s"__s$i")
+    }
+    val agg = scored.groupBy(col(idCol), col("dl"))
+      .agg(perTerm.head, perTerm.tail: _*)
+    val score = terms.indices
+      .map(i => coalesce(col(s"__s$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    agg.select(col(idCol), col("dl"), score.as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(topK)
+  }
+
   /** Hashing-trick bag-of-words: tokens are bucketed by the first
     * `hexDigits` characters of their md5 (16^hexDigits buckets), counts
     * aggregated per (doc, bucket) — the fixed-width sparse feature vector

@@ -221,6 +221,45 @@ object Extensions extends QueryModule {
         .orderBy("doc_id", "rnk")
     },
 
+    // BM25 retrieval — rational idf (no libm log), dyadic k1=1.5/b=0.75,
+    // left-associated per-term sum: every double is bit-identical
+    // cross-engine, so the scores themselves hash-gate, not just ranks.
+    QueryDef("x5_bm25", Some("""
+      WITH tok AS (
+        SELECT doc_id, len(string_split(text,' ')) AS dl,
+               unnest(string_split(text,' ')) AS term
+        FROM documents),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_dl
+                FROM documents),
+      tf AS (SELECT doc_id, CAST(dl AS BIGINT) AS dl, term,
+                    CAST(count(*) AS BIGINT) AS tf
+             FROM tok WHERE term IN ('batch','customer','stream')
+             GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df0 FROM tf GROUP BY 1),
+      sc AS (SELECT doc_id, dl, term,
+               (CAST((n_docs - df0) * 2 + 1 AS DOUBLE)
+                  / CAST(df0 * 2 + 1 AS DOUBLE))
+               * (CAST(tf AS DOUBLE) * 2.5)
+               / (CAST(tf AS DOUBLE)
+                  + 1.5 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+                 AS s
+             FROM tf JOIN dfreq USING (term), stats),
+      agg AS (SELECT doc_id, dl,
+                coalesce(max(CASE WHEN term = 'batch' THEN s END),
+                         CAST(0 AS DOUBLE))
+                + coalesce(max(CASE WHEN term = 'customer' THEN s END),
+                           CAST(0 AS DOUBLE))
+                + coalesce(max(CASE WHEN term = 'stream' THEN s END),
+                           CAST(0 AS DOUBLE)) AS score
+              FROM sc GROUP BY 1, 2)
+      SELECT doc_id, dl, score FROM agg
+      ORDER BY score DESC, doc_id LIMIT 10""")) { (s, dir) =>
+      TextOps.bm25(t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("batch", "customer", "stream"), topK = 10)
+    },
+
     // Vocabulary build — the tokenizer-prep pass: bigram term + document
     // frequencies with a min-df cut. One explode + one groupBy shuffle;
     // partial aggregation absorbs the token stream map-side.
@@ -1705,6 +1744,35 @@ object Extensions extends QueryModule {
           "vec_id", "embedding", k = 3)
         .withColumnRenamed("rank", "rnk")
         .orderBy("qid", "rnk")
+    },
+
+    // Signed random projection (Johnson-Lindenstrauss, Rademacher ±1):
+    // the matrix entry is md5-derived from (seed, j, i) so every task
+    // regenerates it — no table, no broadcast. Each output coordinate is
+    // an exact left-to-right fold of negated inputs, so the projected
+    // values themselves hash-gate cross-engine.
+    QueryDef("x3_rproj", Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+                 FROM embeddings WHERE vec_id < 20),
+      p AS (SELECT vec_id,
+              list_transform(range(0, 8), j ->
+                list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, len(vv) + 1), i ->
+                    CASE WHEN substr(md5(concat('jl', ':',
+                           CAST(j AS VARCHAR), ':',
+                           CAST(i - 1 AS VARCHAR))), 1, 1) < '8'
+                         THEN vv[i] ELSE -vv[i] END)),
+                  (a, b) -> a + b)) AS rp
+            FROM v)
+      SELECT vec_id, j, rp[j + 1] AS y
+      FROM p, LATERAL (SELECT unnest(range(0, 8)) AS j) jj
+      ORDER BY vec_id, j""")) { (s, dir) =>
+      Similarity.randomProject(
+          t(s, dir, "embeddings").filter(col("vec_id") < 20),
+          "vec_id", "embedding", dOut = 8, seed = "jl")
+        .select(col("vec_id"), posexplode(col("rp")).as(Seq("j", "y")))
+        .withColumn("j", col("j").cast("long"))
+        .orderBy("vec_id", "j")
     },
 
     // Semantic decontamination (Similarity.semanticDecontaminate): drop

@@ -335,4 +335,27 @@ class SimilaritySpec extends SparkSpec {
     info(f"IVF recall @k=$k: nprobe=1 $r1%.3f, nprobe=4 $r4%.3f, nprobe=8 1.000")
     assert(r4 >= r1, "more probes must not lose recall")
   }
+
+  test("randomProject: deterministic, linear, zero-preserving, right shape") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, -3.0f, 0.5f)),
+      (2L, Seq(2.0f, 4.0f, -6.0f, 1.0f)), // exactly 2x row 1
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(df, "vec_id", "embedding",
+        dOut = 6, seed = "jl")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out.values.forall(_.length == 6))
+    // same hash-derived matrix every run → doubling input doubles output
+    // exactly (multiplication by 2 is FP-exact)
+    assert(out(2L) == out(1L).map(_ * 2.0))
+    assert(out(3L).forall(_ == 0.0))
+    // signs actually vary: a ±1 row of all-equal signs would make y_0 a
+    // plain (anti)sum; with 6x4 hash-derived entries at least one differs
+    val again = Similarity.randomProject(df, "vec_id", "embedding", 6, "jl")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(again == out)
+    val other = Similarity.randomProject(df, "vec_id", "embedding", 6, "alt")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(other(1L) != out(1L), "seed must change the matrix")
+  }
 }

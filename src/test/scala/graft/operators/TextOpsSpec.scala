@@ -258,4 +258,43 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Seq(("a", 2L, 1L, 64.0 / 150.0), ("b", 1L, 3L, 64.0 / 180.0)))
   }
 
+  test("bm25: hand-computed scores, tf monotonicity, non-matchers absent") {
+    // Corpus of 4 docs, every doc length 4 (so the length normalizer is
+    // identical across docs and tf dominates).
+    val df = Seq(
+      (1L, "apple apple apple pear"),
+      (2L, "apple pear plum kiwi"),
+      (3L, "plum plum kiwi kiwi"),
+      (4L, "kiwi kiwi kiwi kiwi")).toDF("doc_id", "text")
+    val out = TextOps.bm25(df, "doc_id", "text", Seq("apple", "plum"), topK = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val byId = out.map(r => r._1 -> r._3).toMap
+    // doc 4 matches no query term → absent
+    assert(!byId.contains(4L) && out.map(_._1).toSet == Set(1L, 2L, 3L))
+    // N=4; apple df=2 → idf=(2*2+1)/(2*2+1)=1; plum df=2 → idf=1.
+    // avgdl=4, dl=4 → norm = 0.25+0.75*1 = 1; denom = tf + 1.5.
+    def s(tf: Double) = tf * 2.5 / (tf + 1.5)
+    assert(byId(1L) == s(3))       // apple tf=3
+    assert(byId(2L) == s(1) + s(1)) // apple+plum tf=1 each
+    assert(byId(3L) == s(2))       // plum tf=2
+    // higher tf of the same term scores strictly higher
+    assert(byId(1L) > byId(3L) && byId(3L) > s(1))
+    // output is (score desc, doc_id) ordered
+    assert(out == out.sortBy(r => (-r._3, r._1)))
+  }
+
+  test("bm25: rarer term outweighs common term at equal tf and dl") {
+    val df = Seq(
+      (1L, "rare x y z"),
+      (2L, "common x y z"),
+      (3L, "common a b c"),
+      (4L, "common d e f")).toDF("doc_id", "text")
+    val out = TextOps.bm25(df, "doc_id", "text", Seq("rare", "common"), 10)
+      .as[(Long, Long, Double)].collect()
+    val byId = out.map(r => r._1 -> r._3).toMap
+    // idf(rare: df=1) = 7/3 > idf(common: df=3) = 3/7; tf=1, dl=4 for all
+    assert(byId(1L) > byId(2L))
+    assert(byId(2L) == byId(3L) && byId(3L) == byId(4L))
+  }
+
 }
