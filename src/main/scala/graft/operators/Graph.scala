@@ -179,4 +179,54 @@ object Graph {
     }
     ranks.select(col("id"), col("rnk").as("rank"))
   }
+
+  /** HITS hubs/authorities (Kleinberg) on a DIRECTED edge list, in exact
+    * integer arithmetic: scores live on a fixed-point grid of `scale`,
+    * each half-step max-normalizes back to `scale` with an integral
+    * division — long sums and `div` are order-free and engine-exact, so
+    * the scores themselves gate, like [[pageRankInt]]'s. (Classic HITS
+    * L2-normalizes; max-normalization is the standard rational-arithmetic
+    * variant — same fixpoint direction, no sqrt.)
+    *
+    * Sparse semantics: a node outside the round's support (no in-edges
+    * for auth, no out-edges for hub) contributes 0 and reports 0.
+    *
+    * Scale posture: per iteration, two edge-list equijoins + two long-sum
+    * aggregates, both shuffling on node id only; the normalizer is a
+    * one-row broadcast. Overflow envelope: max weighted degree × scale²
+    * must stay < 2^63 — at the default scale=10^6 that allows ~9×10^6
+    * weighted in-degree, far past any real web/co-occurrence graph after
+    * dedup.
+    *
+    * Output: (id, hub, auth) over all nodes.
+    */
+  def hitsInt(edges: DataFrame, iters: Int,
+              scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var h = nodes.select(col("id"), lit(scale).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val ap = e.join(h.withColumnRenamed("id", "src"), "src")
+        .groupBy("dst").agg(sum("h").as("ap"))
+        .withColumnRenamed("dst", "id")
+      val am = ap.agg(max("ap").as("am"))
+      a = ap.crossJoin(broadcast(am))
+        .select(col("id"), expr(s"(ap * ${scale}L) div am").as("a"))
+      val hp = e.join(a.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src").agg(sum("a").as("hp"))
+        .withColumnRenamed("src", "id")
+      val hm = hp.agg(max("hp").as("hm"))
+      h = hp.crossJoin(broadcast(hm))
+        .select(col("id"), expr(s"(hp * ${scale}L) div hm").as("h"))
+    }
+    nodes.join(h, Seq("id"), "left").join(a, Seq("id"), "left")
+      .select(col("id"), coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("auth"))
+  }
 }

@@ -270,6 +270,57 @@ object Stats {
       .drop("__gv", "__n", "__sx", "__sxx")
   }
 
+  /** Count-min sketch over a stream of items, built deterministically:
+    * row `r`'s hash of key `k` is the first `hexDigits` chars of
+    * `md5("cms<r>:<k>")`, so the sketch contains `depth × 16^hexDigits`
+    * integer counters and the SAME sketch comes out of any partitioning,
+    * any engine, any retry — integer bucket sums are order-free, and the
+    * "random" hash family needs no seed table. This is the mergeable
+    * frequency summary for 100 TB streams: counters fit in KBs, partial
+    * sketches add cell-wise (map-side partial aggregation IS the merge),
+    * and estimates only ever over-count (by collision mass), never under.
+    *
+    * Scale posture: one `depth`-way explode of the item stream into a
+    * (row, bucket) hash aggregate — tiny result, map-side combine absorbs
+    * the stream; no joins, no windows.
+    *
+    * Output: (r, bucket, cnt) — the sketch matrix, one row per non-empty
+    * cell.
+    */
+  def countMinSketch(items: DataFrame, keyCol: String,
+                     depth: Int, hexDigits: Int): DataFrame = {
+    require(depth >= 1 && hexDigits >= 1 && hexDigits <= 8,
+      "depth >= 1, hexDigits in [1,8]")
+    Par.spread(items)
+      .select(col(keyCol).cast("string").as("__k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r").cast("long").as("r"),
+        substring(md5(concat(lit("cms"), col("r").cast("string"),
+          lit(":"), col("__k"))), 1, hexDigits).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the count-min sketch: re-derive each query key's bucket
+    * per sketch row and take the MIN across rows — the classic CM
+    * estimate, an upper bound on the true count. The sketch is tiny by
+    * construction, so the probe join is a broadcast; query keys never
+    * shuffle.
+    *
+    * Output: (keyCol, est).
+    */
+  def countMinEstimate(sketch: DataFrame, queries: DataFrame,
+                       keyCol: String, depth: Int,
+                       hexDigits: Int): DataFrame = {
+    val probes = queries
+      .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("r", col("r").cast("long"))
+      .withColumn("bucket",
+        substring(md5(concat(lit("cms"), col("r").cast("string"),
+          lit(":"), col(keyCol).cast("string"))), 1, hexDigits))
+    probes.join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(keyCol).agg(min(col("cnt")).as("est"))
+  }
+
   def momentsInt(df: DataFrame, keys: Seq[String],
                  xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("long")

@@ -1641,6 +1641,47 @@ object Extensions extends QueryModule {
       Graph.pageRankInt(edges, iters = 3).orderBy("id")
     },
 
+    // HITS hubs/authorities on the DIRECTED co-purchase graph (edges
+    // point low→high supplier id), exact fixed-point integer arithmetic:
+    // long sums + max-normalizing integral division each half-step, so
+    // the scores hash-gate. Two unrolled iterations in the oracle.
+    QueryDef("x8_hits", Some("""
+      WITH pr AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      nodes AS (SELECT DISTINCT id FROM
+        (SELECT src AS id FROM pr UNION ALL SELECT dst AS id FROM pr)),
+      h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+      a1p AS (SELECT e.dst AS id, sum(h.h) AS ap
+              FROM pr e JOIN h0 h ON h.id = e.src GROUP BY e.dst),
+      a1m AS (SELECT max(ap) AS am FROM a1p),
+      a1 AS (SELECT id, (ap * 1000000) // am AS a FROM a1p, a1m),
+      h1p AS (SELECT e.src AS id, sum(a.a) AS hp
+              FROM pr e JOIN a1 a ON a.id = e.dst GROUP BY e.src),
+      h1m AS (SELECT max(hp) AS hm FROM h1p),
+      h1 AS (SELECT id, (hp * 1000000) // hm AS h FROM h1p, h1m),
+      a2p AS (SELECT e.dst AS id, sum(h.h) AS ap
+              FROM pr e JOIN h1 h ON h.id = e.src GROUP BY e.dst),
+      a2m AS (SELECT max(ap) AS am FROM a2p),
+      a2 AS (SELECT id, (ap * 1000000) // am AS a FROM a2p, a2m),
+      h2p AS (SELECT e.src AS id, sum(a.a) AS hp
+              FROM pr e JOIN a2 a ON a.id = e.dst GROUP BY e.src),
+      h2m AS (SELECT max(hp) AS hm FROM h2p),
+      h2 AS (SELECT id, (hp * 1000000) // hm AS h FROM h2p, h2m)
+      SELECT n.id, CAST(coalesce(h2.h, 0) AS BIGINT) AS hub,
+             CAST(coalesce(a2.a, 0) AS BIGINT) AS auth
+      FROM nodes n LEFT JOIN h2 ON h2.id = n.id LEFT JOIN a2 ON a2.id = n.id
+      ORDER BY n.id""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .distinct()
+      val edges = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+      Graph.hitsInt(edges, iters = 2).orderBy("id")
+    },
+
     // Overlapping token-window chunking (TextOps.chunkTokens): 16-token
     // windows every 12 tokens — the RAG/context-window splitting pass.
     // Pure projection+explode; the oracle replays the identical integer
@@ -2086,6 +2127,44 @@ object Extensions extends QueryModule {
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
       graft.operators.Stats.topKByCount(toks, Seq("lang"), "tok", k = 3)
         .orderBy("lang", "rk")
+    },
+
+    // Count-min sketch frequency estimates vs truth: md5-derived hash
+    // rows make the sketch deterministic under any partitioning, so the
+    // estimates (not just bounds) hash-gate. depth=3, 256 buckets/row;
+    // the estimate is the min across rows and only ever over-counts.
+    QueryDef("x5_cms", Some("""
+      WITH tok AS (SELECT unnest(string_split(text,' ')) AS term
+                   FROM documents),
+      truec AS (SELECT term, CAST(count(*) AS BIGINT) AS true_cnt
+                FROM tok GROUP BY 1),
+      top AS (SELECT term, true_cnt FROM truec
+              ORDER BY true_cnt DESC, term LIMIT 20),
+      rws AS (SELECT unnest(range(0, 3)) AS r),
+      sk AS (SELECT r,
+               substr(md5(concat('cms', CAST(r AS VARCHAR), ':', term)),
+                      1, 2) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+             FROM tok, rws GROUP BY 1, 2),
+      q AS (SELECT t.term, t.true_cnt, r.r,
+              substr(md5(concat('cms', CAST(r.r AS VARCHAR), ':', t.term)),
+                     1, 2) AS bucket
+            FROM top t, rws r),
+      est AS (SELECT term, true_cnt, min(cnt) AS est
+              FROM q JOIN sk USING (r, bucket) GROUP BY 1, 2)
+      SELECT term, true_cnt, est FROM est
+      ORDER BY true_cnt DESC, term""")) { (s, dir) =>
+      import graft.operators.Stats
+      val tok = spread(t(s, dir, "documents"))
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      val top = tok.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("term")).limit(20)
+      val sk = Stats.countMinSketch(tok, "term", depth = 3, hexDigits = 2)
+      Stats.countMinEstimate(sk, top.select("term"), "term",
+          depth = 3, hexDigits = 2)
+        .join(top, "term")
+        .select(col("term"), col("true_cnt"), col("est"))
+        .orderBy(col("true_cnt").desc, col("term"))
     },
 
     // Per-nation min-max feature scaling (Stats.minMaxScale): one window

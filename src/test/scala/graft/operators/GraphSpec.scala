@@ -112,4 +112,25 @@ class GraphSpec extends SparkSpec {
     assert(r3 == r2)
   }
 
+  test("hitsInt: hand-computed two-iteration scores on a path-ish graph") {
+    // 1→3, 2→3, 3→4: 1,2 are pure hubs; 3 is the authority (and a weak
+    // hub toward 4); 4 is a pure (weak) authority.
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.hitsInt(edges, iters = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val S = 1000000L
+    assert(out == Map(
+      1L -> (S, 0L), 2L -> (S, 0L),
+      3L -> (250000L, S), 4L -> (0L, 250000L)))
+  }
+
+  test("hitsInt is invariant to input partitioning") {
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L))
+      .toDF("src", "dst")
+    val a = Graph.hitsInt(edges, 3).orderBy("id").collect().toSeq
+    val b = Graph.hitsInt(edges.repartition(7), 3).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
 }

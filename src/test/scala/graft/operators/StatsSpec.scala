@@ -127,4 +127,26 @@ class StatsSpec extends SparkSpec {
       .orderBy("id").select("bin").as[Int].collect().toSeq
     assert(out == Seq(1, 1, 1, 2, 2, 2, 3, 3, 4, 4))
   }
+
+  test("countMinSketch: never undercounts, conserves mass, partition-free") {
+    val items = (1 to 400).map(i => s"k${i % 23}").toDF("term")
+    val sk = Stats.countMinSketch(items, "term", depth = 3, hexDigits = 2)
+      .persist()
+    // every sketch row holds the full stream mass
+    val mass = sk.groupBy("r").agg(sum("cnt").as("m"))
+      .select("m").as[Long].collect().toSeq
+    assert(mass == Seq(400L, 400L, 400L))
+    // estimates are upper bounds on true counts
+    val truth = items.groupBy("term").agg(count(lit(1)).as("tc"))
+    val est = Stats.countMinEstimate(sk, truth.select("term"), "term", 3, 2)
+    val joined = est.join(truth, "term")
+      .select("term", "est", "tc").as[(String, Long, Long)].collect()
+    assert(joined.length == 23)
+    assert(joined.forall { case (_, e, t) => e >= t })
+    // identical sketch from any input partitioning
+    val sk8 = Stats.countMinSketch(items.repartition(8), "term", 3, 2)
+    assert(sk8.orderBy("r", "bucket").collect().toSeq ==
+      sk.orderBy("r", "bucket").collect().toSeq)
+    sk.unpersist(blocking = true)
+  }
 }
