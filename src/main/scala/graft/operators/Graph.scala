@@ -180,6 +180,48 @@ object Graph {
     ranks.select(col("id"), col("rnk").as("rank"))
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with its own id; each round it adopts the label most
+    * frequent among its neighbors, ties broken by the SMALLEST label —
+    * counts and the tie order are integers, so every round is fully
+    * deterministic (classic async LPA is run-order-dependent; this is
+    * the reproducible variant a data platform can gate). A node with no
+    * in-edges keeps its previous label. Bounded rounds, like
+    * [[kCorePeel]]: communities form in O(diameter) rounds and the gate
+    * pins an exact intermediate state.
+    *
+    * Pass a symmetrized edge list for undirected semantics.
+    *
+    * Scale posture: per round, one edge equijoin shuffling on src, one
+    * (dst, label) count aggregate with map-side partials, and one
+    * per-node top-1 — WindowGroupLimit keeps the window partial. Label
+    * state is one row per node; nothing collects.
+    *
+    * Output: (id, label).
+    */
+  def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var lab = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val nb = e.join(lab.withColumnRenamed("id", "src"), "src")
+        .groupBy("dst", "label").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dst").orderBy(col("c").desc, col("label"))
+      val top = nb.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("id"), col("label").as("newlab"))
+      lab = lab.join(top, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("newlab"), col("label")).as("label"))
+    }
+    lab
+  }
+
   /** HITS hubs/authorities (Kleinberg) on a DIRECTED edge list, in exact
     * integer arithmetic: scores live on a fixed-point grid of `scale`,
     * each half-step max-normalizes back to `scale` with an integral

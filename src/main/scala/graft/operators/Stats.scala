@@ -321,6 +321,33 @@ object Stats {
       .groupBy(keyCol).agg(min(col("cnt")).as("est"))
   }
 
+  /** AMS (Alon-Matias-Szegedy) F2 sketch: row `r` keeps the single
+    * counter `Z_r = Σ_items sign_r(key)`, with the ±1 sign md5-derived
+    * from `(r, key)` — `Z_r²` is an unbiased estimate of the second
+    * frequency moment `F2 = Σ_k f_k²` (the self-join size / skew
+    * measure), and the median across rows concentrates it. Like
+    * [[countMinSketch]], determinism is free: signed long sums are
+    * order-free, so any partitioning, engine, or retry produces the SAME
+    * counters and the estimate hash-gates exactly.
+    *
+    * Scale posture: `depth` counters TOTAL — the sketch is O(depth)
+    * bytes regardless of stream size; one explode + one tiny hash
+    * aggregate, map-side partials absorb the stream.
+    *
+    * Output: (r, z) — one row per sketch row.
+    */
+  def amsSketch(items: DataFrame, keyCol: String, depth: Int): DataFrame = {
+    require(depth >= 1, "depth must be >= 1")
+    Par.spread(items)
+      .select(col(keyCol).cast("string").as("__k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r").cast("long").as("r"),
+        when(substring(md5(concat(lit("ams"), col("r").cast("string"),
+          lit(":"), col("__k"))), 1, 1) < "8", lit(1L))
+          .otherwise(lit(-1L)).as("s"))
+      .groupBy("r").agg(sum("s").as("z"))
+  }
+
   def momentsInt(df: DataFrame, keys: Seq[String],
                  xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("long")

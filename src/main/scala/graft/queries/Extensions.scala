@@ -1682,6 +1682,49 @@ object Extensions extends QueryModule {
       Graph.hitsInt(edges, iters = 2).orderBy("id")
     },
 
+    // Synchronous label propagation on the symmetrized co-purchase
+    // graph: most-frequent neighbor label per round, smallest-label
+    // ties — all-integer and round-synchronous, so the (normally
+    // run-order-dependent) LPA is exactly reproducible. Two unrolled
+    // rounds in the oracle.
+    QueryDef("x8_labelprop", Some("""
+      WITH pr AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      eg AS (SELECT src, dst FROM pr
+             UNION ALL SELECT dst AS src, src AS dst FROM pr),
+      nodes AS (SELECT DISTINCT src AS id FROM eg),
+      l0 AS (SELECT id, id AS label FROM nodes),
+      n1 AS (SELECT e.dst AS id, l.label, count(*) AS c
+             FROM eg e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+      t1 AS (SELECT id, label FROM (
+               SELECT id, label,
+                 row_number() OVER (PARTITION BY id
+                   ORDER BY c DESC, label) AS rn FROM n1) WHERE rn = 1),
+      l1 AS (SELECT l0.id, coalesce(t1.label, l0.label) AS label
+             FROM l0 LEFT JOIN t1 ON t1.id = l0.id),
+      n2 AS (SELECT e.dst AS id, l.label, count(*) AS c
+             FROM eg e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+      t2 AS (SELECT id, label FROM (
+               SELECT id, label,
+                 row_number() OVER (PARTITION BY id
+                   ORDER BY c DESC, label) AS rn FROM n2) WHERE rn = 1),
+      l2 AS (SELECT l1.id, coalesce(t2.label, l1.label) AS label
+             FROM l1 LEFT JOIN t2 ON t2.id = l1.id)
+      SELECT id, CAST(label AS BIGINT) AS label FROM l2
+      ORDER BY id""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.labelPropagate(edges, rounds = 2).orderBy("id")
+    },
+
     // Overlapping token-window chunking (TextOps.chunkTokens): 16-token
     // windows every 12 tokens — the RAG/context-window splitting pass.
     // Pure projection+explode; the oracle replays the identical integer
@@ -2165,6 +2208,33 @@ object Extensions extends QueryModule {
         .join(top, "term")
         .select(col("term"), col("true_cnt"), col("est"))
         .orderBy(col("true_cnt").desc, col("term"))
+    },
+
+    // AMS F2 sketch vs truth: five ±1-signed counters estimate the
+    // second frequency moment (self-join size) of the token stream;
+    // signed long sums are order-free, so the estimate (median of Z_r²)
+    // hash-gates exactly alongside the true Σf².
+    QueryDef("x5_ams", Some("""
+      WITH tok AS (SELECT unnest(string_split(text,' ')) AS term
+                   FROM documents),
+      truec AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_true
+                FROM (SELECT count(*) AS c FROM tok GROUP BY term)),
+      rws AS (SELECT unnest(range(0, 5)) AS r),
+      z AS (SELECT r, CAST(sum(CASE WHEN substr(md5(concat('ams',
+                     CAST(r AS VARCHAR), ':', term)), 1, 1) < '8'
+                   THEN 1 ELSE -1 END) AS BIGINT) AS z
+            FROM tok, rws GROUP BY r),
+      est AS (SELECT list_sort(list(z * z))[3] AS f2_est FROM z)
+      SELECT f2_true, f2_est FROM truec, est""")) { (s, dir) =>
+      import graft.operators.Stats
+      val tok = spread(t(s, dir, "documents"))
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+      val truec = tok.groupBy("term").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("f2_true"))
+      val est = Stats.amsSketch(tok, "term", depth = 5)
+        .agg(element_at(sort_array(collect_list(col("z") * col("z"))), 3)
+          .as("f2_est"))
+      truec.crossJoin(est)
     },
 
     // Per-nation min-max feature scaling (Stats.minMaxScale): one window

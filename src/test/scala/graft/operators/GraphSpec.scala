@@ -125,6 +125,23 @@ class GraphSpec extends SparkSpec {
       3L -> (250000L, S), 4L -> (0L, 250000L)))
   }
 
+  test("labelPropagate: hand-computed synchronous rounds on two triangles") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // round 1: min-label ties everywhere → 1:2, 2:1, 3:1, 4:3, 5:4, 6:4
+    val r1 = Graph.labelPropagate(edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L,
+      6L -> 4L))
+    // round 2: label 1 takes the left triangle, right side splits 4/3/3
+    val r2 = Graph.labelPropagate(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 3L,
+      6L -> 3L))
+  }
+
   test("hitsInt is invariant to input partitioning") {
     val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L))
       .toDF("src", "dst")

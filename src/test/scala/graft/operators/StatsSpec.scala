@@ -149,4 +149,21 @@ class StatsSpec extends SparkSpec {
       sk.orderBy("r", "bucket").collect().toSeq)
     sk.unpersist(blocking = true)
   }
+
+  test("amsSketch: counters bounded by mass, exact on a single-key stream") {
+    // one distinct key: every occurrence gets the same sign per row, so
+    // |z| = n exactly and z² = F2 = n² for every row
+    val single = Seq.fill(37)("only").toDF("term")
+    val zs = Stats.amsSketch(single, "term", depth = 5)
+      .select("z").as[Long].collect()
+    assert(zs.length == 5 && zs.forall(z => math.abs(z) == 37L))
+    // mixed stream: |z| ≤ stream length, and the sketch is
+    // partition-invariant like every sum of longs
+    val items = (1 to 300).map(i => s"k${i % 17}").toDF("term")
+    val a = Stats.amsSketch(items, "term", 5).orderBy("r").collect().toSeq
+    val b = Stats.amsSketch(items.repartition(9), "term", 5)
+      .orderBy("r").collect().toSeq
+    assert(a == b)
+    assert(a.forall(r => math.abs(r.getLong(1)) <= 300))
+  }
 }
