@@ -348,6 +348,38 @@ object Stats {
       .groupBy("r").agg(sum("s").as("z"))
   }
 
+  /** Gini coefficient of the per-key row distribution — the skew
+    * diagnostic to run BEFORE a big join or aggregation decides between
+    * plain shuffle, salting, and AQE skew handling. Uses the sorted-rank
+    * identity `G = Σᵢ (2i − n − 1)·cᵢ / (n·Σc)` (counts ascending,
+    * i = 1..n): numerator and denominator are exact integers, the final
+    * value one IEEE division — so the statistic itself gates, not an
+    * approximation of it. G = 0 is perfectly uniform; → 1 is one key
+    * holding everything.
+    *
+    * Scale posture: the heavy input reduces to the per-key histogram
+    * first (one aggregate, map-side partials); the ranked pass runs on
+    * that histogram — distinct-key-sized, orders of magnitude smaller
+    * than the data — as a single global sort window, which is the
+    * deliberate trade for an exact scalar diagnostic.
+    *
+    * Output: one row (n_keys, total, gini_num, gini).
+    */
+  def giniSkew(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val hist = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c") +: keys.map(col): _*)
+    // Σ(2i − n − 1)·cᵢ = 2·Σi·cᵢ − (n+1)·Σc — one aggregate, no
+    // window-inside-aggregate
+    hist.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_keys"), sum("c").as("total"),
+        sum(col("i") * col("c")).as("ic"))
+      .select(col("n_keys"), col("total"),
+        (col("ic") * 2 - (col("n_keys") + 1) * col("total")).as("gini_num"),
+        ((col("ic") * 2 - (col("n_keys") + 1) * col("total")).cast("double")
+          / (col("n_keys") * col("total")).cast("double")).as("gini"))
+  }
+
   def momentsInt(df: DataFrame, keys: Seq[String],
                  xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("long")

@@ -177,6 +177,35 @@ object TextOps {
       .orderBy(col("score").desc, col(idCol)).limit(topK)
   }
 
+  /** One BPE training round: find the globally most frequent adjacent
+    * token pair (ties to the lexicographically smallest pair — the
+    * deterministic tie rule real tokenizer trainers need but rarely
+    * document), then merge its occurrences with a single greedy
+    * non-overlapping left-to-right text pass (the streaming-scanner
+    * form; `replace` has identical semantics in every engine). Iterating
+    * this operator IS BPE vocabulary learning; one round is the
+    * distributed unit of work.
+    *
+    * Scale posture: one bigram explode into a count aggregate (map-side
+    * partials absorb the stream), a 1-row top-1 via
+    * TakeOrderedAndProject, broadcast back over the corpus as a pure
+    * projection — the corpus itself never shuffles.
+    *
+    * Output: the input columns plus (best_pair, text_merged).
+    */
+  def bpeMergeRound(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val pairs = Par.spread(df)
+      .select(explode(shingles(tokens(col(textCol)), 2)).as("pair"))
+    val best = pairs.groupBy("pair").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("pair")).limit(1)
+      .select(col("pair"), translate(col("pair"), " ", "_").as("merged"))
+    df.crossJoin(broadcast(best))
+      .withColumn("best_pair", col("pair"))
+      .withColumn("text_merged", expr(s"replace($textCol, pair, merged)"))
+      .drop("pair", "merged")
+  }
+
   /** Hashing-trick bag-of-words: tokens are bucketed by the first
     * `hexDigits` characters of their md5 (16^hexDigits buckets), counts
     * aggregated per (doc, bucket) — the fixed-width sparse feature vector

@@ -2237,6 +2237,31 @@ object Extensions extends QueryModule {
       truec.crossJoin(est)
     },
 
+    // One BPE training round: globally most frequent adjacent pair
+    // (smallest-pair ties), merged corpus-wide by a greedy
+    // non-overlapping left-to-right replace — identical scanner
+    // semantics in both engines, so the merged text hash-gates.
+    QueryDef("x5_bpe_merge", Some("""
+      WITH sh AS (
+        SELECT array_to_string(toks[i:i+1],' ') AS pair
+        FROM (SELECT string_split(text,' ') AS toks FROM documents) dd,
+             LATERAL (SELECT unnest(range(1, greatest(len(dd.toks),1))) AS i) ii),
+      best AS (SELECT pair, replace(pair, ' ', '_') AS merged
+               FROM (SELECT pair, count(*) AS c FROM sh GROUP BY 1)
+               ORDER BY c DESC, pair LIMIT 1)
+      SELECT doc_id, pair AS best_pair,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_before,
+             CAST(len(string_split(replace(text, pair, merged), ' '))
+               AS BIGINT) AS n_after
+      FROM documents, best ORDER BY doc_id LIMIT 100""")) { (s, dir) =>
+      TextOps.bpeMergeRound(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("best_pair"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_before"),
+          size(TextOps.tokens(col("text_merged"))).cast("long")
+            .as("n_after"))
+        .orderBy("doc_id").limit(100)
+    },
+
     // Per-nation min-max feature scaling (Stats.minMaxScale): one window
     // exchange computes (min, max); the scaling is a pure IEEE projection
     // the oracle replays verbatim — the normalization pass before any
@@ -2254,6 +2279,24 @@ object Extensions extends QueryModule {
           Seq("c_nationkey"), "c_acctbal")
         .select(col("c_custkey"), col("scaled"))
         .orderBy("c_custkey")
+    },
+
+    // Gini skew diagnostic over the per-user event distribution — the
+    // pre-join check that decides plain shuffle vs salting vs AQE skew
+    // join. Sorted-rank identity in exact integers; the statistic is one
+    // IEEE division, so the value itself gates.
+    QueryDef("x9_skew", Some("""
+      WITH h AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+      r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM h),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(c) AS BIGINT) AS total,
+                   CAST(sum(i * c) AS BIGINT) AS ic FROM r)
+      SELECT n_keys, total,
+             CAST(ic * 2 - (n_keys + 1) * total AS BIGINT) AS gini_num,
+             CAST(ic * 2 - (n_keys + 1) * total AS DOUBLE)
+               / CAST(n_keys * total AS DOUBLE) AS gini
+      FROM a""")) { (s, dir) =>
+      graft.operators.Stats.giniSkew(t(s, dir, "events"), Seq("user_id"))
     },
 
     // Tukey-fence outlier counts per event type (Stats.iqrOutliers):

@@ -166,4 +166,19 @@ class StatsSpec extends SparkSpec {
     assert(a == b)
     assert(a.forall(r => math.abs(r.getLong(1)) <= 300))
   }
+
+  test("giniSkew: zero for uniform keys, hand-computed for skewed ones") {
+    // uniform: 4 keys x 5 rows each → G = 0
+    val uniform = (1 to 20).map(i => s"k${i % 4}").toDF("k")
+    val g0 = Stats.giniSkew(uniform, Seq("k"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(g0 == ((4L, 20L, 0L, 0.0)))
+    // counts 1,1,2,4 ascending: num = 2*(1*1+2*1+3*2+4*4) - 5*8 = 10
+    // G = 10 / (4*8) = 0.3125
+    val skewed = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(2)("c")
+      ++ Seq.fill(4)("d")).toDF("k")
+    val g1 = Stats.giniSkew(skewed, Seq("k"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(g1 == ((4L, 8L, 10L, 0.3125)))
+  }
 }

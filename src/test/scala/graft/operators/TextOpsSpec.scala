@@ -283,6 +283,33 @@ class TextOpsSpec extends SparkSpec {
     assert(out == out.sortBy(r => (-r._3, r._1)))
   }
 
+  test("bpeMergeRound: picks the most frequent pair, merges greedily") {
+    val df = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b x"),
+      (3L, "c c c")).toDF("doc_id", "text")
+    // pair counts: "a b"=3, "b a"=1, "b c"=1, "b x"=1, "c c"=2
+    val out = TextOps.bpeMergeRound(df, "doc_id", "text")
+      .select("doc_id", "best_pair", "text_merged")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.values.forall(_._1 == "a b"))
+    assert(out(1L)._2 == "a_b a_b c")
+    assert(out(2L)._2 == "a_b x")
+    assert(out(3L)._2 == "c c c")
+  }
+
+  test("bpeMergeRound ties break to the lexicographically smallest pair") {
+    val df = Seq((1L, "z y"), (2L, "b a")).toDF("doc_id", "text")
+    // both pairs have count 1 → "b a" wins
+    val out = TextOps.bpeMergeRound(df, "doc_id", "text")
+      .select("doc_id", "best_pair", "text_merged")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ("b a", "z y"))
+    assert(out(2L) == ("b a", "b_a"))
+  }
+
   test("bm25: rarer term outweighs common term at equal tf and dl") {
     val df = Seq(
       (1L, "rare x y z"),
