@@ -80,6 +80,55 @@ object Graph {
     dist
   }
 
+  /** Weighted single/multi-source shortest paths — synchronous
+    * Bellman-Ford rounds with frontier pruning. Per round, only nodes whose
+    * distance IMPROVED last round relax their out-edges (the delta-stepping
+    * insight without the bucket machinery): one equijoin of the edge list
+    * with the frontier, a per-node `min` of the candidate distances, then a
+    * keep-if-better join against the settled table. After `rounds` rounds
+    * the result is exactly `min` over all paths of ≤ `rounds` edges — the
+    * bounded-hops contract that makes the operator gate-able against a
+    * path-enumerating oracle.
+    *
+    * Scale posture: round cost is one shuffle join keyed on node id plus
+    * one aggregation; the frontier SHRINKS as distances settle (on a graph
+    * with diameter d, round d+1 relaxes nothing), and state is the
+    * (id, dist) table — persisted, never collected. All-long arithmetic:
+    * deterministic under any partitioning, no FP accumulation order to
+    * worry about. Overflow headroom: max path weight must stay under 2^63.
+    *
+    * @param edges   directed (src, dst, w) columns, w a non-negative long;
+    *                pass both directions for an undirected graph
+    * @param sources seed nodes, column `id` (distance 0)
+    * @param rounds  relaxation rounds (result = min over ≤ rounds edges)
+    * @return (id, dist) — nodes unreached within `rounds` are absent
+    */
+  def ssspRounds(edges: DataFrame, sources: DataFrame,
+                 rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    var dist = sources.select(col("id").cast("long").as("id"),
+      lit(0L).as("dist")).distinct().persist(lvl)
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val cand = e.join(frontier.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("dist") + col("w")).as("cand"))
+      val improved = cand.join(dist, Seq("id"), "left_outer")
+        .filter(col("dist").isNull || col("cand") < col("dist"))
+        .select(col("id"), col("cand").as("dist"))
+        .persist(lvl)
+      dist = dist.join(improved.select(col("id"), col("dist").as("nd")),
+          Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("nd"), col("dist")).as("dist"))
+        .persist(lvl)
+      frontier = improved
+    }
+    dist
+  }
+
   /** Per-node triangle participation counts over an undirected graph.
     *
     * Input is the canonical unique-pair form (src < dst, one row per

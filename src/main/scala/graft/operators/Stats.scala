@@ -380,6 +380,59 @@ object Stats {
           / (col("n_keys") * col("total")).cast("double")).as("gini"))
   }
 
+  /** k-anonymity audit with a two-level generalization ladder: each
+    * quasi-identifier cell (q1, q2) is labeled with the FINEST level that
+    * satisfies k — 2 if the full cell has ≥ k rows, 1 if generalizing away
+    * q2 (the q1 stratum) reaches k, else 0 (suppress). The release
+    * decision a governance pass makes before publishing grouped data.
+    *
+    * Scale posture: one aggregate reduces the data to the cell histogram;
+    * the stratum total is a window over that histogram (cell-count-sized,
+    * not data-sized) — one data shuffle total, all-integer, so the audit
+    * itself gates.
+    *
+    * Output: (q1, q2, n, n_stratum, level), one row per cell.
+    */
+  def kAnonymize(df: DataFrame, q1: String, q2: String,
+                 k: Long): DataFrame = {
+    val cells = df.groupBy(col(q1), col(q2)).agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("n_stratum", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(q1)))
+      .withColumn("level",
+        when(col("n") >= k, lit(2))
+          .when(col("n_stratum") >= k, lit(1))
+          .otherwise(lit(0)))
+  }
+
+  /** One-pass column profiling: per column — null count, exact distinct
+    * count, min and max (as strings, so heterogeneous columns share one
+    * schema). The first query anyone runs against an unfamiliar table.
+    *
+    * Scale posture: a single aggregate over one scan computes every
+    * column's stats (Spark plans the multi-distinct via one Expand — still
+    * one pass over the data); the wide one-row result is then unpivoted by
+    * a `stack` projection, so nothing shuffles but partial aggregates.
+    * Callers profile numeric/string/date columns; double columns gate
+    * poorly as strings (engine formatting differs) — cast upstream.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__mn"),
+      max(col(c)).cast("string").as(s"${c}__mx")) }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stack = cols.map { c =>
+      s"'$c', __n - `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`"
+    }.mkString(", ")
+    wide.selectExpr("__n AS n_rows",
+      s"stack(${cols.size}, $stack) AS (col_name, n_null, n_distinct, " +
+        "min_s, max_s)")
+      .select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+  }
+
   def momentsInt(df: DataFrame, keys: Seq[String],
                  xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("long")

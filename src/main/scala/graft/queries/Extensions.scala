@@ -2151,6 +2151,45 @@ object Extensions extends QueryModule {
       Graph.bfsHops(edges, seeds, maxHops = 2).orderBy("id")
     },
 
+    // Weighted shortest paths (Graph.ssspRounds) over a thinned co-order
+    // part graph, 3 Bellman-Ford rounds with frontier pruning: only nodes
+    // improved last round relax their edges, so round cost tracks the
+    // frontier, not the graph. Weights derive from node ids (exact in
+    // both engines); the oracle's recursive CTE enumerates every ≤3-edge
+    // path and min-aggregates after — same bounded-hops answer, but only
+    // the frontier form survives a dense 100 TB graph.
+    QueryDef("x8_sssp", Some("""
+      WITH RECURSIVE pr AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey % 5 = 0),
+      eg AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM pr
+             UNION ALL SELECT dst, src, 1 + (src + dst) % 5 FROM pr),
+      seeds AS (SELECT DISTINCT src AS id FROM eg WHERE src % 100 = 0),
+      sp(id, d, h) AS (
+        SELECT id, CAST(0 AS BIGINT), 0 FROM seeds
+        UNION ALL
+        SELECT e.dst, b.d + e.w, b.h + 1 FROM sp b JOIN eg e ON e.src = b.id
+        WHERE b.h < 3)
+      SELECT id, CAST(min(d) AS BIGINT) AS dist
+      FROM sp GROUP BY id ORDER BY id""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select("l_orderkey", "l_partkey").distinct()
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("w", lit(1L) + (col("src") + col("dst")) % 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .filter(col("id") % 100 === 0)
+      Graph.ssspRounds(edges, seeds, rounds = 3).orderBy("id")
+    },
+
     // Exact per-language heavy hitters (Stats.topKByCount): top-3 tokens
     // by frequency, ties totalized by token — one (lang, tok) aggregate
     // then WindowGroupLimit partial top-k; the exact companion to
@@ -2297,6 +2336,60 @@ object Extensions extends QueryModule {
                / CAST(n_keys * total AS DOUBLE) AS gini
       FROM a""")) { (s, dir) =>
       graft.operators.Stats.giniSkew(t(s, dir, "events"), Seq("user_id"))
+    },
+
+    // k-anonymity audit (Stats.kAnonymize) over customer quasi-identifiers
+    // (nation, market segment), k=12, two-level generalization ladder:
+    // level 2 = cell releasable as-is, 1 = only the nation stratum reaches
+    // k, 0 = suppress. One aggregate to the cell histogram; the stratum
+    // window runs on cells, not rows — all integers, the decision gates.
+    QueryDef("x9_kanon", Some("""
+      WITH g AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                        count(*) AS n
+                 FROM customer GROUP BY 1, 2),
+      w AS (SELECT nat, seg, n, sum(n) OVER (PARTITION BY nat) AS n1 FROM g)
+      SELECT CAST(nat AS BIGINT) AS nat, seg, CAST(n AS BIGINT) AS n,
+             CAST(n1 AS BIGINT) AS n_stratum,
+             CAST(CASE WHEN n >= 12 THEN 2 WHEN n1 >= 12 THEN 1 ELSE 0 END
+                  AS INT) AS level
+      FROM w ORDER BY nat, seg""")) { (s, dir) =>
+      graft.operators.Stats.kAnonymize(
+          t(s, dir, "customer").select(col("c_nationkey").as("nat"),
+            col("c_mktsegment").as("seg")),
+          "nat", "seg", k = 12L)
+        .orderBy("nat", "seg")
+    },
+
+    // One-pass column profiling (Stats.profile): null/distinct/min/max per
+    // column from a SINGLE scan (multi-distinct plans one Expand), the
+    // wide row unpivoted by a stack projection — the oracle's per-column
+    // UNION ALL re-scans instead, which is exactly the plan shape the
+    // operator exists to avoid at 100 TB.
+    QueryDef("x9_profile", Some("""
+      SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+             CAST(min(o_custkey) AS VARCHAR) AS min_s,
+             CAST(max(o_custkey) AS VARCHAR) AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(o_orderdate) AS BIGINT),
+             CAST(count(DISTINCT o_orderdate) AS BIGINT),
+             CAST(min(o_orderdate) AS VARCHAR),
+             CAST(max(o_orderdate) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(o_orderstatus) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             CAST(min(o_orderstatus) AS VARCHAR),
+             CAST(max(o_orderstatus) AS VARCHAR)
+      FROM orders
+      ORDER BY col_name""")) { (s, dir) =>
+      graft.operators.Stats.profile(t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderdate", "o_orderstatus"))
+        .orderBy("col_name")
     },
 
     // Tukey-fence outlier counts per event type (Stats.iqrOutliers):

@@ -693,6 +693,60 @@ object Maintenance extends QueryModule {
         .orderBy("shard")
     },
 
+    // CSV zone round-trip (Readers/Writers, Format.Csv): orders written
+    // with headers, read back under the EXPLICIT schema (the production
+    // path — inference re-reads the data), then aggregated. Doubles
+    // survive because Spark writes shortest-round-trip decimal strings;
+    // dates are ISO text in both directions. Gate proves the text zone is
+    // content-preserving against the parquet source.
+    QueryDef("s9_csv", Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_price,
+             CAST(min(o_orderdate) AS VARCHAR) AS first_d,
+             CAST(max(o_orderdate) AS VARCHAR) AS last_d
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+    { (s, dir) =>
+      val dest = graft.Scratch.fresh("csv-zone")
+      val src = t(s, dir, "orders").select("o_orderkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      graft.io.Writers.write(src, graft.model.Format.Csv, dest)
+      graft.io.Readers.read(s, graft.model.Format.Csv, dest,
+          Some(src.schema))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"),
+          min("o_orderdate").cast("string").as("first_d"),
+          max("o_orderdate").cast("string").as("last_d"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ORC zone round-trip (Readers/Writers, Format.Orc): the columnar
+    // sibling — types carried in file metadata, no schema override
+    // needed; same content-preservation contract as s9_csv.
+    QueryDef("s10_orc", Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_price,
+             CAST(min(o_orderkey) AS BIGINT) AS min_key,
+             CAST(max(o_orderkey) AS BIGINT) AS max_key
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+    { (s, dir) =>
+      val dest = graft.Scratch.fresh("orc-zone")
+      graft.io.Writers.write(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority",
+          "o_totalprice"),
+        graft.model.Format.Orc, dest)
+      graft.io.Readers.read(s, graft.model.Format.Orc, dest)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderpriority")
+    },
+
     // Importance-weighted sampling (Sample.weightedBernoulli): keep each
     // doc with probability = its type-token ratio — "sample proportional
     // to quality". The md5-draw vs hex-threshold compare is exact in both

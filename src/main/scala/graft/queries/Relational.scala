@@ -1256,6 +1256,69 @@ object Relational extends QueryModule {
         .orderBy("cohort_week", "wk")
     },
 
+    // Markov transition matrix over per-user event sequences: one lead()
+    // window (a single shuffle on user_id, ties broken by event_id), then
+    // a (src,dst) count aggregate with map-side partials. The row
+    // probability is one exact-integer division per cell — IEEE-identical
+    // in both engines — and its normalizing window runs on the
+    // |event_types|²-sized transition table, not the data.
+    QueryDef("f3_transitions", Some("""
+      WITH tr AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events),
+      c AS (SELECT src, dst, count(*) AS n FROM tr
+            WHERE dst IS NOT NULL GROUP BY src, dst)
+      SELECT src, dst, CAST(n AS BIGINT) AS n,
+             CAST(n AS DOUBLE)
+               / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS prob
+      FROM c ORDER BY src, dst""")) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val c = t(s, dir, "events")
+        .select(col("event_type").as("src"),
+          lead("event_type", 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      c.select(col("src"), col("dst"), col("n"),
+          (col("n").cast("double") /
+            sum("n").over(Window.partitionBy("src")).cast("double"))
+            .as("prob"))
+        .orderBy("src", "dst")
+    },
+
+    // Top-k user journeys: each user's first five events as an ordered
+    // path string, counted across users. Ordered aggregation without an
+    // ordered-agg primitive: collect_list of (rn, type) structs sorted
+    // per group — rn is unique within a user, so the sort is total and
+    // the path deterministic under any partitioning. One shuffle for the
+    // window, one for the path count; top-20 is a TakeOrderedAndProject.
+    QueryDef("f4_paths", Some("""
+      WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+      p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM r WHERE rn <= 5 GROUP BY user_id)
+      SELECT path, CAST(count(*) AS BIGINT) AS n_users
+      FROM p GROUP BY path
+      ORDER BY n_users DESC, path LIMIT 20""")) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(20)
+    },
+
     // Two-pass equi-width histogram (Stats.histogram): global (min,max)
     // reduced then broadcast, bucket assignment as pure IEEE arithmetic
     // the oracle replays verbatim. Nothing shuffles but the 20 bucket

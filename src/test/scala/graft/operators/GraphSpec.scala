@@ -150,4 +150,32 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ssspRounds: hand-computed distances, bounded-hops contract") {
+    // 1 -(1)-> 2 -(1)-> 3 -(1)-> 4, plus a heavy shortcut 1 -(10)-> 4.
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (1L, 4L, 10L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    def run(r: Int) = Graph.ssspRounds(edges, seeds, rounds = r)
+      .as[(Long, Long)].collect().toMap
+    // 1 round: only direct edges relax — 4 gets the heavy shortcut.
+    assert(run(1) == Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+    // 2 rounds: 3 reached via 2; 4 still cheapest via the shortcut.
+    assert(run(2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 10L))
+    // 3 rounds: the 3-edge path 1-2-3-4 (cost 3) beats the shortcut.
+    assert(run(3) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("ssspRounds: multi-source takes the nearest seed, any partitioning") {
+    // line 1 -(2)- 2 -(2)- 3 -(2)- 4 (both directions), seeds {1, 4}
+    val und = Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 4L, 2L))
+    val edges = (und ++ und.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L, 4L).toDF("id")
+    val want = Map(1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 0L)
+    assert(Graph.ssspRounds(edges, seeds, 3)
+      .as[(Long, Long)].collect().toMap == want)
+    assert(Graph.ssspRounds(edges.repartition(7), seeds, 3)
+      .as[(Long, Long)].collect().toMap == want)
+  }
+
 }

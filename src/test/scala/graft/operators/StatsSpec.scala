@@ -181,4 +181,27 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].head()
     assert(g1 == ((4L, 8L, 10L, 0.3125)))
   }
+
+  test("kAnonymize: level ladder — cell, stratum, suppress") {
+    // stratum A: cells of 3 and 2 (total 5); stratum B: one cell of 1.
+    val df = (Seq.fill(3)(("A", "x")) ++ Seq.fill(2)(("A", "y"))
+      ++ Seq(("B", "z"))).toDF("q1", "q2")
+    val out = Stats.kAnonymize(df, "q1", "q2", k = 3L)
+      .as[(String, String, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out == Map(
+      ("A", "x") -> ((3L, 5L, 2)),   // cell itself reaches k
+      ("A", "y") -> ((2L, 5L, 1)),   // only the stratum reaches k
+      ("B", "z") -> ((1L, 1L, 0))))  // suppress
+  }
+
+  test("profile: nulls, distincts, string min/max across mixed types") {
+    val df = Seq((Some(3L), "b"), (None, "a"), (Some(1L), "b"))
+      .toDF("num", "s")
+    val out = Stats.profile(df, Seq("num", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out("num") == ((3L, 1L, 2L, "1", "3")))
+    assert(out("s") == ((3L, 0L, 2L, "a", "b")))
+  }
 }
