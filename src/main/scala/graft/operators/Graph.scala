@@ -129,6 +129,45 @@ object Graph {
     dist
   }
 
+  /** Hash-driven "random" walks — the DeepWalk/node2vec corpus primitive,
+    * made exactly reproducible: at step t, walker w moves to the out-
+    * neighbor minimizing md5(salt:w:t:neighbor). The hash plays the RNG
+    * (uniform over neighbors, independent across steps and walkers), but
+    * the walk is a pure function of (graph, seeds, salt) — so walk corpora
+    * are regenerable byte-identically on any cluster, and an oracle can
+    * replay them. Walkers at a node with no out-edge terminate.
+    *
+    * Scale posture: one edge equijoin per step keyed on the current node
+    * plus an arg-min per walker (WindowGroupLimit partial top-1 — never a
+    * full sort); state is one row per live walker. Steps are bounded and
+    * data-independent. No driver-side anything.
+    *
+    * @return (walker, step, node) — step 0 is the seed itself
+    */
+  def hashWalk(edges: DataFrame, seeds: DataFrame, steps: Int,
+               salt: String): DataFrame = {
+    require(steps >= 0, "steps must be >= 0")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    var state = seeds.select(col("id").cast("long").as("walker"),
+      col("id").cast("long").as("cur")).distinct()
+    var out = state.select(col("walker"), lit(0).as("step"),
+      col("cur").as("node"))
+    for (t <- 1 to steps) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("walker").orderBy("h", "dst")
+      state = state.join(e, state("cur") === e("src"))
+        .withColumn("h", md5(concat_ws(":", lit(salt), col("walker"),
+          lit(t), col("dst"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("walker"), col("dst").as("cur"))
+      out = out.unionByName(state.select(col("walker"), lit(t).as("step"),
+        col("cur").as("node")))
+    }
+    out
+  }
+
   /** Per-node triangle participation counts over an undirected graph.
     *
     * Input is the canonical unique-pair form (src < dst, one row per

@@ -66,6 +66,21 @@ object Sample {
       .drop("__rn")
   }
 
+  /** Exact-size uniform sample: the `k` rows with the globally smallest
+    * (md5(id), id) — the deterministic replacement for reservoir sampling
+    * ("a reproducible 10k-doc eyeball sample of the corpus"), independent
+    * of row order, partitioning, and cluster size. Bernoulli sampling
+    * can't hit an exact k; a seeded `df.sample` isn't stable across
+    * repartitioning. Planned as TakeOrderedAndProject: each partition
+    * keeps its local top-k, only k rows per partition reach the driver
+    * side of the shuffle — no global sort.
+    */
+  def exactK(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.withColumn("__r", md5(col(idCol).cast("string")))
+      .orderBy(col("__r"), col(idCol))
+      .limit(k)
+      .drop("__r")
+
   /** Deterministic global shuffle: impose a reproducible pseudo-random
     * total order on the corpus — the training-order materialization step.
     * The sort key is md5(seed | id), so the permutation is a pure function

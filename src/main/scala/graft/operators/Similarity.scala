@@ -675,4 +675,44 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "sim")
   }
+
+  /** Exact distributed Gram matrix (upper triangle of Σ xᵢ·xᵢᵀ over the
+    * corpus) — the one-pass sufficient statistic behind PCA, whitening,
+    * ridge regression, and embedding-space diagnostics. Vectors are
+    * gridded to fixed-point longs (`floor(x·scale)`), each row's upper
+    * triangle computed by a pure HOF projection, then reduced elementwise
+    * by [[org.apache.spark.sql.graft.VecSumAgg]] — so the result is exact
+    * integer arithmetic, bit-identical under any partitioning (a
+    * double-accumulated Gram matrix cannot gate: partial-sum order
+    * perturbs low bits).
+    *
+    * Scale posture: one scan, zero shuffles of data — the only thing
+    * moved is one d(d+1)/2-long buffer per partition (the
+    * posexplode+groupBy(pos) formulation would instead shuffle
+    * rows × d²/2 cells). Overflow budget: rows · (max|x|·scale)² per cell
+    * must stay under 2^63 — at scale=1e6 and unit-ish coordinates that is
+    * ~9×10^6 rows per cell; drop `scale` as the corpus grows.
+    *
+    * Output: (i, j, s) for 0 ≤ i ≤ j < d, row-major; s in grid² units.
+    */
+  def gramMatrix(df: DataFrame, vecCol: String, d: Int,
+                 scale: Double): DataFrame = {
+    val g = transform(asDouble(col(vecCol)),
+      x => floor(x * lit(scale)).cast("long"))
+    // per-row upper triangle, row-major: products x_i * x_j for j >= i
+    val tri = flatten(transform(g, (xi, i) =>
+      transform(slice(g, i + 1, lit(d) - i), xj => xi * xj)))
+    val n = d * (d + 1) / 2
+    val summed = df
+      .select(org.apache.spark.sql.graft.VecSumAgg.of(tri, n).as("s"))
+    // constant index arrays (constant-folded), zipped with the result
+    val ii = flatten(transform(sequence(lit(0), lit(d - 1)),
+      i => transform(sequence(i, lit(d - 1)), _ => i)))
+    val jj = flatten(transform(sequence(lit(0), lit(d - 1)),
+      i => sequence(i, lit(d - 1))))
+    summed.select(explode(arrays_zip(ii.as("i"), jj.as("j"), col("s")))
+        .as("cell"))
+      .select(col("cell.i").as("i"), col("cell.j").as("j"),
+        col("cell.s").as("s"))
+  }
 }

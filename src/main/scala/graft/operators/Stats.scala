@@ -433,6 +433,43 @@ object Stats {
       .select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
   }
 
+  /** Pairwise association rules over baskets (market-basket / co-occurrence
+    * mining): for every unordered item pair meeting `minSupport` co-baskets,
+    * emit support counts plus confidence(a→b) = n_ab/n_a and
+    * lift = N·n_ab/(n_a·n_b). Both ratios are SINGLE divisions of exact
+    * integers — IEEE-identical cross-engine — so the scores themselves
+    * gate, not just the counts. (Lift is the exp of PMI; gating the ratio
+    * sidesteps log's cross-engine rounding.)
+    *
+    * Scale posture: the pair space is generated per basket by a self-join
+    * keyed on the basket id — cost Σ|basket|², bounded by basket size, never
+    * all-items². The support filter prunes before the (tiny, item-count-
+    * sized) frequency joins; the corpus-size scalar joins in as a broadcast
+    * literal, not a driver-side collect.
+    *
+    * Output: (a, b, n_ab, n_a, n_b, conf, lift), a < b.
+    */
+  def assocPairs(df: DataFrame, basketCol: String, itemCol: String,
+                 minSupport: Long): DataFrame = {
+    val items = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val nb = items.agg(countDistinct("bk").as("n"))
+    val ic = items.groupBy("it").agg(count(lit(1)).as("c"))
+    val pairs = items.as("x").join(items.as("y"), "bk")
+      .filter(col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("a"), col("y.it").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(ic.select(col("it").as("a"), col("c").as("n_a")), "a")
+      .join(ic.select(col("it").as("b"), col("c").as("n_b")), "b")
+      .crossJoin(broadcast(nb))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("conf"),
+        ((col("n") * col("n_ab")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   def momentsInt(df: DataFrame, keys: Seq[String],
                  xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("long")

@@ -2190,6 +2190,52 @@ object Extensions extends QueryModule {
       Graph.ssspRounds(edges, seeds, rounds = 3).orderBy("id")
     },
 
+    // Hash-driven walks (Graph.hashWalk): the DeepWalk corpus primitive
+    // made exactly reproducible — at step t a walker moves to the
+    // out-neighbor minimizing md5(salt:walker:t:neighbor); the hash plays
+    // the RNG but the walk corpus is a pure function of (graph, seeds,
+    // salt), regenerable byte-identically. Per step: one edge equijoin +
+    // a WindowGroupLimit arg-min per walker. Oracle unrolls the three
+    // steps as CTEs with the same hash arg-min.
+    QueryDef("x8_walk", Some(s"""
+      WITH pr AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey % 5 = 0),
+      eg AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+      s0 AS (SELECT DISTINCT src AS walker, src AS cur FROM eg
+             WHERE src % 100 = 0),
+      ${(1 to 3).map { t =>
+        s"""n$t AS (SELECT s.walker, e.dst,
+               row_number() OVER (PARTITION BY s.walker
+                 ORDER BY md5(concat_ws(':', 'wk',
+                   CAST(s.walker AS VARCHAR), '$t',
+                   CAST(e.dst AS VARCHAR))), e.dst) AS rn
+             FROM s${t - 1} s JOIN eg e ON e.src = s.cur),
+      s$t AS (SELECT walker, dst AS cur FROM n$t WHERE rn = 1)"""
+      }.mkString(",\n      ")}
+      SELECT walker, step, node FROM (
+        SELECT walker, 0 AS step, cur AS node FROM s0
+        ${(1 to 3).map(t =>
+          s"UNION ALL SELECT walker, $t, cur FROM s$t").mkString("\n        ")})
+      ORDER BY walker, step""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select("l_orderkey", "l_partkey").distinct()
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .filter(col("id") % 100 === 0)
+      Graph.hashWalk(edges, seeds, steps = 3, salt = "wk")
+        .orderBy("walker", "step")
+    },
+
     // Exact per-language heavy hitters (Stats.topKByCount): top-3 tokens
     // by frequency, ties totalized by token — one (lang, tok) aggregate
     // then WindowGroupLimit partial top-k; the exact companion to
@@ -2390,6 +2436,58 @@ object Extensions extends QueryModule {
       graft.operators.Stats.profile(t(s, dir, "orders"),
           Seq("o_custkey", "o_orderdate", "o_orderstatus"))
         .orderBy("col_name")
+    },
+
+    // Exact distributed Gram matrix (Similarity.gramMatrix + the native
+    // VecSumAgg TypedImperativeAggregate): 16-dim upper triangle over
+    // fixed-point-gridded embeddings. One scan, zero data shuffles — only
+    // one 136-long buffer moves per partition; the oracle's explode +
+    // GROUP BY pos shuffles rows×136 cells, exactly the plan the custom
+    // aggregate exists to avoid. Integer arithmetic end to end, so a
+    // normally ungateable linear-algebra reduction hash-matches.
+    QueryDef("x3_gram", Some("""
+      WITH g AS (SELECT list_transform(embedding[1:16],
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS v
+                 FROM embeddings),
+      idx AS (SELECT unnest(range(0, 16)) AS i),
+      p AS (SELECT i.i AS i, j.j AS j, g.v[i.i + 1] * g.v[j.j + 1] AS prod
+            FROM g, idx i,
+                 LATERAL (SELECT unnest(range(i.i, 16)) AS j) j)
+      SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             CAST(sum(prod) AS BIGINT) AS s
+      FROM p GROUP BY i, j ORDER BY i, j""")) { (s, dir) =>
+      Similarity.gramMatrix(
+          t(s, dir, "embeddings")
+            .select(slice(col("embedding"), 1, 16).as("v")),
+          "v", d = 16, scale = 1e6)
+        .orderBy("i", "j")
+    },
+
+    // Association rules over order baskets (Stats.assocPairs): pairwise
+    // support / confidence / lift, minSupport=2, top-50 by lift. The pair
+    // space is generated per basket (cost Σ|basket|², never all-items²);
+    // conf and lift are single divisions of exact integers, so the scores
+    // themselves hash-gate — lift being exp(PMI), this is the engine's
+    // co-occurrence-strength surface without a cross-engine log.
+    QueryDef("x10_assoc", Some("""
+      WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                  FROM lineitem),
+      nb AS (SELECT count(DISTINCT bk) AS n FROM it),
+      ic AS (SELECT it, count(*) AS c FROM it GROUP BY 1),
+      p AS (SELECT x.it AS a, y.it AS b, count(*) AS n_ab
+            FROM it x JOIN it y ON x.bk = y.bk AND x.it < y.it
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+             CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b,
+             CAST(n_ab AS DOUBLE) / CAST(ca.c AS DOUBLE) AS conf,
+             CAST(nb.n * n_ab AS DOUBLE)
+               / CAST(ca.c * cb.c AS DOUBLE) AS lift
+      FROM p JOIN ic ca ON p.a = ca.it JOIN ic cb ON p.b = cb.it, nb
+      ORDER BY lift DESC, a, b LIMIT 50""")) { (s, dir) =>
+      graft.operators.Stats.assocPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .orderBy(col("lift").desc, col("a"), col("b")).limit(50)
     },
 
     // Tukey-fence outlier counts per event type (Stats.iqrOutliers):

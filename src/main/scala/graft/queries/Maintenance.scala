@@ -747,6 +747,21 @@ object Maintenance extends QueryModule {
         .orderBy("o_orderpriority")
     },
 
+    // Exact-size deterministic sample (Sample.exactK): the 100 docs with
+    // the globally smallest (md5(id), id) — reservoir sampling without
+    // the nondeterminism; planned as TakeOrderedAndProject (per-partition
+    // top-k, no global sort). Output re-ordered by doc_id so the gate's
+    // total order is over data columns.
+    QueryDef("x7_exact_k", Some("""
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
+      ORDER BY doc_id""")) { (s, dir) =>
+      graft.operators.Sample.exactK(
+          t(s, dir, "documents").select("doc_id", "lang"), "doc_id", 100)
+        .orderBy("doc_id")
+    },
+
     // Importance-weighted sampling (Sample.weightedBernoulli): keep each
     // doc with probability = its type-token ratio — "sample proportional
     // to quality". The md5-draw vs hex-threshold compare is exact in both

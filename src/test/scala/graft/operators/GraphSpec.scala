@@ -150,6 +150,29 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hashWalk: deterministic, follows edges, dead ends terminate") {
+    // 1 -> {2,3}; 2 -> 4; 3 -> 4; 4 has no out-edge
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.hashWalk(df, seeds, steps = 3, salt = "t")
+        .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val walk = run(edges)
+    // step 0 = seed; every hop follows an edge; walker dies at 4 (step 3
+    // emits nothing), so the walk has exactly steps 0..2
+    assert(walk.map(_._2) == Seq(0, 1, 2))
+    assert(walk(0)._3 == 1L)
+    assert(Set(2L, 3L).contains(walk(1)._3))
+    assert(walk(2)._3 == 4L)
+    // pure function of (graph, seeds, salt): partitioning-invariant
+    assert(run(edges.repartition(7)) == walk)
+    // a different salt may pick the other branch but still follows edges
+    val alt = Graph.hashWalk(edges, seeds, 1, salt = "u")
+      .filter($"step" === 1).as[(Long, Int, Long)].head()
+    assert(Set(2L, 3L).contains(alt._3))
+  }
+
   test("ssspRounds: hand-computed distances, bounded-hops contract") {
     // 1 -(1)-> 2 -(1)-> 3 -(1)-> 4, plus a heavy shortcut 1 -(10)-> 4.
     val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),

@@ -44,6 +44,18 @@ class SampleSpec extends SparkSpec {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("exactK: exactly k, partition-invariant, plans a TakeOrdered") {
+    val out = Sample.exactK(docs, "doc_id", 25)
+    assert(out.count() == 25L)
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = Sample.exactK(docs.repartition(9), "doc_id", 25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // per-partition top-k, not a global sort
+    assert(Sample.exactK(docs, "doc_id", 25).queryExecution.executedPlan
+      .toString.contains("TakeOrderedAndProject"))
+  }
+
   test("hashSplit: total, partition-invariant, roughly 90/5/5") {
     val splitCol = Sample.hashSplit("doc_id",
       Seq("e6" -> "train", "f3" -> "val"), "test")

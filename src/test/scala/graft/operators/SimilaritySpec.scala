@@ -358,4 +358,16 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Seq[Double])].collect().toMap
     assert(other(1L) != out(1L), "seed must change the matrix")
   }
+
+  test("gramMatrix: hand-computed 2-dim triangle, invariant to partitioning") {
+    // vectors (1,2) and (3,4) at scale=1: G = [[1+9, 2+12], [., 4+16]]
+    val df = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)).toDF("v")
+    val want = Map((0, 0) -> 10L, (0, 1) -> 14L, (1, 1) -> 20L)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.gramMatrix(d, "v", d = 2, scale = 1.0)
+        .as[(Int, Int, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    assert(run(df) == want)
+    assert(run(df.repartition(5)) == want)
+  }
 }

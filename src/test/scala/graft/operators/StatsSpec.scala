@@ -195,6 +195,21 @@ class StatsSpec extends SparkSpec {
       ("B", "z") -> ((1L, 1L, 0))))  // suppress
   }
 
+  test("assocPairs: hand-computed support, confidence, lift") {
+    // baskets: {x,y,z}, {x,y}, {x,z}, {y} → N=4
+    // pair (x,y): ab=2, ca=3, cb=3 → conf=2/3, lift=4*2/9
+    // pair (x,z): ab=2, ca=3, cb=2 → conf=2/3, lift=4*2/6
+    // pair (y,z): ab=1 → below minSupport=2
+    val df = Seq((1, "x"), (1, "y"), (1, "z"), (2, "x"), (2, "y"),
+      (3, "x"), (3, "z"), (4, "y")).toDF("bk", "it")
+    val out = Stats.assocPairs(df, "bk", "it", minSupport = 2L)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out == Map(
+      ("x", "y") -> ((2L, 3L, 3L, 2.0 / 3.0, 8.0 / 9.0)),
+      ("x", "z") -> ((2L, 3L, 2L, 2.0 / 3.0, 8.0 / 6.0))))
+  }
+
   test("profile: nulls, distincts, string min/max across mixed types") {
     val df = Seq((Some(3L), "b"), (None, "a"), (Some(1L), "b"))
       .toDF("num", "s")
