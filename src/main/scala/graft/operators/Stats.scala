@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed descriptive statistics: equi-width histograms and exact
@@ -468,6 +468,47 @@ object Stats {
         (col("n_ab").cast("double") / col("n_a").cast("double")).as("conf"),
         ((col("n") * col("n_ab")).cast("double")
           / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
+  /** Per-group two-sample Kolmogorov–Smirnov statistic — the
+    * distribution-drift detector for NUMERIC columns (the companion to the
+    * token-frequency χ² in `TextOps.tokenDrift`): per group,
+    * D = max over x of |F_a(x) − F_b(x)|. Ties are handled exactly by
+    * reducing to per-distinct-value counts first (both ECDFs step at each
+    * distinct x AFTER absorbing every point there), so the statistic is
+    * the textbook one, not a row-order artifact. Each ECDF value is one
+    * exact-integer division; the difference/abs/max chain is fixed-shape
+    * IEEE — the statistic itself gates.
+    *
+    * Scale posture: the data reduces to per-(group, distinct-value)
+    * counts in one aggregate; the cumulative window and max run on that
+    * distinct-value table, partitioned per group — no global sort, and
+    * groups with an empty side are dropped (their D is undefined).
+    *
+    * Output: (keys..., n_a, n_b, ks).
+    */
+  def ksTwoSample(df: DataFrame, keys: Seq[String], xCol: String,
+                  isB: Column): DataFrame = {
+    val k = keys.map(col)
+    val d = df.select(k :+ col(xCol).as("x") :+
+      isB.cast("long").as("b"): _*)
+    val cnt = d.groupBy(k :+ col("x"): _*)
+      .agg(sum(lit(1L) - col("b")).as("ca"), sum("b").as("cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(k: _*).orderBy(col("x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = cnt.withColumn("cca", sum("ca").over(w))
+      .withColumn("ccb", sum("cb").over(w))
+    val tot = cnt.groupBy(k: _*)
+      .agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    cum.join(tot, keys)
+      .withColumn("diff", abs(
+        col("cca").cast("double") / col("n_a").cast("double")
+          - col("ccb").cast("double") / col("n_b").cast("double")))
+      .groupBy(k :+ col("n_a") :+ col("n_b"): _*)
+      .agg(max("diff").as("ks"))
   }
 
   def momentsInt(df: DataFrame, keys: Seq[String],

@@ -2490,6 +2490,166 @@ object Extensions extends QueryModule {
         .orderBy(col("lift").desc, col("a"), col("b")).limit(50)
     },
 
+    // Classifier calibration (reliability bins): the x5_qmodel quality
+    // score binned to integer buckets, observed positive rate per bin —
+    // the eval pass that decides whether a quality filter's scores mean
+    // anything. Counts are exact; the rate is one integer division. No
+    // score sums (double→decimal casts are not engine-portable), so the
+    // whole diagram gates.
+    QueryDef("x9_calibration", Some("""
+      WITH scored AS (
+        SELECT CAST(floor(
+          -2.0 + 3.0 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                        / CAST(len(string_split(text,' ')) AS DOUBLE))
+               + 5.0 * (CAST(len(list_filter(string_split(text,' '),
+                          tk -> tk IN ('the','a','of','and','to','is'))) AS DOUBLE)
+                        / CAST(len(string_split(text,' ')) AS DOUBLE))
+               + 0.25 * (CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+                         / CAST(len(string_split(text,' ')) AS DOUBLE))) AS BIGINT)
+          AS bin,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
+      FROM scored GROUP BY bin ORDER BY bin""")) { (s, dir) =>
+      spread(t(s, dir, "documents"))
+        .select(floor(TextOps.linearQualityScore(col("text"), bias = -2.0,
+            wTtr = 3.0, wStop = 5.0, wAvgLen = 0.25, stopwords = enStop))
+            .cast("long").as("bin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          (col("n_pos").cast("double") / col("n").cast("double"))
+            .as("frac_pos"))
+        .orderBy("bin")
+    },
+
+    // Per-class precision / recall / F1 from the language-ID confusion
+    // matrix (x5_langid's counts) — the classifier-eval reduction. All
+    // three class tables are |classes|-sized; precision and recall are
+    // single exact-integer divisions, F1 one fixed-shape expression over
+    // them — identical IEEE evaluation in both engines.
+    QueryDef("x9_prf", Some("""
+      WITH scored AS (
+        SELECT lang,
+          len(list_filter(string_split(text,' '), tk -> tk IN ('the','a','of','and','to','is'))) AS s_en,
+          len(list_filter(string_split(text,' '), tk -> tk IN ('el','la','de','y','que','es'))) AS s_es,
+          len(list_filter(string_split(text,' '), tk -> tk IN ('le','les','des','et','une','est'))) AS s_fr,
+          len(list_filter(string_split(text,' '), tk -> tk IN ('der','die','das','und','ist','ein'))) AS s_de
+        FROM documents),
+      pred AS (
+        SELECT lang,
+          CASE WHEN s_en > 0 AND s_en >= greatest(s_en,s_es,s_fr,s_de) THEN 'en'
+               WHEN s_es > 0 AND s_es >= greatest(s_en,s_es,s_fr,s_de) THEN 'es'
+               WHEN s_fr > 0 AND s_fr >= greatest(s_en,s_es,s_fr,s_de) THEN 'fr'
+               WHEN s_de > 0 AND s_de >= greatest(s_en,s_es,s_fr,s_de) THEN 'de'
+               ELSE 'und' END AS predicted
+        FROM scored),
+      act AS (SELECT lang, count(*) AS act_n FROM pred GROUP BY 1),
+      prd AS (SELECT predicted, count(*) AS pred_n FROM pred GROUP BY 1),
+      tp AS (SELECT lang, count(*) AS tp FROM pred
+             WHERE lang = predicted GROUP BY 1),
+      m AS (SELECT a.lang, coalesce(t.tp, 0) AS tp, a.act_n,
+                   coalesce(p.pred_n, 0) AS pred_n
+            FROM act a LEFT JOIN tp t ON a.lang = t.lang
+                       LEFT JOIN prd p ON a.lang = p.predicted),
+      pr AS (SELECT lang, CAST(tp AS BIGINT) AS tp,
+               CAST(act_n AS BIGINT) AS act_n,
+               CAST(pred_n AS BIGINT) AS pred_n,
+               CASE WHEN pred_n = 0 THEN CAST(0 AS DOUBLE)
+                 ELSE CAST(tp AS DOUBLE) / CAST(pred_n AS DOUBLE) END AS p,
+               CAST(tp AS DOUBLE) / CAST(act_n AS DOUBLE) AS r
+             FROM m)
+      SELECT lang, tp, act_n, pred_n, p AS precision_, r AS recall_,
+             CASE WHEN p + r = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+                  ELSE 2 * p * r / (p + r) END AS f1
+      FROM pr ORDER BY lang""")) { (s, dir) =>
+      val pred = spread(t(s, dir, "documents"))
+        .select(col("lang"),
+          TextOps.langId(TextOps.tokens(col("text"))).as("predicted"))
+      val act = pred.groupBy("lang").agg(count(lit(1)).as("act_n"))
+      val prd = pred.groupBy("predicted").agg(count(lit(1)).as("pred_n"))
+      val tp = pred.filter(col("lang") === col("predicted"))
+        .groupBy("lang").agg(count(lit(1)).as("tp"))
+      val p = col("p"); val r = col("r")
+      act
+        .join(tp, Seq("lang"), "left_outer")
+        .join(prd.withColumnRenamed("predicted", "lang"), Seq("lang"),
+          "left_outer")
+        .select(col("lang"), coalesce(col("tp"), lit(0L)).as("tp"),
+          col("act_n"), coalesce(col("pred_n"), lit(0L)).as("pred_n"))
+        .withColumn("p", when(col("pred_n") === 0, lit(0.0))
+          .otherwise(col("tp").cast("double") / col("pred_n").cast("double")))
+        .withColumn("r", col("tp").cast("double") / col("act_n").cast("double"))
+        .select(col("lang"), col("tp"), col("act_n"), col("pred_n"),
+          p.as("precision_"), r.as("recall_"),
+          when(p + r === 0.0, lit(0.0))
+            .otherwise(lit(2) * p * r / (p + r)).as("f1"))
+        .orderBy("lang")
+    },
+
+    // Per-day two-sample KS drift (Stats.ksTwoSample): view-vs-purchase
+    // value distributions compared by exact ECDFs — ties absorbed at each
+    // distinct value, every ECDF point an exact-integer division, so the
+    // statistic itself gates. The cumulative window runs on the per-day
+    // distinct-value table, partitioned by day — the numeric companion to
+    // x5_drift's token χ².
+    QueryDef("x9_ks", Some("""
+      WITH d AS (
+        SELECT CAST(ts AS DATE) AS d, value AS x,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        FROM events WHERE event_type IN ('view', 'purchase')),
+      cnt AS (SELECT d, x, sum(1 - b) AS ca, sum(b) AS cb
+              FROM d GROUP BY d, x),
+      cum AS (SELECT d, x, ca, cb,
+                sum(ca) OVER (PARTITION BY d ORDER BY x
+                              ROWS UNBOUNDED PRECEDING) AS cca,
+                sum(cb) OVER (PARTITION BY d ORDER BY x
+                              ROWS UNBOUNDED PRECEDING) AS ccb
+              FROM cnt),
+      tot AS (SELECT d, sum(ca) AS n_a, sum(cb) AS n_b FROM cnt
+              GROUP BY d HAVING sum(ca) > 0 AND sum(cb) > 0)
+      SELECT cum.d, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             max(abs(CAST(cca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(ccb AS DOUBLE) / CAST(n_b AS DOUBLE))) AS ks
+      FROM cum JOIN tot ON cum.d = tot.d
+      GROUP BY cum.d, n_a, n_b ORDER BY cum.d""")) { (s, dir) =>
+      graft.operators.Stats.ksTwoSample(
+          t(s, dir, "events")
+            .filter(col("event_type").isin("view", "purchase"))
+            .select(col("ts").cast("date").as("d"), col("value"),
+              col("event_type")),
+          Seq("d"), "value", col("event_type") === "purchase")
+        .orderBy("d")
+    },
+
+    // Group-aware (leakage-safe) train/val/test split: membership is a
+    // pure function of the GROUP key (source), so all documents of a
+    // source land in one split — the contamination guarantee per-row
+    // splits (x7_split) can't give. Same md5-prefix assignment, shuffle-
+    // free; the gate's (split, n_sources, n_docs) audit proves both the
+    // split sizes and that no source straddles splits.
+    QueryDef("x7_group_split", Some("""
+      WITH s AS (
+        SELECT source, doc_id,
+          CASE WHEN substr(md5(source),1,2) < 'e6' THEN 'train'
+               WHEN substr(md5(source),1,2) < 'f3' THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents)
+      SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM s GROUP BY split ORDER BY split""")) { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("split", Sample.hashSplit("source",
+          Seq("e6" -> "train", "f3" -> "val"), "test"))
+        .groupBy("split")
+        .agg(countDistinct("source").as("n_sources"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("split")
+    },
+
     // Tukey-fence outlier counts per event type (Stats.iqrOutliers):
     // quartiles are exact order statistics under a total order — every
     // bound is a real data value, so the whole fence computation is

@@ -1319,6 +1319,37 @@ object Relational extends QueryModule {
         .orderBy(col("n_users").desc, col("path")).limit(20)
     },
 
+    // Cumulative distinct count over an event stream — "unique event
+    // types seen so far" per user, the windowed-COUNT(DISTINCT) neither
+    // engine supports directly. First-occurrence flags (row_number = 1
+    // per (user, type)) running-summed per user: two keyed windows, both
+    // hash-partitioned on user_id (the second reuses the first's data
+    // locality), never a collect_set. event_id makes both orders total.
+    QueryDef("f5_cum_uniques", Some("""
+      WITH f AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) = 1
+               THEN 1 ELSE 0 END AS fst
+        FROM events)
+      SELECT user_id, event_id,
+             CAST(sum(fst) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_uniq
+      FROM f ORDER BY user_id, ts, event_id LIMIT 500""")) { (s, dir) =>
+      val w1 = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(row_number().over(w1) === 1, 1L).otherwise(0L).as("fst"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          sum("fst").over(w2).as("cum_uniq"))
+        .orderBy("user_id", "ts", "event_id").limit(500)
+        .select("user_id", "event_id", "cum_uniq")
+    },
+
     // Two-pass equi-width histogram (Stats.histogram): global (min,max)
     // reduced then broadcast, bucket assignment as pure IEEE arithmetic
     // the oracle replays verbatim. Nothing shuffles but the 20 bucket

@@ -210,6 +210,20 @@ class StatsSpec extends SparkSpec {
       ("x", "z") -> ((2L, 3L, 2L, 2.0 / 3.0, 8.0 / 6.0))))
   }
 
+  test("ksTwoSample: hand-computed D, tie handling, identical → 0") {
+    // group g: a = {1, 2}, b = {2, 3}.
+    // distinct x: 1 (ca=1), 2 (ca=1, cb=1), 3 (cb=1)
+    // F_a: 1/2, 1, 1 ; F_b: 0, 1/2, 1 → D = 1/2 (at x=1 and x=2)
+    val df = Seq(("g", 1.0, 0), ("g", 2.0, 0), ("g", 2.0, 1), ("g", 3.0, 1),
+      ("h", 5.0, 0), ("h", 5.0, 1)).toDF("k", "x", "b")
+    val out = Stats.ksTwoSample(df, Seq("k"), "x", col("b") === 1)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("g") == ((2L, 2L, 0.5)))
+    // identical samples → D = 0
+    assert(out("h") == ((1L, 1L, 0.0)))
+  }
+
   test("profile: nulls, distincts, string min/max across mixed types") {
     val df = Seq((Some(3L), "b"), (None, "a"), (Some(1L), "b"))
       .toDF("num", "s")
