@@ -268,6 +268,50 @@ object Graph {
     ranks.select(col("id"), col("rnk").as("rank"))
   }
 
+  /** Personalized PageRank in the same pure-integer arithmetic as
+    * [[pageRankInt]], with teleportation restricted to a SEED set — "rank
+    * relative to these nodes", the relevance/recommendation variant
+    * (seeds = a user's items, trusted domains, a topic's documents).
+    * Recurrence per iteration, damping 17/20:
+    * {{{ rank'(v) = [v ∈ S]·(3·scale div 20)
+    *              + (17 · Σ over in-edges u→v of (rank(u) div outdeg(u))) div 20 }}}
+    * starting from rank = scale on seeds, 0 elsewhere. Mass drains toward
+    * the seeds' neighborhoods; far nodes stay at 0 — exact, so the result
+    * hash-gates like the global variant.
+    *
+    * Scale posture: identical to pageRankInt — per iteration one edge/rank
+    * equijoin + one aggregation, edge-with-outdeg table persisted across
+    * iterations; the seed flag rides the node table, nothing driver-side.
+    */
+  def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame, iters: Int,
+                              scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ew = e.join(outdeg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(seeds.select(col("id").cast("long").as("id"))
+        .distinct().withColumn("is_seed", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = (3L * scale) / 20L
+    var ranks = nodes.withColumn("rnk", col("is_seed") * scale)
+    for (_ <- 1 to iters) {
+      val inflow = ew.join(ranks.withColumnRenamed("id", "src")
+          .select("src", "rnk"), Seq("src"))
+        .select(col("dst").as("id"), expr("rnk div outdeg").as("c"))
+        .groupBy("id").agg(sum("c").as("inflow"))
+      ranks = nodes.join(inflow, Seq("id"), "left")
+        .select(col("id"), col("is_seed"),
+          (col("is_seed") * base
+            + expr("(17 * coalesce(inflow, 0)) div 20")).as("rnk"))
+    }
+    ranks.select(col("id"), col("rnk").as("rank"))
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts labeled with its own id; each round it adopts the label most
     * frequent among its neighbors, ties broken by the SMALLEST label —

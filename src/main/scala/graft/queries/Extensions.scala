@@ -1641,6 +1641,48 @@ object Extensions extends QueryModule {
       Graph.pageRankInt(edges, iters = 3).orderBy("id")
     },
 
+    // Personalized PageRank (Graph.personalizedPageRankInt): teleport
+    // restricted to a seed set — "rank relative to these suppliers", the
+    // recommendation/relevance variant. Same integer recurrence and plan
+    // shape as x8_pagerank (one edge join + aggregate per iteration);
+    // seeds start at scale, everything else at 0, so mass provably drains
+    // from the seed neighborhood. Oracle unrolls 3 rounds.
+    QueryDef("x8_ppr", Some(s"""
+      WITH pr AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      eg AS (SELECT src, dst FROM pr UNION ALL SELECT dst AS src, src AS dst FROM pr),
+      nodes AS (SELECT DISTINCT src AS id,
+                  CASE WHEN src % 10 = 0 THEN 1 ELSE 0 END AS sd
+                FROM eg),
+      deg AS (SELECT src, count(*) AS outdeg FROM eg GROUP BY src),
+      r0 AS (SELECT id, sd, CAST(sd * 1000000000 AS BIGINT) AS rank
+             FROM nodes)""" +
+      (1 to 3).map { i =>
+        s""",
+      r$i AS (SELECT n.id, n.sd,
+        CAST(n.sd * 150000000 + (17 * coalesce(f.i, 0)) // 20 AS BIGINT)
+          AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS id, sum(r.rank // d.outdeg) AS i
+          FROM eg e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON r.id = e.src
+          GROUP BY e.dst) f ON f.id = n.id)"""
+      }.mkString + """
+      SELECT id, rank FROM r3 ORDER BY id""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .filter(col("id") % 10 === 0)
+      Graph.personalizedPageRankInt(edges, seeds, iters = 3).orderBy("id")
+    },
+
     // HITS hubs/authorities on the DIRECTED co-purchase graph (edges
     // point low→high supplier id), exact fixed-point integer arithmetic:
     // long sums + max-normalizing integral division each half-step, so

@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "minhash_agg(input, k)")
         MinHashAgg(children(0), intLit(children(1), "signature length k"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sum_agg"),
+      new ExpressionInfo(classOf[VecSumAgg].getName, "vec_sum_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_sum_agg(long_array, n)")
+        VecSumAgg(children(0), intLit(children(1), "vector length n"))
+      }))
     // Spark's internal Bloom-filter pair (the runtime-filter machinery),
     // exposed for sketch-based membership at the SQL surface. The caller
     // hashes values to long (xxhash64) on both build and probe sides.

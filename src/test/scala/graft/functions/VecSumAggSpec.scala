@@ -32,6 +32,14 @@ class VecSumAggSpec extends SparkSpec {
     assert(a == ref)
   }
 
+  test("registered on the SQL surface via GraftExtensions") {
+    Seq(Seq(1L, 2L), Seq(3L, 4L)).toDF("v").createOrReplaceTempView("vs")
+    val out = spark.sql("SELECT vec_sum_agg(v, 2) AS s FROM vs")
+      .as[Seq[Long]].head()
+    assert(out == Seq(4L, 6L))
+    spark.catalog.dropTempView("vs")
+  }
+
   test("grouped: one buffer per group") {
     val df = Seq(("g1", Seq(1L, 1L)), ("g2", Seq(5L, 7L)),
       ("g1", Seq(2L, 3L))).toDF("g", "v")

@@ -150,6 +150,26 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("personalizedPageRankInt: mass drains from seeds; non-seed base 0") {
+    // chain 1 -> 2 -> 3, seed {1}. outdeg(1)=outdeg(2)=1.
+    // r0: 1e9, 0, 0
+    // r1: 1:15e7, 2:(17*1e9)div20=85e7, 3:0
+    // r2: 1:15e7, 2:(17*15e7)div20=127500000, 3:(17*85e7)div20=722500000
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val out = Graph.personalizedPageRankInt(edges, seeds, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 150000000L, 2L -> 127500000L,
+      3L -> 722500000L))
+    // all-nodes seed set with a symmetric pair degenerates to pageRankInt
+    val sym = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val all = Seq(1L, 2L).toDF("id")
+    val ppr = Graph.personalizedPageRankInt(sym, all, 3)
+      .as[(Long, Long)].collect().toMap
+    val pr = Graph.pageRankInt(sym, 3).as[(Long, Long)].collect().toMap
+    assert(ppr == pr)
+  }
+
   test("hashWalk: deterministic, follows edges, dead ends terminate") {
     // 1 -> {2,3}; 2 -> 4; 3 -> 4; 4 has no out-edge
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
