@@ -208,6 +208,39 @@ class GraphSpec extends SparkSpec {
     assert(run(3) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
 
+  test("property: ssspRounds == min-plus matrix power on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val n = 8
+    val edgeGen = Gen.listOfN(14, for {
+      s <- Gen.choose(0, n - 1); d <- Gen.choose(0, n - 1)
+      w <- Gen.choose(1L, 9L)
+    } yield (s.toLong, d.toLong, w))
+    (1 to 5).foreach { trial =>
+      val edges = edgeGen(Gen.Parameters.default, Seed(trial.toLong)).get
+        .filter(e => e._1 != e._2).distinct
+      val seeds = Seq(0L, 3L)
+      // brute force: Bellman-Ford relaxations over the full edge list
+      val INF = Long.MaxValue / 4
+      val dist = Array.fill(n)(INF)
+      seeds.foreach(s => dist(s.toInt) = 0L)
+      (1 to 3).foreach { _ =>
+        val snapshot = dist.clone()
+        edges.foreach { case (s, d, w) =>
+          if (snapshot(s.toInt) + w < dist(d.toInt))
+            dist(d.toInt) = snapshot(s.toInt) + w
+        }
+      }
+      val want = dist.zipWithIndex.collect {
+        case (dd, i) if dd < INF => i.toLong -> dd
+      }.toMap
+      val got = Graph.ssspRounds(edges.toDF("src", "dst", "w"),
+          seeds.toDF("id"), rounds = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial: $edges")
+    }
+  }
+
   test("ssspRounds: multi-source takes the nearest seed, any partitioning") {
     // line 1 -(2)- 2 -(2)- 3 -(2)- 4 (both directions), seeds {1, 4}
     val und = Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 4L, 2L))

@@ -224,6 +224,46 @@ class StatsSpec extends SparkSpec {
     assert(out("h") == ((1L, 1L, 0.0)))
   }
 
+  test("property: ksTwoSample == brute-force ECDF sweep on random samples") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      a <- Gen.nonEmptyListOf(Gen.choose(0, 9))
+      b <- Gen.nonEmptyListOf(Gen.choose(0, 9))
+    } yield (a.map(_.toDouble), b.map(_.toDouble))
+    (1 to 5).foreach { trial =>
+      val (a, b) = gen(Gen.Parameters.default, Seed(trial.toLong)).get
+      val xs = (a ++ b).distinct.sorted
+      val want = xs.map { x =>
+        math.abs(a.count(_ <= x).toDouble / a.size
+          - b.count(_ <= x).toDouble / b.size)
+      }.max
+      val df = (a.map(("g", _, 0)) ++ b.map(("g", _, 1))).toDF("k", "x", "b")
+      val got = Stats.ksTwoSample(df, Seq("k"), "x", col("b") === 1)
+        .as[(String, Long, Long, Double)].head()
+      assert(got == (("g", a.size.toLong, b.size.toLong, want)),
+        s"trial $trial: a=$a b=$b")
+    }
+  }
+
+  test("property: giniSkew matches the brute-force sorted-rank formula") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.nonEmptyListOf(Gen.choose(0, 6))
+    (1 to 5).foreach { trial =>
+      val ks = gen(Gen.Parameters.default, Seed(trial.toLong)).get
+      val counts = ks.groupBy(identity).values.map(_.size.toLong)
+        .toSeq.sorted
+      val n = counts.size.toLong
+      val num = counts.zipWithIndex
+        .map { case (c, i) => (2L * (i + 1) - n - 1) * c }.sum
+      val want = num.toDouble / (n * counts.sum).toDouble
+      val got = Stats.giniSkew(ks.map(i => s"k$i").toDF("k"), Seq("k"))
+        .as[(Long, Long, Long, Double)].head()
+      assert(got == ((n, counts.sum, num, want)), s"trial $trial: $ks")
+    }
+  }
+
   test("profile: nulls, distincts, string min/max across mixed types") {
     val df = Seq((Some(3L), "b"), (None, "a"), (Some(1L), "b"))
       .toDF("num", "s")
