@@ -747,6 +747,41 @@ object Maintenance extends QueryModule {
         .orderBy("o_orderpriority")
     },
 
+    // Dynamic partition pruning end-to-end: fact written Hive-partitioned
+    // on priority, joined to a parquet dim filtered to its "hot" tier —
+    // Spark derives the partition filter FROM THE JOIN at runtime (the
+    // dim's surviving keys), so the fact scan reads 2 of 5 partitions
+    // without any literal predicate on the fact side. The gate proves
+    // content equality; `ZoneIOSpec` asserts the dynamicpruning
+    // expression actually lands in the scan's partition filters. (The
+    // dim filter must be an attribute=literal comparison: a bare boolean
+    // column is simplified before PartitionPruning runs and then fails
+    // its isLikelySelective test — found with tools/DppProbe.)
+    QueryDef("s11_dpp", Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_price
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, dir) =>
+      import s.implicits._
+      val fact = graft.Scratch.fresh("dpp-fact")
+      val dimP = graft.Scratch.fresh("dpp-dim")
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(fact)
+      Seq(("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "cold"),
+        ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
+        .toDF("prio", "tier").write.mode("overwrite").parquet(dimP)
+      s.read.parquet(fact)
+        .join(s.read.parquet(dimP).filter(col("tier") === "hot"),
+          col("o_orderpriority") === col("prio"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
     // Exact-size deterministic sample (Sample.exactK): the 100 docs with
     // the globally smallest (md5(id), id) — reservoir sampling without
     // the nondeterminism; planned as TakeOrderedAndProject (per-partition

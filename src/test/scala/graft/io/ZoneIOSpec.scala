@@ -114,6 +114,28 @@ class ZoneIOSpec extends SparkSpec {
     assert(spark.read.parquet(dest).count() == lineitem.count())
   }
 
+  test("dynamic partition pruning fires on the partitioned fact join") {
+    import spark.implicits._
+    val fact = Scratch.fresh("dpp-spec-fact")
+    val dimP = Scratch.fresh("dpp-spec-dim")
+    // the fact must be big enough for the DPP benefit heuristic
+    // (est. pruned bytes > pruning-side overhead) to clear
+    (1 to 20000).map(i => (i.toLong, s"p${i % 4}")).toDF("id", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(fact)
+    // attribute = literal, NOT a bare boolean column: `b = true` is
+    // simplified to `b` before PartitionPruning and fails its
+    // isLikelySelective test (tools/DppProbe)
+    Seq(("p0", "hot"), ("p1", "hot"), ("p2", "cold"), ("p3", "cold"))
+      .toDF("p", "tier").write.mode("overwrite").parquet(dimP)
+    val joined = spark.read.parquet(fact)
+      .join(spark.read.parquet(dimP).filter($"tier" === "hot"),
+        $"part" === $"p")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter in:\n$plan")
+    assert(joined.count() == 10000)
+  }
+
   test("loadTable truncate-loads a warehouse table (S9)") {
     val dir = Scratch.fresh("rt-table")
     val z = Zone(dir, Format.Avro)
