@@ -64,4 +64,29 @@ object AsOf {
       .select(left.columns.map(col) ++
         rightCols.map(c => col(s"__match.$c").as(c)): _*)
   }
+
+  /** As-of join with a STALENESS BOUND: the nearest right row still
+    * matches only if it is within `toleranceMs` of the left timestamp —
+    * otherwise the transported columns are null (pandas' merge_asof
+    * `tolerance`). A quote older than the bound is not a usable quote;
+    * this is the semantic real feature-lookup pipelines want, and it is a
+    * pure post-projection on [[joinAsOf]]'s one-shuffle plan — same
+    * exchange count, the bound never re-joins.
+    */
+  def joinAsOfTolerance(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      toleranceMs: Long, rightOrder: Seq[String] = Nil,
+      forward: Boolean = false): DataFrame = {
+    require(toleranceMs >= 0, "toleranceMs must be >= 0")
+    val mts = "__match_ts"
+    val joined = joinAsOf(left, right.withColumn(mts, col(rightTs)),
+      keys, leftTs, rightTs, rightCols :+ mts, rightOrder, forward)
+    val gap =
+      if (forward) unix_millis(col(mts)) - unix_millis(col(leftTs))
+      else unix_millis(col(leftTs)) - unix_millis(col(mts))
+    val keep = col(mts).isNotNull && gap <= toleranceMs
+    joined.select(left.columns.map(col) ++
+      rightCols.map(c => when(keep, col(c)).otherwise(lit(null)).as(c)): _*)
+  }
 }

@@ -1035,6 +1035,41 @@ object Extensions extends QueryModule {
         .orderBy("user_id", "event_id")
     },
 
+    // As-of with a STALENESS BOUND (AsOf.joinAsOfTolerance): the nearest
+    // past purchase matches only within 48h — pandas merge_asof
+    // `tolerance` semantics, the contract real feature lookups need (a
+    // stale quote is not a quote). Pure post-projection on the same
+    // one-shuffle as-of plan; the oracle nulls matches past the bound.
+    QueryDef("a3_asof_tol", Some("""
+      SELECT user_id, event_id, ms,
+             CASE WHEN ms - last_purchase_ms <= 172800000
+                  THEN last_purchase_ms END AS last_purchase_ms,
+             CASE WHEN ms - last_purchase_ms <= 172800000
+                  THEN last_purchase_value END AS last_purchase_value
+      FROM (
+        SELECT e.user_id, e.event_id, epoch_ms(e.ts) AS ms,
+               epoch_ms(p.ts) AS last_purchase_ms,
+               p.value AS last_purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts)
+      ORDER BY user_id, event_id""")) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          unix_millis(col("ts")).as("last_purchase_ms"),
+          col("value").as("last_purchase_value"))
+      AsOf.joinAsOfTolerance(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("last_purchase_ms", "last_purchase_value"),
+          toleranceMs = 48L * 3600 * 1000)
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"),
+          col("last_purchase_ms"), col("last_purchase_value"))
+        .orderBy("user_id", "event_id")
+    },
+
     // KLL-style quantile sketch (approx_percentile): like the HLL gate,
     // sketch internals are engine-specific → rows-only; the exact
     // order-statistic companion is q6_quantiles.

@@ -73,6 +73,25 @@ class AsOfSpec extends SparkSpec {
     assert(tie.select("tag").as[String].head() == "low")
   }
 
+  test("joinAsOfTolerance nulls matches past the staleness bound") {
+    val left = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "fresh"),
+      (1L, ts("2026-01-03 10:00:00"), "stale"),
+      (2L, ts("2026-01-01 10:00:00"), "none"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, ts("2026-01-01 09:00:00"), 7.0)).toDF("k", "ts", "v")
+    val out = AsOf.joinAsOfTolerance(left, right, Seq("k"), "ts", "ts",
+        Seq("v"), toleranceMs = 24L * 3600 * 1000)
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    // 1h-old match survives a 24h bound; the 2-day-old one is nulled;
+    // no-match stays null
+    assert(out == Map("fresh" -> Some(7.0), "stale" -> None, "none" -> None))
+    // still exactly one keyed exchange — the bound is a post-projection
+    val plan = AsOf.joinAsOfTolerance(left, right, Seq("k"), "ts", "ts",
+      Seq("v"), 1000L).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
+  }
+
   test("joinAsOf plans one shuffle on the key (window partition)") {
     val left = Seq((1L, ts("2026-01-01 10:00:00"))).toDF("k", "ts")
     val right = Seq((1L, ts("2026-01-01 09:00:00"), 1.0)).toDF("k", "ts", "v")
