@@ -676,6 +676,45 @@ object Similarity {
       .select("qid", "rank", "nid", "sim")
   }
 
+  /** Per-cell inertia — within-cell sum of squared residuals against the
+    * assigned centroid, the "is my IVF quantizer any good" diagnostic
+    * (falling inertia per Lloyd round = training works; one fat cell =
+    * rebalance before building the index). Residuals are gridded to
+    * fixed-point longs per dimension, so the sums are exact integers —
+    * bit-identical under any partitioning, unlike double-accumulated SSE.
+    *
+    * Scale posture: centroid assignment is the same zero-shuffle argmax
+    * projection as the IVF index build (centroids driver-collected, small
+    * by contract); the residual fold is a per-row HOF; the only shuffle
+    * is the |cells|-sized final aggregate. Overflow budget per cell:
+    * rows · d · (2·scale·max|x|)² under 2^63.
+    *
+    * Output: (cell, n, inertia), inertia in grid² units.
+    */
+  def cellInertia(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      scale: Double): DataFrame = {
+    val cents: Array[(Long, Seq[Double])] = centroids
+      .select(col(cidCol).cast("long"), asDouble(col(cvecCol)))
+      .orderBy(col(cidCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cmap = map(cents.flatMap { case (id, v) =>
+      Seq(lit(id), typedLit(v)) }: _*)
+    def g(c: Column): Column =
+      transform(c, x => floor(x * lit(scale)).cast("long"))
+    val resid = aggregate(
+      zip_with(g(col("__v")), g(col("__cv")), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    Par.spread(corpus)
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("cell", cellExpr(col("__v"), cents))
+      .withColumn("__cv", element_at(cmap, col("cell")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(resid).as("inertia"))
+  }
+
   /** Exact distributed Gram matrix (upper triangle of Σ xᵢ·xᵢᵀ over the
     * corpus) — the one-pass sufficient statistic behind PCA, whitening,
     * ridge regression, and embedding-space diagnostics. Vectors are

@@ -418,6 +418,9 @@ object Stats {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // names are spliced into a stack() selectExpr below
+    require(cols.forall(c => !c.contains("`") && !c.contains("'")),
+      "profile column names must not contain quotes or backticks")
     val aggs = cols.flatMap { c => Seq(
       count(col(c)).as(s"${c}__nn"),
       countDistinct(col(c)).as(s"${c}__nd"),
@@ -451,8 +454,12 @@ object Stats {
     */
   def assocPairs(df: DataFrame, basketCol: String, itemCol: String,
                  minSupport: Long): DataFrame = {
+    // scanned three times below (corpus size, item counts, pair join) —
+    // persist the deduped basket-item table instead of recomputing its
+    // distinct shuffle per consumer
     val items = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nb = items.agg(countDistinct("bk").as("n"))
     val ic = items.groupBy("it").agg(count(lit(1)).as("c"))
     val pairs = items.as("x").join(items.as("y"), "bk")

@@ -873,6 +873,39 @@ object Extensions extends QueryModule {
         .orderBy("qid", "rnk")
     },
 
+    // Per-cell inertia (Similarity.cellInertia): within-cell sum of
+    // squared residuals against the assigned centroid, residuals gridded
+    // to 1e5 fixed-point — the "is my IVF quantizer any good" diagnostic,
+    // exact in integers so the SSE itself hash-gates. Assignment is the
+    // same zero-shuffle argmax projection as the index build; only the
+    // |cells|-sized aggregate shuffles.
+    QueryDef("x3_inertia", Some("""
+      WITH ctr AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 8),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+      asn AS (SELECT v.vec_id, vv, cid, cv,
+                row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                  list_dot_product(vv, cv)
+                    / sqrt(list_dot_product(vv, vv) * list_dot_product(cv, cv))
+                    DESC, cid) AS rk
+              FROM v, ctr),
+      cell AS (SELECT vec_id, vv, cid AS cell, cv FROM asn WHERE rk = 1),
+      d AS (SELECT cell,
+              CAST(floor(vv[i] * 100000.0) AS BIGINT)
+                - CAST(floor(cv[i] * 100000.0) AS BIGINT) AS r
+            FROM cell,
+                 LATERAL (SELECT unnest(range(1, len(vv) + 1)) AS i) ii),
+      agg AS (SELECT cell, CAST(sum(r * r) AS BIGINT) AS inertia FROM d
+              GROUP BY cell),
+      n AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM cell GROUP BY cell)
+      SELECT n.cell, n.n, agg.inertia
+      FROM n JOIN agg ON n.cell = agg.cell ORDER BY n.cell""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.cellInertia(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), "vec_id", "embedding", scale = 1e5)
+        .orderBy("cell")
+    },
+
     // PQ-compressed ANN (Similarity.pqTrain/knnPq): m=2 subspaces × k=4
     // codes, lowest-id seeds as the codebook (iters=0 — Lloyd replay is
     // already proven by x3_ivf_trained), asymmetric-distance scoring over

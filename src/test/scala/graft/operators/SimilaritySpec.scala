@@ -359,6 +359,20 @@ class SimilaritySpec extends SparkSpec {
     assert(other(1L) != out(1L), "seed must change the matrix")
   }
 
+  test("cellInertia: zero at centroids, hand-computed residuals") {
+    // centroids: c0=(1,0), c1=(0,1). corpus: the centroids themselves
+    // (residual 0) plus (0.8, 0.1) → cell 0, residual on the 10-grid:
+    // (8-10)² + (1-0)² = 5
+    val cents = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.8f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Similarity.cellInertia(corpus, "vec_id", "embedding",
+        cents, "vec_id", "embedding", scale = 10.0)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(0L -> ((2L, 5L)), 1L -> ((1L, 0L))))
+  }
+
   test("gramMatrix: hand-computed 2-dim triangle, invariant to partitioning") {
     // vectors (1,2) and (3,4) at scale=1: G = [[1+9, 2+12], [., 4+16]]
     val df = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)).toDF("v")
