@@ -518,6 +518,40 @@ object Stats {
       .agg(max("diff").as("ks"))
   }
 
+  /** Exact ROC-AUC over integer-gridded scores — the rank statistic that
+    * usually can't gate (global ranks of near-unique doubles force a
+    * data-sized global sort AND engine-variant tie noise). Quantizing the
+    * score to an integer grid first (the caller's `floor(score·k)`) makes
+    * both problems go away: the data reduces to a grid-sized
+    * (bin, n_pos, n_neg) histogram in one aggregate, and AUC with the
+    * standard tie correction is
+    * {{{ (2·Σ_bins nneg_below·npos + nneg_at·npos) / (2·N⁺·N⁻) }}}
+    * — an exact integer numerator and ONE final IEEE division, so the
+    * metric itself hash-gates. The cumulative window runs on the
+    * histogram (grid-sized, not data-sized — the x9_skew trade).
+    *
+    * Input: `binCol` integer score bin, `posCol` 0/1 label.
+    * Output: one row (n_pos, n_neg, auc_num, auc); auc_num is the
+    * tie-corrected numerator ×2.
+    */
+  def aucOnGrid(df: DataFrame, binCol: String, posCol: String): DataFrame = {
+    val hist = df.groupBy(col(binCol).as("bin"))
+      .agg(sum(col(posCol).cast("long")).as("np"),
+        sum(lit(1L) - col(posCol).cast("long")).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    hist
+      .withColumn("nn_below", sum("nn").over(w) - col("nn"))
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(lit(2L) * col("nn_below") * col("np")
+          + col("nn") * col("np")).as("auc_num"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num"),
+        (col("auc_num").cast("double")
+          / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc"))
+  }
+
   def momentsInt(df: DataFrame, keys: Seq[String],
                  xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("long")

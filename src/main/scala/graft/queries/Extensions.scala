@@ -2636,6 +2636,45 @@ object Extensions extends QueryModule {
         .orderBy("bin")
     },
 
+    // Exact ROC-AUC of the quality model as an is-English classifier
+    // (Stats.aucOnGrid): scores quantized to a 1e-2 grid, AUC with the
+    // standard tie correction — exact integer numerator, one final
+    // division, cumulative window on the grid-sized histogram. The rank
+    // metric that normally can't hash-gate, gating.
+    QueryDef("x9_auc", Some("""
+      WITH scored AS (
+        SELECT CAST(floor(100.0 * (
+          -2.0 + 3.0 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                        / CAST(len(string_split(text,' ')) AS DOUBLE))
+               + 5.0 * (CAST(len(list_filter(string_split(text,' '),
+                          tk -> tk IN ('the','a','of','and','to','is'))) AS DOUBLE)
+                        / CAST(len(string_split(text,' ')) AS DOUBLE))
+               + 0.25 * (CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+                         / CAST(len(string_split(text,' ')) AS DOUBLE)))) AS BIGINT)
+          AS bin,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents),
+      hist AS (SELECT bin, sum(pos) AS np, sum(1 - pos) AS nn
+               FROM scored GROUP BY bin),
+      cum AS (SELECT bin, np, nn,
+                sum(nn) OVER (ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) - nn AS nn_below
+              FROM hist)
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             CAST(sum(2 * nn_below * np + nn * np) AS BIGINT) AS auc_num,
+             CAST(sum(2 * nn_below * np + nn * np) AS DOUBLE)
+               / CAST(2 * sum(np) * sum(nn) AS DOUBLE) AS auc
+      FROM cum""")) { (s, dir) =>
+      val score = TextOps.linearQualityScore(col("text"), bias = -2.0,
+        wTtr = 3.0, wStop = 5.0, wAvgLen = 0.25, stopwords = enStop)
+      graft.operators.Stats.aucOnGrid(
+        spread(t(s, dir, "documents")).select(
+          floor(lit(100.0) * score).cast("long").as("bin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos")),
+        "bin", "pos")
+    },
+
     // Per-class precision / recall / F1 from the language-ID confusion
     // matrix (x5_langid's counts) — the classifier-eval reduction. All
     // three class tables are |classes|-sized; precision and recall are

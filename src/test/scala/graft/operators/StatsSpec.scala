@@ -264,6 +264,32 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("property: aucOnGrid == brute-force pair counting with ties") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      ps <- Gen.nonEmptyListOf(Gen.choose(-3L, 3L))
+      ns <- Gen.nonEmptyListOf(Gen.choose(-3L, 3L))
+    } yield (ps, ns)
+    (1 to 5).foreach { trial =>
+      val (ps, ns) = gen(Gen.Parameters.default, Seed(trial.toLong)).get
+      // brute force: 2·#(s⁺ > s⁻) + #(s⁺ = s⁻)
+      val num = (for { p <- ps; n <- ns } yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val df = (ps.map((_, 1L)) ++ ns.map((_, 0L))).toDF("bin", "pos")
+      val got = Stats.aucOnGrid(df, "bin", "pos")
+        .as[(Long, Long, Long, Double)].head()
+      val want = (ps.size.toLong, ns.size.toLong, num,
+        num.toDouble / (2L * ps.size * ns.size).toDouble)
+      assert(got == want, s"trial $trial: pos=$ps neg=$ns")
+    }
+    // perfect separation → AUC 1; reversed → 0
+    val perfect = Stats.aucOnGrid(
+      Seq((5L, 1L), (6L, 1L), (1L, 0L)).toDF("bin", "pos"), "bin", "pos")
+      .as[(Long, Long, Long, Double)].head()
+    assert(perfect._4 == 1.0)
+  }
+
   test("profile: nulls, distincts, string min/max across mixed types") {
     val df = Seq((Some(3L), "b"), (None, "a"), (Some(1L), "b"))
       .toDF("num", "s")
