@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.operators.{AsOf, Dedup, Graph, Multimodal, Sample, Similarity, TextOps}
@@ -2634,6 +2635,37 @@ object Extensions extends QueryModule {
           (col("n_pos").cast("double") / col("n").cast("double"))
             .as("frac_pos"))
         .orderBy("bin")
+    },
+
+    // Corpus concentration (Pareto curve head): sources ranked by doc
+    // count, cumulative share of the corpus — "how much of my training
+    // set is the top-k domains", the diagnostic behind source-mixing
+    // decisions. Shares are exact-integer divisions; the ranked window
+    // runs on the source histogram, not the data.
+    QueryDef("x9_pareto", Some("""
+      WITH h AS (SELECT source, count(*) AS c FROM documents
+                 GROUP BY source),
+      tot AS (SELECT sum(c) AS n FROM h),
+      r AS (SELECT source, c,
+              row_number() OVER (ORDER BY c DESC, source) AS rk,
+              sum(c) OVER (ORDER BY c DESC, source
+                           ROWS UNBOUNDED PRECEDING) AS cum
+            FROM h)
+      SELECT CAST(rk AS INT) AS rk, source, CAST(c AS BIGINT) AS c,
+             CAST(cum AS BIGINT) AS cum,
+             CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) AS cum_share
+      FROM r, tot ORDER BY rk LIMIT 10""")) { (s, dir) =>
+      val h = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c").desc, col("source"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("rk", row_number().over(w))
+        .withColumn("cum", sum("c").over(wc))
+        .crossJoin(broadcast(h.agg(sum("c").as("n"))))
+        .select(col("rk"), col("source"), col("c"), col("cum"),
+          (col("cum").cast("double") / col("n").cast("double"))
+            .as("cum_share"))
+        .orderBy("rk").limit(10)
     },
 
     // Exact ROC-AUC of the quality model as an is-English classifier

@@ -136,6 +136,20 @@ class ZoneIOSpec extends SparkSpec {
     assert(joined.count() == 10000)
   }
 
+  test("_metadata exposes file-level lineage on any parquet scan") {
+    import spark.implicits._
+    val dir = Scratch.fresh("meta-lineage")
+    lineitem.limit(90).repartition(3).write.mode("overwrite").parquet(dir)
+    val withMeta = spark.read.parquet(dir)
+      .select(col("l_orderkey"), col("_metadata.file_name").as("f"))
+    // every row carries its source file; files partition the rows
+    val perFile = withMeta.groupBy("f").count()
+      .as[(String, Long)].collect()
+    assert(perFile.length == 3, "one lineage group per written file")
+    assert(perFile.map(_._2).sum == 90)
+    assert(perFile.forall(_._1.endsWith(".parquet")))
+  }
+
   test("loadTable truncate-loads a warehouse table (S9)") {
     val dir = Scratch.fresh("rt-table")
     val z = Zone(dir, Format.Avro)
