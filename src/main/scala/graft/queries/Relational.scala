@@ -1350,6 +1350,59 @@ object Relational extends QueryModule {
         .select("user_id", "event_id", "cum_uniq")
     },
 
+    // Funnel latency: per day, how many (user, day) cells convert
+    // view→purchase and the EXACT median time-to-convert — f1's stacked
+    // windows produce the stage anchors, the gap is integer milliseconds,
+    // and the median is an order statistic (rank-at-ceil, the q6 pattern)
+    // — a real data value, so the latency metric itself hash-gates.
+    QueryDef("f6_time_to_convert", Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type, ts
+                 FROM events WHERE event_type IN ('view', 'purchase')),
+      s1 AS (SELECT user_id, d, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id, d) AS a_ts FROM e),
+      s2 AS (SELECT user_id, d, a_ts,
+               min(CASE WHEN event_type = 'purchase' AND ts > a_ts THEN ts END)
+                 OVER (PARTITION BY user_id, d) AS c_ts FROM s1),
+      u AS (SELECT user_id, d, max(a_ts) AS a_ts, max(c_ts) AS c_ts
+            FROM s2 GROUP BY user_id, d),
+      g AS (SELECT user_id, d, epoch_ms(c_ts) - epoch_ms(a_ts) AS gap_ms
+            FROM u WHERE c_ts IS NOT NULL),
+      r AS (SELECT d, gap_ms,
+              row_number() OVER (PARTITION BY d
+                ORDER BY gap_ms, user_id) AS rn,
+              count(*) OVER (PARTITION BY d) AS n
+            FROM g)
+      SELECT d, CAST(max(n) AS BIGINT) AS n_converted,
+             CAST(max(CASE WHEN rn = ceil(n * 0.5) THEN gap_ms END)
+               AS BIGINT) AS p50_ms
+      FROM r GROUP BY d ORDER BY d""")) { (s, dir) =>
+      val wc = Window.partitionBy("user_id", "d")
+      val e = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("ts").cast("date").as("d"),
+          col("event_type"), col("ts"))
+      val s1 = e.withColumn("a_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(wc))
+      val s2 = s1.withColumn("c_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("a_ts"),
+          col("ts"))).over(wc))
+      val g = s2.groupBy("user_id", "d")
+        .agg(max("a_ts").as("a_ts"), max("c_ts").as("c_ts"))
+        .filter(col("c_ts").isNotNull)
+        .select(col("user_id"), col("d"),
+          (unix_millis(col("c_ts")) - unix_millis(col("a_ts"))).as("gap_ms"))
+      val wr = Window.partitionBy("d").orderBy("gap_ms", "user_id")
+      val wn = Window.partitionBy("d")
+      g.withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy("d")
+        .agg(max("n").as("n_converted"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("gap_ms")))
+            .as("p50_ms"))
+        .orderBy("d")
+    },
+
     // Two-pass equi-width histogram (Stats.histogram): global (min,max)
     // reduced then broadcast, bucket assignment as pure IEEE arithmetic
     // the oracle replays verbatim. Nothing shuffles but the 20 bucket
