@@ -2637,6 +2637,69 @@ object Extensions extends QueryModule {
         .orderBy("bin")
     },
 
+    // Padding-waste diagnostic: per language, fixed-size batches of 16
+    // docs under two composition orders — hash (random) vs length-sorted
+    // — and the padding each implies when batches pad to their longest
+    // member. The integer arithmetic (waste = n·max − Σlen per batch)
+    // gates exactly, and the length-sorted column quantifies what
+    // x6_pack-style length grouping saves. Batching windows run per
+    // language — the composer shards, never a global sort.
+    QueryDef("x6_padding", Some("""
+      WITH t AS (SELECT doc_id, lang,
+                   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+      b AS (SELECT lang, n_tok,
+              (row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) // 16
+                AS rb,
+              (row_number() OVER (PARTITION BY lang
+                 ORDER BY n_tok, doc_id) - 1) // 16 AS lb
+            FROM t),
+      rw AS (SELECT lang, rb, count(*) * max(n_tok) - sum(n_tok) AS pad,
+               sum(n_tok) AS tok FROM b GROUP BY lang, rb),
+      lw AS (SELECT lang, lb, count(*) * max(n_tok) - sum(n_tok) AS pad
+             FROM b GROUP BY lang, lb),
+      ra AS (SELECT lang, sum(pad) AS rand_pad, sum(tok) AS tok FROM rw
+             GROUP BY lang),
+      la AS (SELECT lang, sum(pad) AS sorted_pad FROM lw GROUP BY lang)
+      SELECT ra.lang, CAST(tok AS BIGINT) AS n_tok,
+             CAST(rand_pad AS BIGINT) AS rand_pad,
+             CAST(sorted_pad AS BIGINT) AS sorted_pad,
+             CAST(rand_pad AS DOUBLE) / CAST(rand_pad + tok AS DOUBLE)
+               AS rand_pad_frac,
+             CAST(sorted_pad AS DOUBLE) / CAST(sorted_pad + tok AS DOUBLE)
+               AS sorted_pad_frac
+      FROM ra JOIN la ON ra.lang = la.lang ORDER BY ra.lang""")) { (s, dir) =>
+      val B = 16
+      val t0 = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      val wr = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val wl = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
+      val b = t0
+        .withColumn("rb", ((row_number().over(wr) - 1) / B).cast("long"))
+        .withColumn("lb", ((row_number().over(wl) - 1) / B).cast("long"))
+      val rw = b.groupBy("lang", "rb")
+        .agg((count(lit(1)) * max("n_tok") - sum("n_tok")).as("pad"),
+          sum("n_tok").as("tok"))
+      val lw = b.groupBy("lang", "lb")
+        .agg((count(lit(1)) * max("n_tok") - sum("n_tok")).as("pad"))
+      val ra = rw.groupBy("lang")
+        .agg(sum("pad").as("rand_pad"), sum("tok").as("tok"))
+      val la = lw.groupBy("lang").agg(sum("pad").as("sorted_pad"))
+      ra.join(la, "lang")
+        .select(col("lang"), col("tok").as("n_tok"),
+          col("rand_pad"), col("sorted_pad"),
+          (col("rand_pad").cast("double")
+            / (col("rand_pad") + col("tok")).cast("double"))
+            .as("rand_pad_frac"),
+          (col("sorted_pad").cast("double")
+            / (col("sorted_pad") + col("tok")).cast("double"))
+            .as("sorted_pad_frac"))
+        .orderBy("lang")
+    },
+
     // Corpus concentration (Pareto curve head): sources ranked by doc
     // count, cumulative share of the corpus — "how much of my training
     // set is the top-k domains", the diagnostic behind source-mixing
