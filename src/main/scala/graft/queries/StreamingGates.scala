@@ -335,6 +335,73 @@ object StreamingGates extends QueryModule {
     // partials make the final snapshot bit-identical to the oracle's
     // batch recompute under ANY batch split, so the nondeterministic
     // 4-way repartition staging is still hash-gateable.
+    // Streaming drift monitor: the per-(day, value-bucket) histogram is
+    // maintained INCREMENTALLY by the aggSink (cost per trigger =
+    // |batch| + |histogram|, never a rescan), then the per-day
+    // view-vs-purchase KS statistic is computed from the final snapshot
+    // exactly as x9_ks computes it from the raw data — integer histogram
+    // in, exact-ECDF statistic out, bit-identical to the batch
+    // computation the oracle runs. Streaming statistics maintenance
+    // feeding the drift detector, end to end.
+    QueryDef("ev14_stream_drift", Some("""
+      WITH d0 AS (SELECT CAST(ts AS DATE) AS d,
+                    CAST(floor(value * 10) AS BIGINT) AS bin,
+                    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+                  FROM events
+                  WHERE event_type IN ('view', 'purchase')),
+      h AS (SELECT d, bin, count(*) AS cnt, sum(b) AS nb
+            FROM d0 GROUP BY d, bin),
+      cum AS (SELECT d, bin,
+                sum(cnt - nb) OVER (PARTITION BY d ORDER BY bin
+                                    ROWS UNBOUNDED PRECEDING) AS cca,
+                sum(nb) OVER (PARTITION BY d ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS ccb
+              FROM h),
+      tot AS (SELECT d, sum(cnt - nb) AS n_a, sum(nb) AS n_b FROM h
+              GROUP BY d HAVING sum(cnt - nb) > 0 AND sum(nb) > 0)
+      SELECT cum.d, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             max(abs(CAST(cca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(ccb AS DOUBLE) / CAST(n_b AS DOUBLE))) AS ks
+      FROM cum JOIN tot ON cum.d = tot.d
+      GROUP BY cum.d, n_a, n_b ORDER BY cum.d""")) { (s, dir) =>
+      val in = Scratch.fresh("drift-src")
+      val snap = Scratch.fresh("drift-snap")
+      val ck = Scratch.fresh("drift-ck")
+      Tables.load(s, dir, "events").repartition(4)
+        .write.mode("overwrite").parquet(in)
+      val src = s.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("ts").cast("date").as("d"),
+          floor(col("value") * 10).as("bin"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("b"))
+      val q = Streams.aggSink(src, Seq("d", "bin"), Seq("nb" -> "b"), snap)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val h = s.read.parquet(Streams.latestSnapshot(s, snap)
+          .getOrElse(sys.error("aggSink wrote no snapshot")))
+        .select(col("d"), col("bin"), col("cnt"),
+          col("nb").cast("long").as("nb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("d").orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = h
+        .withColumn("cca", sum(col("cnt") - col("nb")).over(w))
+        .withColumn("ccb", sum("nb").over(w))
+      val tot = h.groupBy("d")
+        .agg(sum(col("cnt") - col("nb")).as("n_a"), sum("nb").as("n_b"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+      cum.join(tot, "d")
+        .withColumn("diff", abs(
+          col("cca").cast("double") / col("n_a").cast("double")
+            - col("ccb").cast("double") / col("n_b").cast("double")))
+        .groupBy("d", "n_a", "n_b").agg(max("diff").as("ks"))
+        .orderBy("d")
+    },
+
     QueryDef("ev13_stream_incr_agg", Some("""
       SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
