@@ -118,6 +118,29 @@ object Snapshot {
     * scan is the unaffordable part. One hash shuffle on `keys`; with both
     * sides bucketed on `keys` (io.Writers) even that exchange drops out.
     */
+  /** Delta of an equi-join view under insert-only base deltas — the join
+    * half of incremental view maintenance (aggregates: [[aggPartials]] /
+    * [[mergePartials]]). Standard delta algebra:
+    *
+    *   Δ(A ⋈ B) = (ΔA ⋈ B₀) ∪ (A₀ ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    *
+    * so the maintained view is `view₀ ⊎ incrJoinDelta(...)` and the stored
+    * A₀ ⋈ B₀ join never re-runs. Exact multiset semantics (unionByName of
+    * the three disjoint terms), so refresh ≡ full recompute bit for bit.
+    *
+    * Scale posture: cost ∝ |deltas| × match rate, independent of
+    * |A₀ ⋈ B₀| — the point at 100 TB, where re-joining the base tables is
+    * the unaffordable part. Small deltas broadcast (AQE); with the base
+    * snapshots bucketed on the join key (io.Writers) the base-side
+    * exchanges drop out too, leaving delta-sized work only.
+    */
+  def incrJoinDelta(baseA: DataFrame, deltaA: DataFrame,
+                    baseB: DataFrame, deltaB: DataFrame,
+                    on: Seq[String]): DataFrame =
+    deltaA.join(baseB, on)
+      .unionByName(baseA.join(deltaB, on))
+      .unionByName(deltaA.join(deltaB, on))
+
   def mergePartials(baseAgg: DataFrame, deltaAgg: DataFrame,
                     keys: Seq[String]): DataFrame = {
     val valueCols = baseAgg.columns.filterNot(keys.contains).toSeq

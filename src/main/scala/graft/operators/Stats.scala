@@ -552,6 +552,31 @@ object Stats {
           .as("auc"))
   }
 
+  /** Exact 2-D skyline (Pareto front, both dims maximized): a row survives
+    * iff no other row is ≥ on both dims with > on at least one. The
+    * multi-objective pick — "no doc is both longer AND lexically richer" —
+    * that a single weighted score can't express.
+    *
+    * Scale posture: no all-pairs dominance test. The data reduces to the
+    * per-x histogram (max y per distinct x, one aggregate with map-side
+    * partials); the strict-prefix running max over that histogram — a
+    * distinct-x-sized window, not data-sized — is the dominance frontier;
+    * one broadcast-able join back labels every row. A row is dominated iff
+    * some strictly-larger x reaches its y (`gt ≥ y`) or its own x level
+    * holds a strictly larger y (`y < max_y(x)`). Integer dims in → the
+    * front itself hash-gates.
+    */
+  def skyline(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val perX = df.groupBy(col(xCol).as("__x")).agg(max(col(yCol)).as("__my"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__x").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val front = perX.withColumn("__gt", max(col("__my")).over(w))
+    df.join(front, col(xCol) === col("__x"))
+      .filter(col(yCol) === col("__my") &&
+        (col("__gt").isNull || col("__gt") < col(yCol)))
+      .drop("__x", "__my", "__gt")
+  }
+
   def momentsInt(df: DataFrame, keys: Seq[String],
                  xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("long")

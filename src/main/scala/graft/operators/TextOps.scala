@@ -262,6 +262,39 @@ object TextOps {
           col("n_bigrams").cast("double")).as("top_bigram_frac"))
   }
 
+  /** Corpus-duplication diagnostic (the memorization-risk number from
+    * exact-substring dedup work): per document, the fraction of its n-gram
+    * OCCURRENCES whose n-gram also appears in at least one OTHER document.
+    * A high fraction means the doc is largely assembled from text the
+    * model will see again elsewhere — the segment-dedup / decontamination
+    * trigger, measured before committing to either.
+    *
+    * Scale posture: occurrences reduce to per-(doc, gram) counts first
+    * (one aggregate, map-side combine — the gram table, not the token
+    * stream, is what shuffles); cross-doc document frequency is one
+    * aggregate over that already-distinct-per-doc table; the join back is
+    * gram-keyed — never doc × doc. At 100 TB the gram key would be a
+    * 128-bit hash to bound shuffle width; the string key here keeps the
+    * oracle engine-identical.
+    *
+    * Output: (idCol, n_grams, n_dup, dup_frac) — `dup_frac` one double
+    * division of two exact longs.
+    */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val grams = Par.spread(df)
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "g")
+      .groupBy(idCol)
+      .agg(sum("c").as("n_grams"),
+        sum(when(col("df") >= 2, col("c")).otherwise(0L)).as("n_dup"))
+      .select(col(idCol), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"))
+  }
+
   /** Corpus-frequency quality signals (the CCNet-style "does this document
     * look like the corpus" measure, log-free so it gates exactly): per
     * document, over its DISTINCT tokens — how many are rare corpus-wide

@@ -1219,6 +1219,30 @@ object Extensions extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Corpus-duplication diagnostic (TextOps.dupNgramStats): per doc, the
+    // fraction of its 5-gram occurrences that appear in ≥1 OTHER document
+    // — the memorization-risk number that motivates segment dedup and
+    // decontamination. Doc-frequency built on the per-(doc, gram) count
+    // table (map-side combine), gram-keyed join back, never doc × doc.
+    QueryDef("x6_dup_ngrams", Some("""
+      WITH g AS (SELECT doc_id, array_to_string(toks[i:i+4],' ') AS g
+                 FROM (SELECT doc_id, string_split(text,' ') AS toks
+                       FROM documents) dd,
+                 LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-3,1)))
+                          AS i) ii),
+      gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+      dfq AS (SELECT g, count(*) AS df FROM gc GROUP BY g)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN df >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS n_dup,
+             CAST(sum(CASE WHEN df >= 2 THEN c ELSE 0 END) AS DOUBLE)
+               / CAST(sum(c) AS DOUBLE) AS dup_frac
+      FROM gc JOIN dfq USING (g)
+      GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      TextOps.dupNgramStats(t(s, dir, "documents"), "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    },
+
     // Content-defined chunk dedup: boundaries from word content (md5 band),
     // not positions — early insertions don't shift downstream chunks, so
     // shifted copies still dedup. Expected chunk ~8 words.
@@ -2729,6 +2753,34 @@ object Extensions extends QueryModule {
           (col("cum").cast("double") / col("n").cast("double"))
             .as("cum_share"))
         .orderBy("rk").limit(10)
+    },
+
+    // Exact 2-D skyline (Stats.skyline): documents Pareto-optimal on
+    // (length, lexical richness) — no other doc is ≥ on both with > on
+    // one. Dominance resolved against the per-length histogram's
+    // strict-prefix running max (distinct-x-sized window), never an
+    // all-pairs test; integer dims, so the front itself hash-gates.
+    QueryDef("x9_skyline", Some("""
+      WITH d AS (SELECT doc_id, n_chars,
+               CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)
+                 AS n_uniq
+             FROM documents),
+      px AS (SELECT n_chars, max(n_uniq) AS my FROM d GROUP BY n_chars),
+      f AS (SELECT n_chars, my,
+              max(my) OVER (ORDER BY n_chars DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gt
+            FROM px)
+      SELECT doc_id, d.n_chars, n_uniq
+      FROM d JOIN f ON d.n_chars = f.n_chars
+      WHERE n_uniq = my AND (gt IS NULL OR gt < n_uniq)
+      ORDER BY doc_id""")) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(array_distinct(TextOps.tokens(col("text"))))
+            .cast("long").as("n_uniq"))
+      graft.operators.Stats.skyline(d, "n_chars", "n_uniq")
+        .select("doc_id", "n_chars", "n_uniq")
+        .orderBy("doc_id")
     },
 
     // Exact ROC-AUC of the quality model as an is-English classifier

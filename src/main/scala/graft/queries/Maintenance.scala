@@ -867,6 +867,32 @@ object Maintenance extends QueryModule {
         .orderBy("o_custkey")
     },
 
+    // Incremental JOIN-view maintenance (Snapshot.incrJoinDelta): the
+    // orders⋈customer view is refreshed from table deltas via the delta
+    // algebra Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — the stored base join
+    // never re-runs, the oracle recomputes from scratch, and the two are
+    // bit-identical (insert-only multiset semantics).
+    QueryDef("e6_incr_join", Some("""
+      SELECT o_orderkey, o_custkey, c_name, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""")) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"),
+          col("c_nationkey"))
+      val (baseA, deltaA) = (o.filter(col("o_orderkey") % 7 =!= 0),
+        o.filter(col("o_orderkey") % 7 === 0))
+      val (baseB, deltaB) = (c.filter(col("c_nationkey") =!= 3),
+        c.filter(col("c_nationkey") === 3))
+      val view0 = baseA.join(baseB, Seq("o_custkey"))
+      view0.unionByName(
+          Snapshot.incrJoinDelta(baseA, deltaA, baseB, deltaB,
+            Seq("o_custkey")))
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // Time-weighted average per user (TimeSeries.timeWeightedAvg): each
     // observation holds until its successor, so its weight is the gap —
     // the irregular-sampling-proof mean. Grid-scaled values × integer-ms

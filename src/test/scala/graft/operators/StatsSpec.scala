@@ -290,6 +290,32 @@ class StatsSpec extends SparkSpec {
     assert(perfect._4 == 1.0)
   }
 
+  test("skyline: hand case — dominated, tied-coordinate, and duplicate rows") {
+    // (5,1) dominated by (5,3); (3,3) dominated by (5,3); (1,9) survives;
+    // duplicate maxima (9,2) twice: neither dominates the other — both stay.
+    val df = Seq((1L, 9L), (3L, 3L), (5L, 3L), (5L, 1L), (9L, 2L), (9L, 2L))
+      .toDF("x", "y")
+    val out = Stats.skyline(df, "x", "y").as[(Long, Long)].collect().toSeq
+      .sorted
+    assert(out == Seq((1L, 9L), (5L, 3L), (9L, 2L), (9L, 2L)))
+  }
+
+  test("property: skyline == brute-force dominance test on random points") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 6L)))
+    (1 to 6).foreach { trial =>
+      val pts = gen(Gen.Parameters.default, Seed(trial.toLong)).get
+      def dominated(p: (Long, Long)) = pts.exists(q =>
+        q._1 >= p._1 && q._2 >= p._2 && (q._1 > p._1 || q._2 > p._2))
+      val want = pts.filterNot(dominated).sorted
+      val got = Stats.skyline(pts.toDF("x", "y"), "x", "y")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want, s"trial $trial: $pts")
+    }
+  }
+
   test("profile: nulls, distincts, string min/max across mixed types") {
     val df = Seq((Some(3L), "b"), (None, "a"), (Some(1L), "b"))
       .toDF("num", "s")
