@@ -336,6 +336,52 @@ object Dedup {
     scorePairs(pairIntersections(cand, sh, idCol), cnt, idCol, threshold)
   }
 
+  /** Measured recall of the LSH candidate stage against exact-Jaccard
+    * ground truth — the quality-control number for the banding parameters
+    * (k, bands): of all true pairs at `threshold`, how many does banding
+    * surface as candidates? Run on a sample before committing a (k, bands)
+    * choice to a 100 TB dedup pass; the s-curve predicts recall
+    * 1-(1-s^r)^b only under the uniform-hashing idealization, and this
+    * measures it.
+    *
+    * Scale posture: truth via the same inverted-index self-join as
+    * [[jaccardPairs]] (shared-shingle blocking — no all-pairs), candidates
+    * via band collisions; the scorecard is a full-outer join of two
+    * distinct pair sets + one aggregate. Intended for a sampled corpus —
+    * ground truth at full scale is exactly what LSH exists to avoid.
+    *
+    * Output: one row (n_truth, n_cand, n_hit, recall) — three exact longs
+    * and one IEEE division.
+    */
+  def lshRecall(df: DataFrame, idCol: String, textCol: String,
+                n: Int, k: Int, bands: Int, threshold: Double,
+                portable: Boolean = false): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val sh = shingleSet(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val truth =
+      scorePairs(sharedShingleIntersections(sh, idCol), cnt, idCol, threshold)
+        .select(col("da"), col("db"), lit(1L).as("__t"))
+    val bandDf = bandHashTable(sh, idCol, k, bands, portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandDf.as("x")
+      .join(bandDf.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("da"), col(s"y.$idCol").as("db"))
+      .distinct()
+      .withColumn("__c", lit(1L))
+    truth.join(cand, Seq("da", "db"), "full_outer")
+      .agg(coalesce(sum("__t"), lit(0L)).as("n_truth"),
+        coalesce(sum("__c"), lit(0L)).as("n_cand"),
+        coalesce(sum(when(col("__t").isNotNull && col("__c").isNotNull, 1L)),
+          lit(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
+
   /** (docId, band, bh) LSH band-hash table: all band hashes in ONE
     * posexplode over the signature row — a b-way union here would re-run
     * the signature aggregation once per band branch when the result

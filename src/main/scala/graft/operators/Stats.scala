@@ -577,6 +577,35 @@ object Stats {
       .drop("__x", "__my", "__gt")
   }
 
+  /** Predicted equi-join output size from the two per-key histograms —
+    * the pre-join planning diagnostic behind the broadcast / shuffle /
+    * salt decision: |A ⋈ B| = Σ_k c_A(k)·c_B(k), exactly, plus the single
+    * hottest key and its share of the output (the salting trigger —
+    * top_frac near 1 means one key serializes the join).
+    *
+    * Scale posture: two map-side-combined aggregates (histogram size =
+    * distinct keys, not data), one key-sized join, one aggregate — the
+    * diagnostic costs a scan each, never the join it predicts. The argmax
+    * key resolves in the same aggregate via min(struct(-rows, key)) — no
+    * second pass, no window; smallest-key tiebreak keeps it deterministic.
+    *
+    * Output: one row (n_keys, est_rows, top_key, top_rows, top_frac);
+    * everything exact integers but the one IEEE share division.
+    */
+  def joinSizeEstimate(left: DataFrame, lKey: String,
+                       right: DataFrame, rKey: String): DataFrame = {
+    val hl = left.groupBy(col(lKey).as("__k")).agg(count(lit(1)).as("__cl"))
+    val hr = right.groupBy(col(rKey).as("__k")).agg(count(lit(1)).as("__cr"))
+    hl.join(hr, "__k")
+      .select(col("__k"), (col("__cl") * col("__cr")).as("__rows"))
+      .agg(count(lit(1)).as("n_keys"), sum("__rows").as("est_rows"),
+        min(struct((-col("__rows")).as("nr"), col("__k").as("k"))).as("__m"))
+      .select(col("n_keys"), col("est_rows"),
+        col("__m.k").as("top_key"), (-col("__m.nr")).as("top_rows"),
+        ((-col("__m.nr")).cast("double") / col("est_rows").cast("double"))
+          .as("top_frac"))
+  }
+
   def momentsInt(df: DataFrame, keys: Seq[String],
                  xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("long")

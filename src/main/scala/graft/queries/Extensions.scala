@@ -439,6 +439,44 @@ object Extensions extends QueryModule {
         .orderBy("da", "db")
     },
 
+    // Measured LSH recall (Dedup.lshRecall): of all exact-Jaccard >= 0.8
+    // pairs, the fraction the (k=16, bands=4) banding stage surfaces as
+    // candidates — the quality-control number behind x2_minhash_lsh's
+    // parameter choice, run on a sample before a full-corpus pass. Truth
+    // from the inverted index, candidates from band collisions, scorecard
+    // = one full-outer join of the two distinct pair sets + one aggregate.
+    QueryDef("x2_lsh_recall", Some(s"""
+      WITH $shCte,
+      truth AS (
+        SELECT da, db
+        FROM inter JOIN cnt ca ON ca.doc_id = da
+                   JOIN cnt cb ON cb.doc_id = db
+        WHERE CAST(ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - ni AS DOUBLE)
+              >= CAST(0.8 AS DOUBLE)),
+      sig AS (SELECT doc_id,
+        """ + (0 until 16).map(j =>
+          s"min(md5('$j|'||shingle)) AS m$j").mkString(",\n        ") + """
+        FROM sh GROUP BY doc_id),
+      bandv AS (
+        """ + (0 until 4).map { b =>
+          val ms = (b * 4 until (b + 1) * 4).map(j => s"m$j").mkString("||'|'||")
+          s"SELECT doc_id, $b AS band, md5($ms) AS bh FROM sig"
+        }.mkString("\n        UNION ALL\n        ") + """),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM bandv x JOIN bandv y
+          ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      hit AS (SELECT count(*) AS nh FROM truth JOIN cand USING (da, db))
+      SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+             CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+             CAST(nh AS BIGINT) AS n_hit,
+             CAST(nh AS DOUBLE) /
+               CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall
+      FROM hit""")) { (s, dir) =>
+      Dedup.lshRecall(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.8, portable = true)
+    },
+
     // Incremental NEAR-dup (Dedup.incrementalNearDup): new-batch docs
     // (20% split) probed against the standing corpus via cross-side LSH
     // band collisions + exact verify — the daily-crawl near-dup path.
@@ -2499,6 +2537,26 @@ object Extensions extends QueryModule {
           Seq("c_nationkey"), "c_acctbal")
         .select(col("c_custkey"), col("scaled"))
         .orderBy("c_custkey")
+    },
+
+    // Predicted join size (Stats.joinSizeEstimate): |events ⋈ orders| on
+    // the customer key from the two per-key histograms — Σ c_A(k)·c_B(k)
+    // exactly, plus the hottest key's share (the salting trigger). The
+    // diagnostic costs two histogram scans, never the join it predicts;
+    // argmax key resolves inside the one aggregate via min(struct).
+    QueryDef("x9_join_size", Some("""
+      WITH hl AS (SELECT user_id AS k, count(*) AS cl
+                  FROM events GROUP BY 1),
+      hr AS (SELECT o_custkey AS k, count(*) AS cr FROM orders GROUP BY 1),
+      c AS (SELECT k, cl * cr AS r FROM hl JOIN hr USING (k))
+      SELECT n_keys, est_rows, top_key, top_rows,
+             CAST(top_rows AS DOUBLE) / CAST(est_rows AS DOUBLE) AS top_frac
+      FROM (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(r) AS BIGINT) AS est_rows FROM c),
+           (SELECT k AS top_key, CAST(r AS BIGINT) AS top_rows
+            FROM c ORDER BY r DESC, k LIMIT 1)""")) { (s, dir) =>
+      graft.operators.Stats.joinSizeEstimate(
+        t(s, dir, "events"), "user_id", t(s, dir, "orders"), "o_custkey")
     },
 
     // Gini skew diagnostic over the per-user event distribution — the

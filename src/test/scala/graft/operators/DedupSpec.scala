@@ -353,6 +353,20 @@ class DedupSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("lshRecall: identical docs always collide — recall 1.0; counts consistent") {
+    // Truth = the one identical pair (jacc 1.0); identical shingle sets give
+    // identical signatures, so banding must surface it in every band.
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val r = Dedup.lshRecall(df, "doc_id", "text",
+        n = 3, k = 8, bands = 2, threshold = 0.8, portable = true)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r._1 == 1L && r._3 == 1L && r._4 == 1.0)
+    assert(r._3 <= math.min(r._1, r._2))
+  }
+
   test("simhash emits 16-bit strings and groups identical docs together") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),

@@ -316,6 +316,16 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("joinSizeEstimate: exact sum of products; smallest-key argmax tiebreak") {
+    // keys: 1 -> 2*3=6 rows, 2 -> 3*2=6 rows (tie -> top_key 1), 3 only left.
+    val l = Seq(1L, 1L, 2L, 2L, 2L, 3L).toDF("k")
+    val r = Seq(1L, 1L, 1L, 2L, 2L).toDF("j")
+    val out = Stats.joinSizeEstimate(l, "k", r, "j")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(out == ((2L, 12L, 1L, 6L, 0.5)))
+    assert(l.join(r, l("k") === r("j")).count() == out._2)
+  }
+
   test("profile: nulls, distincts, string min/max across mixed types") {
     val df = Seq((Some(3L), "b"), (None, "a"), (Some(1L), "b"))
       .toDF("num", "s")
