@@ -295,6 +295,55 @@ object TextOps {
           .as("dup_frac"))
   }
 
+  /** Boilerplate removal (the CCNet/RefinedWeb repeated-line strip): drop
+    * every segment that appears in at least `minDf` DISTINCT documents of
+    * the same scope (e.g. per-source — navigation chrome, footers, cookie
+    * banners repeat within a site), and rebuild each doc from what
+    * survives. Unlike [[graft.operators.Dedup.segmentDedup]] (keep-FIRST:
+    * one copy of repeated material survives somewhere), this removes
+    * high-frequency material from EVERY document including the first —
+    * frequency, not precedence, defines boilerplate. The corpus has no
+    * newlines, so segments are fixed `segWords`-word windows.
+    *
+    * Scale posture: document frequency reduces on the (scope, segment,
+    * doc) -distinct table (map-side combine; the segment histogram, not
+    * the token stream, is what aggregates); the filter joins back
+    * segment-keyed — never doc × doc — and AQE splits hot-segment skew;
+    * reassembly is one groupBy(doc). At 100 TB the segment key would be a
+    * 128-bit hash; the string key here keeps the oracle engine-identical.
+    *
+    * Output: (idCol, n_seg, n_kept, text_kept) for every input doc; a doc
+    * of pure boilerplate keeps n_kept = 0 and an empty text.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       segWords: Int, minDf: Int,
+                       scopeCols: Seq[String] = Nil): DataFrame = {
+    require(segWords > 0, "segWords must be positive")
+    require(minDf > 1, "minDf must be at least 2")
+    val toks = tokens(col(textCol))
+    val nseg = ceil(size(toks).cast("double") / segWords).cast("int")
+    val scope = scopeCols.map(col)
+    val segs = Par.spread(df)
+      .select(col(idCol) +: scope :+
+        posexplode(transform(sequence(lit(0), nseg - 1),
+          i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")))
+          .as(Seq("pos", "seg")): _*)
+    val dfreq = segs.groupBy(scope :+ col("seg"): _*)
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val kept = segs.join(dfreq, scopeCols :+ "seg")
+      .filter(col("__df") < minDf)
+    val tot = df.select(col(idCol), nseg.cast("long").as("n_seg"))
+    val reb = kept.groupBy(idCol).agg(
+      count(lit(1)).cast("long").as("n_kept"),
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getItem("seg"))).as("text_kept"))
+    tot.join(reb, Seq(idCol), "left")
+      .select(col(idCol), col("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Corpus-frequency quality signals (the CCNet-style "does this document
     * look like the corpus" measure, log-free so it gates exactly): per
     * document, over its DISTINCT tokens — how many are rare corpus-wide

@@ -216,4 +216,30 @@ object TimeSeries {
           / gridScale.toDouble).as("twap"),
         col("dur_ms"))
   }
+
+  /** Trailing time-interval rolling aggregate: per key, count and exact
+    * decimal sum over the value-based frame [t − widthMs, t] — the
+    * irregular-series companion to the ROWS-frame rolling stats
+    * ([[Stats.rollingAnomalies]]): the window is a fixed TIME span,
+    * however many rows fall in it ("requests and spend in the trailing
+    * hour, per user, at every event").
+    *
+    * Scale posture: one exchange on the key; the RANGE frame runs in the
+    * same sorted pass as a ROWS frame (sliding aggregate over the
+    * ms-ordered partition). Bounds are value-based, so same-ms ties share
+    * one frame — engine-identical semantics, no peer ambiguity.
+    *
+    * Output: input row + (n_win, sum_win); sum via DECIMAL(18,6) (exact,
+    * order-independent) cast back to double.
+    */
+  def rollingInterval(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, widthMs: Long): DataFrame = {
+    require(widthMs > 0, "widthMs must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_millis(col(tsCol)))
+      .rangeBetween(-widthMs, 0)
+    df.withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win",
+        sum(col(valueCol).cast("decimal(18,6)")).over(w).cast("double"))
+  }
 }

@@ -1257,6 +1257,38 @@ object Extensions extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Boilerplate strip (TextOps.stripBoilerplate): segments appearing in
+    // >= 2 distinct docs of the SAME SOURCE are removed from every doc —
+    // frequency defines boilerplate (vs segment dedup's keep-first, which
+    // leaves one copy). Doc frequency on the (source, seg, doc)-distinct
+    // table; seg-keyed join back; one groupBy(doc) reassembly.
+    QueryDef("x6_boilerplate", Some("""
+      WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS ws
+                    FROM documents),
+      segs AS (
+        SELECT doc_id, source, i AS pos,
+               array_to_string(ws[(i*8+1):(i*8+8)],' ') AS seg
+        FROM toks, LATERAL (SELECT unnest(range(CAST(ceil(len(ws)/8.0)
+                                                AS BIGINT))) AS i) ii),
+      dfq AS (SELECT source, seg, count(DISTINCT doc_id) AS df
+              FROM segs GROUP BY 1, 2),
+      kept AS (SELECT doc_id, pos, seg
+               FROM segs JOIN dfq USING (source, seg) WHERE df < 2),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg
+              FROM segs GROUP BY doc_id),
+      reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(seg, ' ' ORDER BY pos) AS text_kept
+              FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, n_seg,
+             coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+             coalesce(text_kept, '') AS text_kept
+      FROM tot t LEFT JOIN reb ON t.doc_id = reb.doc_id
+      ORDER BY t.doc_id""")) { (s, dir) =>
+      TextOps.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+          segWords = 8, minDf = 2, scopeCols = Seq("source"))
+        .orderBy("doc_id")
+    },
+
     // Corpus-duplication diagnostic (TextOps.dupNgramStats): per doc, the
     // fraction of its 5-gram occurrences that appear in ≥1 OTHER document
     // — the memorization-risk number that motivates segment dedup and

@@ -917,6 +917,27 @@ object Maintenance extends QueryModule {
       graft.operators.TimeSeries.timeWeightedAvg(t(s, dir, "events"),
           "user_id", "ts", "value", "event_id")
         .orderBy("user_id")
+    },
+
+    // Trailing-hour rolling stats (TimeSeries.rollingInterval): per user,
+    // at every event, count + exact decimal sum over the value-based RANGE
+    // frame [t − 1h, t] — the fixed TIME window for irregular series,
+    // where ts6's ROWS frame counts a fixed number of rows. Same-ms ties
+    // share one frame in both engines (value-based bounds, no peer
+    // ambiguity); one exchange on the user key.
+    QueryDef("ts7_rolling", Some("""
+      SELECT event_id, user_id,
+             CAST(count(*) OVER w AS BIGINT) AS n_win,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               AS sum_win
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")) { (s, dir) =>
+      graft.operators.TimeSeries.rollingInterval(t(s, dir, "events"),
+          "user_id", "ts", "value", widthMs = 3600000L)
+        .select("event_id", "user_id", "n_win", "sum_win")
+        .orderBy("event_id")
     }
   )
 }

@@ -324,4 +324,25 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(2L) == byId(3L) && byId(3L) == byId(4L))
   }
 
+  test("stripBoilerplate: cross-doc segments stripped everywhere, " +
+      "within-doc repeats kept, scope isolates sources") {
+    // 2-word segments. "nav bar" appears in docs 1 AND 2 (same source) →
+    // stripped from BOTH (segment dedup would keep doc 1's copy). Doc 3
+    // repeats "pay load" twice WITHIN itself → df=1, kept. Doc 4 has
+    // "nav bar" in a DIFFERENT source → kept there.
+    val df = Seq(
+      (1L, "s1", "nav bar alpha beta"),
+      (2L, "s1", "nav bar gamma delta"),
+      (3L, "s1", "pay load pay load"),
+      (4L, "s2", "nav bar omega psi")).toDF("doc_id", "source", "text")
+    val out = TextOps.stripBoilerplate(df, "doc_id", "text",
+        segWords = 2, minDf = 2, scopeCols = Seq("source"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 1L, "alpha beta")))
+    assert(out(2L) == ((2L, 1L, "gamma delta")))
+    assert(out(3L) == ((2L, 2L, "pay load pay load")))
+    assert(out(4L) == ((2L, 2L, "nav bar omega psi")))
+  }
+
 }

@@ -126,4 +126,24 @@ class TimeSeriesSpec extends SparkSpec {
     // 2/2+4/4+8/8+16/8, 1/2+2/4+4/8+8/8
     assert(out == Seq(16.0, 12.0, 8.0, 5.0, 2.5))
   }
+
+  test("rollingInterval: trailing frame drops expired rows; ties share a frame") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0, 1L),
+      (1L, ts("2024-01-01 10:30:00"), 2.0, 2L),
+      // exactly 1h after the first row: still inside [t-1h, t]
+      (1L, ts("2024-01-01 11:00:00"), 4.0, 3L),
+      // same ms as event 3 -> same frame for both peer rows
+      (1L, ts("2024-01-01 11:00:00"), 8.0, 4L),
+      // first row (10:00) now expired
+      (1L, ts("2024-01-01 11:15:00"), 16.0, 5L),
+      (2L, ts("2024-01-01 10:45:00"), 32.0, 6L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = TimeSeries.rollingInterval(events, "user_id", "ts", "value",
+        widthMs = 3600000L)
+      .orderBy("event_id").select("n_win", "sum_win")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1.0), (2L, 3.0), (4L, 15.0), (4L, 15.0),
+      (4L, 30.0), (1L, 32.0)))
+  }
 }
