@@ -676,6 +676,37 @@ object Similarity {
       .select("qid", "rank", "nid", "sim")
   }
 
+  /** Recall@k scorecard of an approximate neighbor ranking against the
+    * exact one — the acceptance number every ANN index ships with ("IVF
+    * nprobe=2 holds 0.92 recall on a 10k-query sample"). Pass any two
+    * (query, neighbor) tables with the same id columns — brute force vs
+    * IVF, PQ, SQ8, or LSH buckets; run on a query SAMPLE, then trust the
+    * index at full scale (the whole point is never computing exact truth
+    * corpus-wide).
+    *
+    * Scale posture: one full-outer equi-join of two k·|queries|-sized
+    * rankings + one aggregate — cost is rankings-sized, never corpus-
+    * sized. Per-query rows keep the diagnostic actionable (which queries
+    * miss → which cells are under-probed).
+    *
+    * Output: (qCol, n_exact, n_approx, n_hit, recall) per query; recall =
+    * one IEEE division of two exact longs.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+                qCol: String, nCol: String): DataFrame = {
+    val e = exact.select(col(qCol), col(nCol)).withColumn("__t", lit(1L))
+    val a = approx.select(col(qCol), col(nCol)).withColumn("__c", lit(1L))
+    e.join(a, Seq(qCol, nCol), "full_outer")
+      .groupBy(qCol)
+      .agg(coalesce(sum("__t"), lit(0L)).as("n_exact"),
+        coalesce(sum("__c"), lit(0L)).as("n_approx"),
+        coalesce(sum(when(col("__t").isNotNull && col("__c").isNotNull, 1L)),
+          lit(0L)).as("n_hit"))
+      .select(col(qCol), col("n_exact"), col("n_approx"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
+
   /** Per-cell inertia — within-cell sum of squared residuals against the
     * assigned centroid, the "is my IVF quantizer any good" diagnostic
     * (falling inertia per Lloyd round = training works; one fat cell =

@@ -854,6 +854,61 @@ object Extensions extends QueryModule {
         .orderBy("qid", "rnk")
     },
 
+    // Measured ANN recall (Similarity.recallAtK): per query, how much of
+    // the exact top-3 the IVF nprobe=2 search returns — the embedding-side
+    // companion to x2_lsh_recall, and the acceptance number that decides
+    // nprobe before trusting the index at corpus scale. One full-outer
+    // join of two rankings + one aggregate; never corpus-sized.
+    QueryDef("x3_recall", Some("""
+      WITH q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 10),
+      c0 AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings WHERE vec_id >= 10),
+      ex AS (SELECT qid, nid FROM (
+               SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY
+                 list_dot_product(qv,cv) / sqrt(list_dot_product(qv,qv)
+                   * list_dot_product(cv,cv)) DESC, nid) AS rnk
+               FROM q0, c0) WHERE rnk <= 3),
+      ctr AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ctv
+              FROM embeddings WHERE vec_id < 8),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+      asn AS (SELECT v.vec_id, vv, cid,
+                row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                  list_dot_product(vv, ctv)
+                    / sqrt(list_dot_product(vv, vv)
+                           * list_dot_product(ctv, ctv)) DESC, cid) AS rk
+              FROM v, ctr),
+      q AS (SELECT vec_id AS qid, vv AS qv, cid AS cell FROM asn
+            WHERE vec_id < 10 AND rk <= 2),
+      c AS (SELECT vec_id AS nid, vv AS cv2, cid AS cell FROM asn
+            WHERE vec_id >= 10 AND rk = 1),
+      ap AS (SELECT qid, nid FROM (
+               SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY
+                 list_dot_product(qv, cv2) / sqrt(list_dot_product(qv, qv)
+                   * list_dot_product(cv2, cv2)) DESC, nid) AS rnk
+               FROM q JOIN c USING (cell)) WHERE rnk <= 3)
+      SELECT coalesce(ex.qid, ap.qid) AS qid,
+             CAST(count(ex.nid) AS BIGINT) AS n_exact,
+             CAST(count(ap.nid) AS BIGINT) AS n_approx,
+             CAST(count(CASE WHEN ex.nid IS NOT NULL
+                             AND ap.nid IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_hit,
+             CAST(count(CASE WHEN ex.nid IS NOT NULL
+                             AND ap.nid IS NOT NULL THEN 1 END) AS DOUBLE)
+               / CAST(count(ex.nid) AS DOUBLE) AS recall
+      FROM ex FULL JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 10)
+      val queries = e.filter(col("vec_id") < 10)
+      val exact = Similarity.knnBruteForce(corpus, queries,
+        "vec_id", "embedding", k = 3)
+      val approx = Similarity.knnIvf(corpus, queries, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 3, nprobe = 2)
+      Similarity.recallAtK(exact, approx, "qid", "nid").orderBy("qid")
+    },
+
     // IVF with a TRAINED quantizer: one deterministic Lloyd iteration
     // (decimal-exact per-dimension means make the trained centroids
     // bit-reproducible, so the oracle can replay the iteration in SQL:

@@ -893,6 +893,47 @@ object Maintenance extends QueryModule {
         .orderBy("o_orderkey")
     },
 
+    // Point-in-time dimension lookup (temporal join): purchases joined to
+    // the SCD2 state valid AT PURCHASE TIME — the canonical warehouse
+    // pattern SCD2 history exists for. Spark side = AsOf.joinAsOf on
+    // (user, valid_from): ONE window shuffle, no interval-containment
+    // range join, no row explosion; version is the equal-timestamp
+    // tiebreak. The oracle joins on interval containment — equivalent
+    // because versions tile each user's time axis.
+    QueryDef("e7_temporal_join", Some("""
+      WITH e AS (SELECT user_id, event_type, ts, event_id
+                 FROM events WHERE user_id % 25 = 0),
+      c AS (SELECT user_id, event_type, ts AS valid_from, event_id,
+                   lag(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM e),
+      v AS (SELECT user_id, event_type, valid_from, event_id
+            FROM c WHERE prev IS NULL OR prev <> event_type),
+      h AS (SELECT user_id, event_type AS state_at, valid_from,
+                   lead(valid_from) OVER w AS valid_to,
+                   CAST(row_number() OVER w AS BIGINT) AS version
+            FROM v
+            WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)),
+      p AS (SELECT event_id, user_id, ts FROM e
+            WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, h.state_at, h.version
+      FROM p LEFT JOIN h
+        ON h.user_id = p.user_id AND h.valid_from <= p.ts
+           AND (p.ts < h.valid_to OR h.valid_to IS NULL)
+      ORDER BY p.event_id""")) { (s, dir) =>
+      val e = t(s, dir, "events").filter(col("user_id") % 25 === 0)
+      val hist = Snapshot.scd2(e, "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("event_type").as("state_at"),
+          col("valid_from"), col("version").cast("long").as("version"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.operators.AsOf.joinAsOf(p, hist, Seq("user_id"),
+          "ts", "valid_from", rightCols = Seq("state_at", "version"),
+          rightOrder = Seq("version"))
+        .select("event_id", "user_id", "state_at", "version")
+        .orderBy("event_id")
+    },
+
     // Time-weighted average per user (TimeSeries.timeWeightedAvg): each
     // observation holds until its successor, so its weight is the gap —
     // the irregular-sampling-proof mean. Grid-scaled values × integer-ms

@@ -1403,6 +1403,48 @@ object Relational extends QueryModule {
         .orderBy("d")
     },
 
+    // First/last-touch attribution: for every purchase, the earliest and
+    // latest click/view in the trailing 7 days — conditional min/max of
+    // (ms, event_id, type) structs over one per-user RANGE frame, so both
+    // touches resolve in a single window pass (no per-purchase probe join,
+    // no event×event self-join). The oracle mirrors the struct order as an
+    // encoded ms*1e6+event_id long (ids < 1e6 by the fixture contract) and
+    // joins the ids back for the types — same total order, same rows.
+    QueryDef("f7_attribution", Some("""
+      WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+                 FROM events),
+      k AS (SELECT event_id, user_id, event_type, ms,
+              min(CASE WHEN event_type IN ('click','view')
+                       THEN ms * 1000000 + event_id END) OVER w AS fk,
+              max(CASE WHEN event_type IN ('click','view')
+                       THEN ms * 1000000 + event_id END) OVER w AS lk
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ms
+                         RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW))
+      SELECT k.event_id, k.user_id,
+             fe.event_id AS ft_id, fe.event_type AS ft_type,
+             le.event_id AS lt_id, le.event_type AS lt_type,
+             CAST(k.ms - le.ms AS BIGINT) AS lt_gap_ms
+      FROM k LEFT JOIN e fe ON fe.event_id = fk % 1000000
+             LEFT JOIN e le ON le.event_id = lk % 1000000
+      WHERE k.event_type = 'purchase'
+      ORDER BY k.event_id""")) { (s, dir) =>
+      val touch = col("event_type").isin("click", "view")
+      val tstruct = struct(col("ms"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy(col("ms"))
+        .rangeBetween(-604800000L, 0)
+      t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("ft", min(when(touch, tstruct)).over(w))
+        .withColumn("lt", max(when(touch, tstruct)).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ft.event_id").as("ft_id"), col("ft.event_type").as("ft_type"),
+          col("lt.event_id").as("lt_id"), col("lt.event_type").as("lt_type"),
+          (col("ms") - col("lt.ms")).as("lt_gap_ms"))
+        .orderBy("event_id")
+    },
+
     // Two-pass equi-width histogram (Stats.histogram): global (min,max)
     // reduced then broadcast, bucket assignment as pure IEEE arithmetic
     // the oracle replays verbatim. Nothing shuffles but the 20 bucket

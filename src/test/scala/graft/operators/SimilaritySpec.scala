@@ -384,4 +384,17 @@ class SimilaritySpec extends SparkSpec {
     assert(run(df) == want)
     assert(run(df.repartition(5)) == want)
   }
+
+  test("recallAtK: identical, partial, and disjoint rankings score 1 / 0.5 / 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 13L),
+      (3L, 14L)).toDF("qid", "nid")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 13L), (3L, 15L),
+      (3L, 16L)).toDF("qid", "nid")
+    val out = Similarity.recallAtK(exact, approx, "qid", "nid")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((2L, 2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 2L, 0L, 0.0)))
+  }
 }
