@@ -606,6 +606,29 @@ object Stats {
           .as("top_frac"))
   }
 
+  /** Per-group top-k shortlist via the native bounded-heap aggregate
+    * ([[org.apache.spark.sql.graft.TopKAgg]]): ranks the k smallest
+    * `ordStruct` values per key group — encode "largest first" by negating
+    * sort fields inside the struct, and include a tiebreak field so the
+    * shortlist is total-ordered.
+    *
+    * Scale posture vs the window form: an AGGREGATE, so partial buffers
+    * merge map-side and at most k·|groups| values per partition reach the
+    * exchange — no partition sort (heap scan, O(n log k)), no full-data
+    * shuffle, no re-window for ranks. The window + WindowGroupLimit path
+    * still locally sorts everything it scans.
+    *
+    * Output: (keys..., rnk ascending from 1, ordStruct fields as `v.*`).
+    */
+  def groupedTopK(df: DataFrame, keys: Seq[String], ordStruct: Column,
+                  k: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(org.apache.spark.sql.graft.TopKAgg.of(ordStruct, k).as("__top"))
+      .select(keys.map(col) :+
+        posexplode(col("__top")).as(Seq("__pos", "v")): _*)
+      .withColumn("rnk", (col("__pos") + 1).cast("long"))
+      .drop("__pos")
+
   def momentsInt(df: DataFrame, keys: Seq[String],
                  xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("long")

@@ -2626,6 +2626,25 @@ object Extensions extends QueryModule {
         .orderBy("c_custkey")
     },
 
+    // Grouped top-k via the native bounded-heap aggregate (TopKAgg /
+    // Stats.groupedTopK): the 3 longest docs per language, smallest-id
+    // tiebreak. Partial heaps merge map-side, so at most k·|groups| values
+    // per partition reach the exchange — no partition sort, no full-data
+    // window shuffle. The oracle is the equivalent row_number form.
+    QueryDef("x9_group_topk", Some("""
+      SELECT lang, rnk, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+        FROM documents) WHERE rnk <= 3 ORDER BY lang, rnk""")) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("tv", struct((-col("n_chars")).as("nn"), col("doc_id")))
+      graft.operators.Stats.groupedTopK(d, Seq("lang"), col("tv"), k = 3)
+        .select(col("lang"), col("rnk"), col("v.doc_id").as("doc_id"),
+          (-col("v.nn")).as("n_chars"))
+        .orderBy("lang", "rnk")
+    },
+
     // Predicted join size (Stats.joinSizeEstimate): |events ⋈ orders| on
     // the customer key from the two per-key histograms — Σ c_A(k)·c_B(k)
     // exactly, plus the hottest key's share (the salting trigger). The

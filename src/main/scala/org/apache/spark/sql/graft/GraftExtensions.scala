@@ -62,6 +62,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashAgg(children(0), intLit(children(1), "signature length k"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("top_k_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "top_k_agg(orderable, k)")
+        TopKAgg(children(0), intLit(children(1), "shortlist size k"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("vec_sum_agg"),
       new ExpressionInfo(classOf[VecSumAgg].getName, "vec_sum_agg"),
       (children: Seq[Expression]) => {
