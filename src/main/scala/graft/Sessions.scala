@@ -51,6 +51,12 @@ object Sessions {
     // events.ts is parquet TIMESTAMP(NANOS): surfaced as nanos-since-epoch
     // LongType (Tables.scala normalizes it back to TimestampType @ micros).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Micro-precision parquet timestamps without the UTC-adjusted flag
+    // would otherwise surface as TIMESTAMP_NTZ, which unix_millis & co
+    // reject; reading them as session-time (UTC) instants matches both
+    // the nanos-era behavior above and the DuckDB oracle's naive
+    // timestamp semantics.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   /** The reference knobs that only make sense with real executors
     * (etl-on-gcp-vinicius-campos.py:74-83): dynamic allocation + external
