@@ -645,4 +645,92 @@ object Stats {
       .withColumn("cov_num",
         col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
   }
+
+  /** Exact lag-`k` sample autocorrelation per key over integer-gridded
+    * series — the seasonality/memory diagnostic for event streams.
+    * The textbook estimator
+    * {{{ r_k = Σ_{t<=n-k} (x_t - x̄)(x_{t+k} - x̄) / Σ_{t<=n} (x_t - x̄)² }}}
+    * can't gate as written (x̄ is an FP mean, the sums are data-sized FP
+    * accumulations). Multiplying both sides by n² clears every division:
+    * {{{ num·n² = n²·Σ x_t·x_{t+k} − n·S·(Σ head + Σ tail) + (n−k)·S²
+    *     den·n² = n²·Σ x² − n·S² }}}
+    * — all products of exact integers (accumulated DECIMAL(38,0), order-
+    * independent), with ONE IEEE division at the end, so the statistic
+    * itself hash-matches. Σ head sums x over rows that HAVE a lag-k
+    * successor, Σ tail over the successors — the aligned-window form of
+    * the estimator.
+    *
+    * Scale posture: one window exchange on the key (lead) feeds a same-key
+    * aggregate — a single shuffle, the ts3_twap shape. Overflow envelope:
+    * n²·Σx² < 10^38 ⇒ with |x| ≤ g·|value| ≈ 10^7 that allows ~10^7 rows
+    * per key; larger keys want a coarser grid (the envelope is the
+    * documented trade, as for x8_hits).
+    *
+    * @param orderCols total order within key (e.g. ts, event_id)
+    * @return per key: (n, r_k as double; null when the series is constant
+    *         or shorter than k+1)
+    */
+  def autocorrInt(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                  valueCol: String, lag: Int, grid: Long): DataFrame = {
+    require(lag >= 1, "lag must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = df.withColumn("__x",
+        floor(col(valueCol) * lit(grid.toDouble)).cast("long"))
+      .withColumn("__y", lead(col("__x"), lag).over(w))
+    g.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__x"))).as("s"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("sxx"),
+        sum(when(col("__y").isNotNull, dec(col("__x")))).as("sh"),
+        sum(dec(col("__y"))).as("st"),
+        sum(dec(col("__x")) * dec(col("__y"))).as("sxy"))
+      .withColumn("__num",
+        dec(col("n")) * dec(col("n")) * col("sxy")
+          - dec(col("n")) * col("s") * (col("sh") + col("st"))
+          + dec(col("n") - lit(lag)) * col("s") * col("s"))
+      .withColumn("__den",
+        dec(col("n")) * dec(col("n")) * col("sxx")
+          - dec(col("n")) * col("s") * col("s"))
+      .select((keys.map(col) :+ col("n") :+
+        when(col("__den") > 0 && col("n") > lag,
+          col("__num").cast("double") / col("__den").cast("double"))
+          .as("acf")): _*)
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two label columns
+    * (annotator vs annotator, model vs gold). Kappa is RATIONAL in the
+    * confusion counts: with n rows, a = Σ diagonal, and
+    * c = Σ_label rowTotal·colTotal,
+    * {{{ kappa = (p_o − p_e)/(1 − p_e) = (n·a − c)/(n² − c) }}}
+    * — integer numerator and denominator, one IEEE division, so the
+    * statistic hash-gates (the same no-FP-accumulation discipline as
+    * [[aucOnGrid]]).
+    *
+    * Scale posture: two |labels|-sized marginal aggregates (map-side
+    * partials absorb the scan) joined on label — nothing data-sized past
+    * the first aggregation; the final combine is one row.
+    *
+    * Output: one row (n, agree, chance_num, kappa); kappa null when the
+    * marginals are degenerate (n² = c, e.g. both columns constant).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("la"), col(bCol).as("lb"))
+      .agg(count(lit(1)).as("c")).persist()
+    val n = cells.agg(sum("c").as("n"))
+    val agree = cells.filter(col("la") === col("lb"))
+      .agg(coalesce(sum("c"), lit(0L)).as("agree"))
+    val ra = cells.groupBy("la").agg(sum("c").as("ca"))
+    val cb = cells.groupBy("lb").agg(sum("c").as("cb"))
+    val chance = ra.join(cb, col("la") === col("lb"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("chance_num"))
+    n.crossJoin(broadcast(agree)).crossJoin(broadcast(chance))
+      .select(col("n"), col("agree"), col("chance_num"),
+        when(col("n") * col("n") =!= col("chance_num"),
+          (col("n") * col("agree") - col("chance_num")).cast("double") /
+            (col("n") * col("n") - col("chance_num")).cast("double"))
+          .as("kappa"))
+  }
 }

@@ -544,4 +544,52 @@ object TextOps {
       .select(col("token"), col("c1"), col("c2"),
         ((num * num) / ((n1 * n2) * (a + b))).as("chi2"))
   }
+
+  /** Heaps-law vocabulary-growth curve: per block (language), documents
+    * are consumed in `idCol` order and the curve reports, at each of
+    * `slices` equal-document checkpoints, how many tokens have been read
+    * and how many DISTINCT tokens have been seen — the V(N) ≈ K·N^β curve
+    * that sizes tokenizer vocabularies and detects synthetic/templated
+    * corpora (β collapses when text repeats).
+    *
+    * Cumulative-distinct is the f5_cum_uniques problem at corpus scale:
+    * never a running collect_set, instead each token's FIRST occurrence
+    * position (min doc id per (block, token) — one aggregate over the
+    * exploded stream), bucketed into slices and running-summed over the
+    * |slices|-sized table. All counts are exact integers.
+    *
+    * Scale posture: one explode + two keyed aggregates (token firsts,
+    * per-slice sums); the ntile window runs on the per-doc count table
+    * (docs, not tokens), and every running-sum window runs on
+    * block×slices rows. Nothing data-sized is ever sorted globally.
+    *
+    * Output per (block, slice 1..slices): cum_docs, cum_tokens, vocab.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  blockCol: String, slices: Int): DataFrame = {
+    require(slices >= 1, "slices must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        size(tokens(col(textCol))).as("n_tok"))
+    val sliced = perDoc.withColumn("slice",
+        ntile(slices).over(Window.partitionBy("blk").orderBy("id")))
+      .persist()
+    val wRun = Window.partitionBy("blk").orderBy("slice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val docAgg = sliced.groupBy("blk", "slice")
+      .agg(count(lit(1)).as("__d"), sum("n_tok").as("__t"))
+      .select(col("blk"), col("slice"),
+        sum(col("__d")).over(wRun).as("cum_docs"),
+        sum(col("__t")).over(wRun).as("cum_tokens"))
+    // A token's vocab contribution lands in the slice of its first doc.
+    val firsts = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("blk", "tok").agg(min("id").as("id"))
+      .join(sliced.select("blk", "id", "slice"), Seq("blk", "id"))
+      .groupBy("blk", "slice").agg(count(lit(1)).as("__new"))
+    docAgg.join(firsts, Seq("blk", "slice"), "left")
+      .withColumn("vocab",
+        sum(coalesce(col("__new"), lit(0L))).over(wRun))
+      .select("blk", "slice", "cum_docs", "cum_tokens", "vocab")
+  }
 }

@@ -3238,5 +3238,187 @@ object Extensions extends QueryModule {
         .groupBy("p_brand", "idx")
         .agg(count(lit(1)).as("n"))
         .orderBy("idx")
+    },
+
+    // Link prediction (Graph.linkPredict) on the part co-purchase graph:
+    // non-adjacent part pairs ranked by common neighbors, with the
+    // resource-allocation index in exact scaled-integer form
+    // (sum of 1e9 div deg(z) — floor division, so the normally
+    // FP-order-fragile RA score hash-gates) and preferential attachment.
+    // The oracle replays wedge enumeration relationally.
+    QueryDef("x8_linkpred", Some("""
+      WITH pr AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      eg AS (SELECT src, dst FROM pr
+             UNION ALL SELECT dst AS src, src AS dst FROM pr),
+      deg AS (SELECT src AS id, count(*) AS d FROM eg GROUP BY 1),
+      w AS (SELECT a.src AS z, a.dst AS u, b.dst AS v
+            FROM eg a JOIN eg b ON a.src = b.src AND a.dst < b.dst),
+      sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+               CAST(sum(1000000000 // dz.d) AS BIGINT) AS ra
+             FROM w JOIN deg dz ON w.z = dz.id
+             GROUP BY u, v HAVING count(*) >= 20),
+      ne AS (SELECT sc.* FROM sc LEFT JOIN pr
+               ON pr.src = sc.u AND pr.dst = sc.v
+             WHERE pr.src IS NULL)
+      SELECT ne.u, ne.v, ne.cn, ne.ra,
+             CAST(du.d * dv.d AS BIGINT) AS pa
+      FROM ne JOIN deg du ON du.id = ne.u
+              JOIN deg dv ON dv.id = ne.v
+      ORDER BY u, v""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.operators.Graph.linkPredict(pairs, minCommon = 20)
+        .orderBy("u", "v")
+    },
+
+    // Exact lag-1 autocorrelation per event type (Stats.autocorrInt):
+    // the n²-scaled identity clears the FP mean out of the textbook
+    // estimator — every sum is an exact integer product over the 1e4
+    // value grid, one IEEE division at the end, so the seasonality/memory
+    // statistic itself hash-gates.
+    QueryDef("ts8_autocorr", Some("""
+      WITH g AS (
+        SELECT event_type,
+               CAST(floor(value * 10000) AS BIGINT) AS x,
+               lead(CAST(floor(value * 10000) AS BIGINT), 1) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id) AS y
+        FROM events),
+      a AS (
+        SELECT event_type, count(*) AS n,
+               sum(CAST(x AS HUGEINT)) AS s,
+               sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+               sum(CASE WHEN y IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sh,
+               sum(CAST(y AS HUGEINT)) AS st,
+               sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        FROM g GROUP BY 1)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+        CASE WHEN (CAST(n AS HUGEINT) * n * sxx - n * s * s) > 0 AND n > 1
+          THEN CAST(CAST(n AS HUGEINT) * n * sxy - n * s * (sh + st)
+                    + (n - 1) * s * s AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * n * sxx - n * s * s AS DOUBLE)
+        END AS acf
+      FROM a ORDER BY event_type""")) { (s, dir) =>
+      graft.operators.Stats.autocorrInt(t(s, dir, "events"),
+          Seq("event_type"), Seq("ts", "event_id"), "value",
+          lag = 1, grid = 10000L)
+        .orderBy("event_type")
+    },
+
+    // Cohen's kappa (Stats.cohenKappa): chance-corrected agreement of the
+    // n-gram language-ID heuristic against the gold lang column — kappa
+    // is rational in the confusion counts ((n·a − Σrow·col)/(n² −
+    // Σrow·col)), so the single-division statistic hash-gates where an
+    // FP-accumulated version would not.
+    QueryDef("x9_kappa", Some("""
+      WITH scored AS (
+        SELECT lang,
+          len(list_filter(string_split(text,' '), tk -> tk IN ('the','a','of','and','to','is'))) AS s_en,
+          len(list_filter(string_split(text,' '), tk -> tk IN ('el','la','de','y','que','es'))) AS s_es,
+          len(list_filter(string_split(text,' '), tk -> tk IN ('le','les','des','et','une','est'))) AS s_fr,
+          len(list_filter(string_split(text,' '), tk -> tk IN ('der','die','das','und','ist','ein'))) AS s_de
+        FROM documents),
+      pred AS (
+        SELECT lang,
+          CASE WHEN s_en > 0 AND s_en >= greatest(s_en,s_es,s_fr,s_de) THEN 'en'
+               WHEN s_es > 0 AND s_es >= greatest(s_en,s_es,s_fr,s_de) THEN 'es'
+               WHEN s_fr > 0 AND s_fr >= greatest(s_en,s_es,s_fr,s_de) THEN 'fr'
+               WHEN s_de > 0 AND s_de >= greatest(s_en,s_es,s_fr,s_de) THEN 'de'
+               ELSE 'und' END AS predicted
+        FROM scored),
+      cells AS (SELECT lang AS la, predicted AS lb, count(*) AS c
+                FROM pred GROUP BY 1, 2),
+      tot AS (SELECT sum(c) AS n FROM cells),
+      ag AS (SELECT coalesce(sum(c), 0) AS agree FROM cells WHERE la = lb),
+      ch AS (SELECT coalesce(sum(ca * cb), 0) AS chance_num FROM
+               (SELECT la, sum(c) AS ca FROM cells GROUP BY 1) a
+               JOIN (SELECT lb, sum(c) AS cb FROM cells GROUP BY 1) b
+                 ON a.la = b.lb)
+      SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+             CAST(chance_num AS BIGINT) AS chance_num,
+             CASE WHEN n * n <> chance_num
+               THEN CAST(n * agree - chance_num AS DOUBLE)
+                  / CAST(n * n - chance_num AS DOUBLE) END AS kappa
+      FROM tot, ag, ch ORDER BY n""")) { (s, dir) =>
+      val pred = spread(t(s, dir, "documents"))
+        .select(col("lang"),
+          TextOps.langId(TextOps.tokens(col("text"))).as("predicted"))
+      graft.operators.Stats.cohenKappa(pred, "lang", "predicted")
+        .orderBy("n")
+    },
+
+    // Sorted-neighborhood near-dup blocking (Dedup.sortedNeighborhoodPairs)
+    // — the merge/purge family next to the inverted index and MinHash
+    // banding: sort each language block by a 24-char text prefix, pair
+    // rows within 8 sorted positions, verify exact 3-gram Jaccard on the
+    // candidates. Candidate volume is O(n·window) by construction — no
+    // posting-list skew can blow it up.
+    QueryDef("x2_sorted_nbr", Some(s"""
+      WITH $shCte,
+      ord AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY substr(text, 1, 24), doc_id) AS rn
+              FROM documents),
+      cand AS (SELECT least(a.doc_id, b.doc_id) AS da,
+                      greatest(a.doc_id, b.doc_id) AS db
+               FROM ord a JOIN ord b
+                 ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 8),
+      j AS (SELECT c.da, c.db,
+              CAST(i.ni AS DOUBLE) / (ca.n_sh + cb.n_sh - i.ni) AS jacc
+            FROM cand c JOIN inter i ON i.da = c.da AND i.db = c.db
+            JOIN cnt ca ON ca.doc_id = c.da
+            JOIN cnt cb ON cb.doc_id = c.db)
+      SELECT da, db, jacc FROM j WHERE jacc >= 0.6 ORDER BY da, db""")) {
+      (s, dir) =>
+      Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"),
+          "doc_id", "text", "lang",
+          window = 8, keyLen = 24, n = 3, threshold = 0.6)
+        .orderBy("da", "db")
+    },
+
+    // Heaps-law vocabulary growth (TextOps.vocabGrowth): per language,
+    // cumulative tokens read vs distinct tokens seen at 10 equal-document
+    // checkpoints — V(N) ≈ K·N^β, the curve that sizes tokenizer vocabs
+    // and exposes templated corpora. Cumulative-distinct via per-token
+    // first-occurrence positions, never a running collect_set.
+    QueryDef("x5_heaps", Some("""
+      WITH perdoc AS (SELECT lang AS blk, doc_id AS id,
+                        len(string_split(text, ' ')) AS n_tok
+                      FROM documents),
+      sliced AS (SELECT blk, id, n_tok,
+                   ntile(10) OVER (PARTITION BY blk ORDER BY id) AS slice
+                 FROM perdoc),
+      da AS (SELECT blk, slice, count(*) AS d, sum(n_tok) AS tk
+             FROM sliced GROUP BY 1, 2),
+      dc AS (SELECT blk, slice,
+               CAST(sum(d) OVER (PARTITION BY blk ORDER BY slice) AS BIGINT)
+                 AS cum_docs,
+               CAST(sum(tk) OVER (PARTITION BY blk ORDER BY slice) AS BIGINT)
+                 AS cum_tokens
+             FROM da),
+      fo AS (SELECT blk, tok, min(id) AS id FROM
+               (SELECT lang AS blk, doc_id AS id,
+                  unnest(string_split(text, ' ')) AS tok FROM documents)
+             GROUP BY 1, 2),
+      nv AS (SELECT s.blk, s.slice, count(*) AS nw
+             FROM fo JOIN sliced s ON s.blk = fo.blk AND s.id = fo.id
+             GROUP BY 1, 2)
+      SELECT dc.blk, CAST(dc.slice AS BIGINT) AS slice, dc.cum_docs,
+             dc.cum_tokens,
+             CAST(sum(coalesce(nv.nw, 0)) OVER (
+               PARTITION BY dc.blk ORDER BY dc.slice) AS BIGINT) AS vocab
+      FROM dc LEFT JOIN nv ON nv.blk = dc.blk AND nv.slice = dc.slice
+      ORDER BY dc.blk, dc.slice""")) { (s, dir) =>
+      TextOps.vocabGrowth(spread(t(s, dir, "documents")),
+          "doc_id", "text", "lang", slices = 10)
+        .withColumn("slice", col("slice").cast("long"))
+        .select("blk", "slice", "cum_docs", "cum_tokens", "vocab")
+        .orderBy("blk", "slice")
     })
 }

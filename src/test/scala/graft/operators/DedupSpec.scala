@@ -377,4 +377,44 @@ class DedupSpec extends SparkSpec {
     assert(rows.values.forall(h => h.length == 16 && h.forall("01".contains(_))))
     assert(rows(1L) == rows(2L))
   }
+
+  test("sortedNeighborhoodPairs: adjacent near-dups found, out-of-window missed") {
+    // Sorted by 8-char prefix: d1 "aaaa..." / d2 "aaab..." adjacent and
+    // near-identical -> verified pair. d4 "zzzz..." shares d1's shingles
+    // (a near-dup whose first token changed) but sorts 3 positions away
+    // with window=1 -> missed, the method's documented lossiness. d3 sits
+    // between as an unrelated separator.
+    val df = Seq(
+      (1L, "aaaa one two three four five six"),
+      (2L, "aaab one two three four five six"),
+      (3L, "mmmm unrelated filler words here now"),
+      (4L, "zzzz one two three four five six")).toDF("doc_id", "text")
+    val one = df.withColumn("blk", lit(1))
+    val out = Dedup.sortedNeighborhoodPairs(one, "doc_id", "text",
+        "blk", window = 1, keyLen = 4, n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    // 4 shared of 5 3-shingles each (the first shingle differs): 4/6.
+    assert(out.head._3 == 4.0 / 6.0)
+    // Widening the window to 3 recovers the prefix-divergent pair.
+    val wide = Dedup.sortedNeighborhoodPairs(one, "doc_id", "text",
+        "blk", window = 3, keyLen = 4, n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(wide.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("sortedNeighborhoodPairs: blocks never pair across; repartition-stable") {
+    val df = Seq(
+      (1L, "en", "common text body one two three"),
+      (2L, "en", "common text body one two three"),
+      (3L, "fr", "common text body one two three"))
+      .toDF("doc_id", "lang", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.sortedNeighborhoodPairs(d, "doc_id", "text", "lang",
+        window = 4, keyLen = 8, n = 3, threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    val out = run(df)
+    assert(out.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    assert(out == run(df.repartition(7)))
+  }
 }

@@ -254,4 +254,41 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap == want)
   }
 
+
+  test("linkPredict: hand case — cycle, exact cn/ra/pa, adjacents excluded") {
+    // 4-cycle 1-2-3-4-1: the two diagonals are the only non-adjacent
+    // pairs; each shares both of its endpoints' neighbors (cn=2), every
+    // degree is 2 so ra = 2 * (1e9 div 2) = 1e9 and pa = 4.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val out = Graph.linkPredict(pairs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L, 2L, 1000000000L, 4L),
+      (2L, 4L, 2L, 1000000000L, 4L)))
+  }
+
+  test("linkPredict: maxDeg drops hub middles; star yields nothing under the cut") {
+    // Star 9-{1,2,3}: every leaf pair is predicted through the hub
+    // (cn=1, ra = 1e9 div 3); cutting maxDeg=2 removes the hub middle
+    // and with it every wedge.
+    val pairs = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
+    val full = Graph.linkPredict(pairs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(full == Set((1L, 2L, 1L, 333333333L, 1L),
+      (1L, 3L, 1L, 333333333L, 1L), (2L, 3L, 1L, 333333333L, 1L)))
+    assert(Graph.linkPredict(pairs, maxDeg = 2).count() == 0L)
+  }
+
+  test("linkPredict: bit-identical under repartitioning (integer arithmetic)") {
+    val li = spark.read.parquet(sf("lineitem"))
+      .select($"l_orderkey", $"l_partkey")
+    val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst")).distinct()
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.linkPredict(df, minCommon = 2)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val a = run(pairs.repartition(1))
+    assert(a == run(pairs.repartition(7)))
+    assert(a.nonEmpty)
+  }
 }

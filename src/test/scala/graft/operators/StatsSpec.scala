@@ -335,4 +335,49 @@ class StatsSpec extends SparkSpec {
     assert(out("num") == ((3L, 1L, 2L, "1", "3")))
     assert(out("s") == ((3L, 0L, 2L, "a", "b")))
   }
+
+  test("autocorrInt: hand-computed lag-1 on 1..4; constant and short series null") {
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("c", 1L, 5.0), ("c", 2L, 5.0), ("c", 3L, 5.0),
+      ("s", 1L, 7.0)).toDF("k", "t", "v")
+    val out = Stats.autocorrInt(df, Seq("k"), Seq("t"), "v",
+        lag = 1, grid = 1L)
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // 1..4: num*n^2 = 16*20 - 4*10*15 + 3*100 = 20; den*n^2 = 480-400=80.
+    assert(out("a") == ((4L, Some(0.25))))
+    assert(out("c") == ((3L, None)))   // zero variance
+    assert(out("s") == ((1L, None)))   // no lag pair
+  }
+
+  test("property: autocorrInt matches the textbook estimator on random series") {
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(200)(rnd.nextInt(1000).toDouble)
+    val df = xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("k", "t", "v")
+    for (lag <- Seq(1, 3)) {
+      val got = Stats.autocorrInt(df.repartition(7), Seq("k"), Seq("t"), "v",
+          lag = lag, grid = 1L)
+        .as[(String, Long, Option[Double])].head()._3.get
+      val m = xs.sum / xs.length
+      val num = xs.dropRight(lag).zip(xs.drop(lag))
+        .map { case (a, b) => (a - m) * (b - m) }.sum
+      val den = xs.map(x => (x - m) * (x - m)).sum
+      assert(math.abs(got - num / den) < 1e-12)
+    }
+  }
+
+  test("cohenKappa: textbook 2x2 confusion gives 0.4; degenerate gives null") {
+    val rows =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val out = Stats.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(out == ((50L, 35L, 1250L, Some(0.4))))
+    val const = Stats.cohenKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(out._1 > 0 && const._4.isEmpty)
+  }
 }

@@ -345,4 +345,33 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4L) == ((2L, 2L, "nav bar omega psi")))
   }
 
+
+  test("vocabGrowth: hand-computed two-slice curve; slices partition evenly") {
+    val df = Seq(
+      (1L, "g", "a b"), (2L, "g", "a c"), (3L, "g", "c d"), (4L, "g", "a b"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.vocabGrowth(df, "doc_id", "text", "lang", slices = 2)
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    // slice 1 = docs {1,2}: 4 tokens, vocab {a,b,c} = 3;
+    // slice 2 = docs {3,4}: 8 tokens total, + {d} -> vocab 4.
+    assert(out == Map(1 -> ((2L, 4L, 3L)), 2 -> ((4L, 8L, 4L))))
+  }
+
+  test("vocabGrowth: vocab is monotone and ends at the block's distinct count") {
+    val docs = spark.read.parquet(sf("documents"))
+    val out = TextOps.vocabGrowth(docs, "doc_id", "text", "lang", 5)
+      .as[(String, Int, Long, Long, Long)].collect()
+    val byBlk = out.groupBy(_._1)
+    val truth = docs.select($"lang",
+        explode(split($"text", " ")).as("tok"))
+      .groupBy("lang").agg(countDistinct("tok").as("v"))
+      .as[(String, Long)].collect().toMap
+    byBlk.foreach { case (blk, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sorted.toSeq)
+      assert(sorted.last._5 == truth(blk))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+    }
+  }
 }
