@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support (mandated extension X4, SURVEY.md §2.4):
@@ -194,5 +194,39 @@ object Multimodal {
         .filter(_._2 % stride == 0)
         .map { case (frame, i) => (r.id, i, frame) }
     }.toDF("id", "frame_no", "frame")
+  }
+
+  /** WebDataset-style shard assignment: within each group (domain /
+    * source / modality), items are consumed in `idCol` order and a shard
+    * boundary falls at every `targetBytes` of the concatenated payload
+    * stream — `shard = exclusive-cumulative-bytes div targetBytes`.
+    * Training loaders want many same-sized archive shards they can
+    * shuffle and stream; this computes the assignment the writer then
+    * partitions by (e.g. the graft-zip sink with one archive per
+    * (group, shard)).
+    *
+    * Byte-offset semantics (not greedy first-fit): boundaries are fixed
+    * offsets of the stream, so an item larger than `targetBytes` spans
+    * its own shard range and every shard except a group's last holds at
+    * least `targetBytes` of payload start-to-start. The assignment is a
+    * pure function of (group, order, sizes) — reshuffling the input
+    * cannot move a boundary, which is what makes shard layouts
+    * reproducible across runs.
+    *
+    * Scale posture: one running-sum window per group key — the same
+    * keyed-window discipline as x7_token_budget; no global sort exists
+    * unless the caller blocks the whole corpus under one group.
+    *
+    * Output: input rows + (n_bytes, shard).
+    */
+  def shardAssign(df: DataFrame, idCol: String, sizeCol: Column,
+                  groupCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+    df.withColumn("n_bytes", sizeCol.cast("long"))
+      .withColumn("__cum", sum(col("n_bytes")).over(w))
+      .withColumn("shard", expr(s"(__cum - n_bytes) div ${targetBytes}L"))
+      .drop("__cum")
   }
 }

@@ -676,6 +676,42 @@ object Similarity {
       .select("qid", "rank", "nid", "sim")
   }
 
+  /** RADIUS similarity search — every corpus vector with cosine >= `tau`
+    * of each query, the "give me everything this close" companion to
+    * top-k: retrieval recall sets, near-dup sweeps around a probe
+    * document, density estimates. Same IVF machinery as [[knnIvf]]
+    * (argmax-cosine cell assignment against the collected centroid
+    * literals, per-query `nprobe` probe cells on the broadcast side),
+    * with the window/top-k replaced by the threshold filter — so the
+    * result needs NO ranking shuffle at all: assignment is a zero-
+    * exchange projection, candidates equijoin on cell, the τ filter is a
+    * codegen residual. Recall has the usual IVF contract (a qualifying
+    * neighbor in an unprobed cell is missed; nprobe = #cells is exact).
+    *
+    * Output: (qid, nid, sim) with sim >= tau.
+    */
+  def radiusIvf(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      tau: Double, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val cents: Array[(Long, Seq[Double])] = centroids
+      .select(col(cidCol).cast("long"), asDouble(col(cvecCol)))
+      .orderBy(col(cidCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cb = Par.spread(corpus)
+      .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", cellExpr(col("cv"), cents))
+    val qb = broadcast(queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell", explode(probeCellsExpr(col("qv"), cents, nprobe))))
+    cb.join(qb, "cell")
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .filter(col("sim") >= tau)
+      .select("qid", "nid", "sim")
+  }
+
   /** Recall@k scorecard of an approximate neighbor ranking against the
     * exact one — the acceptance number every ANN index ships with ("IVF
     * nprobe=2 holds 0.92 recall on a 10k-query sample"). Pass any two

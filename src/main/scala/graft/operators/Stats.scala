@@ -733,4 +733,46 @@ object Stats {
             (col("n") * col("n") - col("chance_num")).cast("double"))
           .as("kappa"))
   }
+
+  /** Per-cell contingency-table residuals over two categorical columns —
+    * which (a, b) combinations are over/under-represented vs independence
+    * (corpus balance: language × source, label × split, domain × epoch).
+    * The global χ² sums rationals with per-cell denominators (FP-order-
+    * fragile), so this reports the CELL-LEVEL quantities that gate
+    * exactly instead:
+    *
+    *  - `dev_num = n·O − rowTot·colTot` — the scaled deviation from the
+    *    expected count, an exact integer whose sign is the direction;
+    *  - `resid` — the Pearson standardized residual
+    *    (O − E)/√E = dev_num / √(n·rowTot·colTot), ONE division and ONE
+    *    correctly-rounded sqrt on exact integers: a fixed expression
+    *    shape, no accumulation, so it is bit-identical cross-engine.
+    *    |resid| ≳ 2 is the standard "this cell is off" flag.
+    *
+    * Scale posture: one (a, b) cell aggregate with map-side partials plus
+    * two marginal re-aggregations OF THE CELL TABLE (|A|·|B| rows, not
+    * data) broadcast back. Overflow envelope: n·rowTot·colTot as
+    * DECIMAL(38,0) holds to ~10^12 rows with both marginals data-sized.
+    *
+    * Output: (a, b, observed, row_tot, col_tot, dev_num, resid).
+    */
+  def contingencyResiduals(df: DataFrame, aCol: String,
+                           bCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("observed")).persist()
+    val rowT = cells.groupBy("a").agg(sum("observed").as("row_tot"))
+    val colT = cells.groupBy("b").agg(sum("observed").as("col_tot"))
+    val tot = cells.agg(sum("observed").as("n"))
+    cells.join(broadcast(rowT), "a").join(broadcast(colT), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("dev_num",
+        dec(col("n")) * dec(col("observed"))
+          - dec(col("row_tot")) * dec(col("col_tot")))
+      .withColumn("resid",
+        col("dev_num").cast("double") /
+          sqrt((dec(col("n")) * dec(col("row_tot")) * dec(col("col_tot")))
+            .cast("double")))
+      .select("a", "b", "observed", "row_tot", "col_tot", "dev_num", "resid")
+  }
 }

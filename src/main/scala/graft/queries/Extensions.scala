@@ -3420,5 +3420,99 @@ object Extensions extends QueryModule {
         .withColumn("slice", col("slice").cast("long"))
         .select("blk", "slice", "cum_docs", "cum_tokens", "vocab")
         .orderBy("blk", "slice")
+    },
+
+    // WebDataset-style shard layout (Multimodal.shardAssign): per source,
+    // shard boundaries at every 8 KiB of the concatenated payload stream
+    // (exclusive-cumsum div target — byte-offset semantics, so the
+    // assignment is a pure function of (group, order, sizes) and shard
+    // layouts reproduce across runs). Gate aggregates the per-shard
+    // manifest a training loader would consume.
+    QueryDef("x4_shard", Some("""
+      WITH b AS (SELECT source, doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                 FROM documents),
+      a AS (SELECT source, doc_id, n_bytes,
+              (sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id)
+               - n_bytes) // 8192 AS shard
+            FROM b)
+      SELECT source, CAST(shard AS BIGINT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+             CAST(min(doc_id) AS BIGINT) AS first_id,
+             CAST(max(doc_id) AS BIGINT) AS last_id
+      FROM a GROUP BY source, shard ORDER BY source, shard""")) { (s, dir) =>
+      Multimodal.shardAssign(spread(t(s, dir, "documents")),
+          "doc_id", length(encode(col("text"), "UTF-8")),
+          "source", targetBytes = 8192L)
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_items"),
+          sum("n_bytes").as("shard_bytes"),
+          min("doc_id").as("first_id"), max("doc_id").as("last_id"))
+        .orderBy("source", "shard")
+    },
+
+    // Contingency residuals (Stats.contingencyResiduals) over language ×
+    // source: which cells are over/under-represented vs independence.
+    // The global chi-square is an FP-order-fragile sum of per-cell
+    // rationals, so the gate pins the cell-level exact integers (n·O −
+    // row·col) and the Pearson standardized residual — one division +
+    // one sqrt on exact integers, bit-identical cross-engine.
+    QueryDef("x9_residuals", Some("""
+      WITH cells AS (SELECT lang AS a, source AS b, count(*) AS observed
+                     FROM documents GROUP BY 1, 2),
+      r AS (SELECT a, sum(observed) AS row_tot FROM cells GROUP BY 1),
+      c AS (SELECT b, sum(observed) AS col_tot FROM cells GROUP BY 1),
+      n AS (SELECT sum(observed) AS n FROM cells)
+      SELECT cells.a, cells.b, CAST(observed AS BIGINT) AS observed,
+             CAST(row_tot AS BIGINT) AS row_tot,
+             CAST(col_tot AS BIGINT) AS col_tot,
+             CAST(n * observed - row_tot * col_tot AS BIGINT) AS dev_num,
+             CAST(n * observed - row_tot * col_tot AS DOUBLE)
+               / sqrt(CAST(n * row_tot * col_tot AS DOUBLE)) AS resid
+      FROM cells JOIN r USING (a) JOIN c USING (b), n
+      ORDER BY a, b""")) { (s, dir) =>
+      graft.operators.Stats.contingencyResiduals(
+          t(s, dir, "documents"), "lang", "source")
+        .withColumn("dev_num", col("dev_num").cast("long"))
+        .orderBy("a", "b")
+    },
+
+    // Radius similarity search (Similarity.radiusIvf): everything within
+    // cosine >= 0.3 of each query through the IVF probe path — cell
+    // assignment is a zero-exchange projection, candidates equijoin on
+    // cell, the threshold is a codegen residual; no ranking shuffle
+    // exists. The oracle replays the same 8-cell / nprobe=2 probe, so
+    // the gate pins the IVF recall contract, not brute force.
+    QueryDef("x3_radius", Some("""
+      WITH ctr AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 8),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+      asn AS (SELECT v.vec_id, vv, cid,
+                row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                  list_dot_product(vv, cv)
+                    / sqrt(list_dot_product(vv, vv) * list_dot_product(cv, cv))
+                    DESC, cid) AS rk
+              FROM v, ctr),
+      cell AS (SELECT vec_id, vv, cid AS cell FROM asn WHERE rk = 1),
+      q AS (SELECT vec_id AS qid, vv AS qv, cid AS cell FROM asn
+            WHERE vec_id < 10 AND rk <= 2),
+      c AS (SELECT vec_id AS nid, vv AS cv2, cell FROM cell WHERE vec_id >= 10)
+      SELECT qid, nid,
+             list_dot_product(qv, cv2)
+               / sqrt(list_dot_product(qv, qv) * list_dot_product(cv2, cv2))
+               AS sim
+      FROM q JOIN c USING (cell)
+      WHERE list_dot_product(qv, cv2)
+              / sqrt(list_dot_product(qv, qv) * list_dot_product(cv2, cv2))
+            >= 0.3
+      ORDER BY qid, nid""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.radiusIvf(
+          e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          tau = 0.3, nprobe = 2)
+        .orderBy("qid", "nid")
     })
 }

@@ -113,4 +113,33 @@ class MultimodalSpec extends SparkSpec {
     // (1,4), (2,4) are Hamming >= 2 and must not appear
     assert(out == Seq((1L, 2L, 1), (1L, 3L, 1), (3L, 4L, 1)))
   }
+
+  test("shardAssign: byte-offset boundaries, per-group independence, oversize items") {
+    val df = Seq(
+      ("s1", 1L, 60L), ("s1", 2L, 50L), ("s1", 3L, 10L), ("s1", 4L, 250L),
+      ("s1", 5L, 10L), ("s2", 1L, 5L)).toDF("src", "id", "len")
+    val out = Multimodal.shardAssign(df, "id", col("len"), "src", 100L)
+      .select("src", "id", "shard").as[(String, Long, Long)].collect().toSet
+    // s1 exclusive cumsum: 0,60,110,120,370 -> div 100 = 0,0,1,1,3:
+    // the 250-byte item spans shard 1..3 so the next item opens shard 3.
+    assert(out == Set(("s1", 1L, 0L), ("s1", 2L, 0L), ("s1", 3L, 1L),
+      ("s1", 4L, 1L), ("s1", 5L, 3L), ("s2", 1L, 0L)))
+  }
+
+  test("shardAssign: assignment is repartition-stable and order-derived") {
+    val df = (1L to 97L).map(i => ("g" + (i % 3), i, 7L + i % 13))
+      .toDF("src", "id", "len")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.shardAssign(d, "id", col("len"), "src", 64L)
+        .select("src", "id", "shard").as[(String, Long, Long)]
+        .collect().toSet
+    val a = run(df)
+    assert(a == run(df.orderBy(rand(5))) && a == run(df.repartition(7)))
+    // shards within a group are contiguous in id order
+    val byGroup = a.groupBy(_._1)
+    byGroup.values.foreach { rows =>
+      val sorted = rows.toSeq.sortBy(_._2).map(_._3)
+      assert(sorted == sorted.sorted)
+    }
+  }
 }

@@ -397,4 +397,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) == ((2L, 2L, 1L, 0.5)))
     assert(out(3L) == ((2L, 2L, 0L, 0.0)))
   }
+
+  test("radiusIvf: threshold semantics equal knnIvf with k=all, and tau=-1 probes all") {
+    val e = spark.read.parquet(sf("embeddings"))
+    val corpus = e.filter($"vec_id" >= 10)
+    val queries = e.filter($"vec_id" < 10)
+    val cents = e.filter($"vec_id" < 8)
+    val viaKnn = Similarity.knnIvf(corpus, queries, "vec_id", "embedding",
+        cents, "vec_id", "embedding", k = Int.MaxValue, nprobe = 2)
+      .filter($"sim" >= 0.25).select("qid", "nid", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val viaRadius = Similarity.radiusIvf(corpus, queries, "vec_id",
+        "embedding", cents, "vec_id", "embedding", tau = 0.25, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaRadius == viaKnn)
+    assert(viaRadius.forall(_._3 >= 0.25))
+  }
 }

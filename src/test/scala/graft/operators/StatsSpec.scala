@@ -380,4 +380,23 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Long, Long, Option[Double])].head()
     assert(out._1 > 0 && const._4.isEmpty)
   }
+
+  test("contingencyResiduals: hand-computed 2x2 deviations sum to zero per margin") {
+    // Cells: (x,p)=30 (x,q)=10 (y,p)=10 (y,q)=50. n=100.
+    // dev(x,p) = 100*30 - 40*40 = 1400; resid = 1400/sqrt(100*40*40).
+    val df = (Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(50)(("y", "q"))).toDF("u", "v")
+    val out = Stats.contingencyResiduals(df, "u", "v")
+      .select(col("a"), col("b"), col("observed"), col("row_tot"),
+        col("col_tot"), col("dev_num").cast("long"), col("resid"))
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out(("x", "p"))._6 == 1400L)
+    assert(out(("x", "q"))._6 == -1400L)
+    assert(out(("y", "p"))._6 == -1400L)
+    assert(out(("y", "q"))._6 == 1400L)
+    assert(out(("x", "p"))._7 == 1400.0 / math.sqrt(100.0 * 40 * 40))
+    // Deviations cancel along every row and column margin.
+    assert(out.values.map(_._6).sum == 0L)
+  }
 }
