@@ -132,10 +132,13 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(blockCol))
       .orderBy(substring(col(textCol), 1, keyLen), col(idCol))
+    // Both sides of the neighbor join read the rank table; persist so the
+    // per-block sort runs once (the table is (block, id, rank) — narrow).
     val ranked = Par.spread(df)
       .select(col(blockCol).as("__blk"), col(idCol),
         row_number().over(w).as("__rn"))
       .withColumn("__b", expr(s"(__rn - 1) div $window"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Neighbor join through rank buckets: a candidate pair (rn_a < rn_b,
     // rn_b − rn_a <= window) always has bucket_b ∈ {bucket_a, bucket_a+1},
     // and the two cases are disjoint — no dedup pass needed.

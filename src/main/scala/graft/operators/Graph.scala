@@ -433,20 +433,27 @@ object Graph {
     */
   def linkPredict(pairs: DataFrame, minCommon: Long = 1, maxDeg: Long = 0,
                   raScale: Long = 1000000000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // The pair list feeds three plan branches (wedge legs via eg, the
+    // adjacency anti-join, degree joins) and is often itself an expensive
+    // self-join (co-occurrence pairs) — materialize it once.
     val p = pairs.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
+      .persist(lvl)
     val eg = p.select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     val deg = eg.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
     val mids =
       if (maxDeg > 0) deg.filter(col("d") <= maxDeg) else deg
-    // Wedge u—z—v, u < v: both legs read the SAME adjacency direction
-    // (z = src), so one shuffle key serves both join sides.
+    // Wedge u—z—v, u < v: both legs read the SAME adjacency-with-degree
+    // table (z = src), persisted so the self-join materializes it once
+    // and both sides shuffle from the same cached rows.
     val byMid = eg.select(col("src").as("z"), col("dst").as("u"))
       .join(mids.select(col("id").as("z"), col("d").as("dz")), "z")
+      .persist(lvl)
     val wedges = byMid.join(
         byMid.select(col("z"), col("u").as("v")),
         Seq("z"))
