@@ -26,7 +26,9 @@ class PlanAuditSpec extends SparkSpec {
     "f5_cum_uniques", "ev1_time_agg", "ev2_sessionize", "ts1_gapfill",
     "x1_dedup", "x2_jaccard_pairs", "x2_simhash", "x5_token_stats",
     "x5_quality", "x7_split", "x9_skew", "x9_kanon", "x9_profile",
-    "x9_ks", "x10_assoc", "x3_gram")
+    "x9_ks", "x10_assoc", "x3_gram",
+    "x8_linkpred", "ts8_autocorr", "x2_sorted_nbr", "x5_heaps",
+    "x4_shard", "x9_residuals")
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
@@ -64,5 +66,18 @@ class PlanAuditSpec extends SparkSpec {
   test("windowed top-k per group uses the partial WindowGroupLimit") {
     assert(plan("x5_heavy_hitters").contains("WindowGroupLimit"),
       "per-group top-k should prune map-side")
+  }
+
+  test("single-shuffle analytics shuffle exactly once before the gate ORDER BY") {
+    // ts8_autocorr: window + same-key aggregate share one exchange;
+    // x4_shard: one keyed running-sum window + the shard aggregate share
+    // the group key. Budget: 1 data exchange + spread + gate ORDER BY.
+    Seq("ts8_autocorr", "x4_shard").foreach { n =>
+      val p = plan(n)
+      val exchanges = "Exchange (hash|range)partitioning".r
+        .findAllIn(p).size
+      assert(exchanges <= 3,
+        s"$n should need at most spread + one keyed exchange + ORDER BY, got $exchanges:\n$p")
+    }
   }
 }
