@@ -775,4 +775,56 @@ object Stats {
             .cast("double")))
       .select("a", "b", "observed", "row_tot", "col_tot", "dev_num", "resid")
   }
+
+  /** Distributed BATCH perceptron over sparse integer features — the
+    * train-a-linear-filter primitive (quality/language/domain classifiers
+    * distilled over a corpus) in arithmetic that reproduces exactly.
+    * The classic online perceptron is inherently sequential (each row
+    * sees the previous row's weights); the batch variant folds one full
+    * pass into one update —
+    * {{{ w⁰ = 0;  wʳ⁺¹(b) = wʳ(b) + Σ_{docs with y·(wʳ·x) <= 0} y·x(b) }}}
+    * — and with integer counts and ±1 labels every margin and every
+    * weight is an exact long: the trained weights themselves hash-gate
+    * under any partitioning, which no FP gradient method can promise.
+    * (Round 1 from zero weights updates on every doc — margin 0 counts
+    * as misclassified, the standard convention.)
+    *
+    * Scale posture per round: one broadcast join of the |buckets|-sized
+    * weight table onto the feature stream, one per-doc margin aggregate,
+    * one semi join selecting misclassified docs, one per-bucket update
+    * aggregate — all map-side-partial-friendly, nothing driver-side but
+    * the loop counter. The labeled feature table is persisted across
+    * rounds (loop-invariant).
+    *
+    * @param features (docCol, bucketCol, cntCol) sparse counts
+    * @param labels   (docCol, labelCol) with labels in {+1, −1}
+    * @return (rnd, bucket, w) — weights AFTER each round 1..rounds
+    */
+  def perceptronRounds(features: DataFrame, docCol: String,
+                       bucketCol: String, cntCol: String,
+                       labels: DataFrame, labelCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val fy = features.select(col(docCol).as("doc"),
+        col(bucketCol).as("bucket"), col(cntCol).cast("long").as("cnt"))
+      .join(labels.select(col(docCol).as("doc"),
+        col(labelCol).cast("long").as("y")), "doc")
+      .persist()
+    var w = fy.select(col("bucket")).distinct()
+      .withColumn("w", lit(0L))
+    val perRound = (1 to rounds).map { r =>
+      val margins = fy.join(broadcast(w), "bucket")
+        .groupBy("doc", "y")
+        .agg(sum(col("cnt") * col("w")).as("m"))
+      val mis = margins.filter(col("y") * col("m") <= 0).select("doc")
+      val delta = fy.join(mis, Seq("doc"), "left_semi")
+        .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("dw"))
+      w = w.join(delta, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
+        .localCheckpoint()
+      w.withColumn("rnd", lit(r.toLong))
+    }
+    perRound.reduce(_ unionByName _).select("rnd", "bucket", "w")
+  }
 }

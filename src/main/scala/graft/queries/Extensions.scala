@@ -3514,5 +3514,44 @@ object Extensions extends QueryModule {
           e.filter(col("vec_id") < 8), "vec_id", "embedding",
           tau = 0.3, nprobe = 2)
         .orderBy("qid", "nid")
+    },
+
+    // Batch perceptron (Stats.perceptronRounds): two training rounds of
+    // an is-it-English linear classifier over 16 md5-bucket token-count
+    // features. Integer counts + ±1 labels make every margin and weight
+    // an exact long, so the TRAINED WEIGHTS hash-gate — reproducible
+    // distributed training no FP gradient method can promise. The
+    // oracle unrolls both rounds as CTEs.
+    QueryDef("x9_perceptron", Some("""
+      WITH f AS (SELECT doc_id AS doc, substring(md5(tok), 1, 1) AS bucket,
+                   count(*) AS cnt
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents) GROUP BY 1, 2),
+      lb AS (SELECT doc_id AS doc,
+               CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+             FROM documents),
+      fy AS (SELECT f.doc, bucket, cnt, y FROM f JOIN lb USING (doc)),
+      w1 AS (SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS w
+             FROM fy GROUP BY 1),
+      m2 AS (SELECT fy.doc, fy.y, sum(fy.cnt * w1.w) AS m
+             FROM fy JOIN w1 USING (bucket) GROUP BY 1, 2),
+      mis2 AS (SELECT doc FROM m2 WHERE y * m <= 0),
+      w2 AS (SELECT w1.bucket,
+               CAST(w1.w + coalesce(d.dw, 0) AS BIGINT) AS w
+             FROM w1 LEFT JOIN
+               (SELECT bucket, sum(y * cnt) AS dw FROM fy
+                WHERE doc IN (SELECT doc FROM mis2) GROUP BY 1) d
+               USING (bucket))
+      SELECT CAST(1 AS BIGINT) AS rnd, bucket, w FROM w1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS rnd, bucket, w FROM w2
+      ORDER BY rnd, bucket""")) { (s, dir) =>
+      val docs = spread(t(s, dir, "documents"))
+      val feats = TextOps.hashFeatures(docs, "doc_id", "text", hexDigits = 1)
+      val labels = docs.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+      graft.operators.Stats.perceptronRounds(feats, "doc_id", "bucket",
+          "cnt", labels, "y", rounds = 2)
+        .orderBy("rnd", "bucket")
     })
 }

@@ -399,4 +399,34 @@ class StatsSpec extends SparkSpec {
     // Deviations cancel along every row and column margin.
     assert(out.values.map(_._6).sum == 0L)
   }
+
+  test("perceptronRounds: hand-computed two rounds; round-2 updates only on mistakes") {
+    // doc1: {A:2}, y=+1; doc2: {A:1, B:1}, y=-1.
+    // Round 1 (all margins 0 -> all update): w(A)=2-1=1, w(B)=-1.
+    // Round 2: doc1 margin 2 (correct), doc2 margin 0 (mistake) ->
+    // w(A)=1-1=0, w(B)=-1-1=-2.
+    val feats = Seq((1L, "A", 2L), (2L, "A", 1L), (2L, "B", 1L))
+      .toDF("doc", "bucket", "cnt")
+    val labels = Seq((1L, 1L), (2L, -1L)).toDF("doc", "y")
+    val out = Stats.perceptronRounds(feats, "doc", "bucket", "cnt",
+        labels, "y", rounds = 2)
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map((1L, "A") -> 1L, (1L, "B") -> -1L,
+      (2L, "A") -> 0L, (2L, "B") -> -2L))
+  }
+
+  test("perceptronRounds: weights are repartition-invariant (exact integers)") {
+    val rnd = new scala.util.Random(11)
+    val feats = (1L to 60L).flatMap { d =>
+      Seq.fill(1 + rnd.nextInt(3))((d, "b" + rnd.nextInt(8),
+        1L + rnd.nextInt(5)))
+    }.toDF("doc", "bucket", "cnt")
+    val labels = (1L to 60L).map(d => (d, if (d % 3 == 0) 1L else -1L))
+      .toDF("doc", "y")
+    def run(f: org.apache.spark.sql.DataFrame) =
+      Stats.perceptronRounds(f, "doc", "bucket", "cnt", labels, "y", 3)
+        .as[(Long, String, Long)].collect().toSet
+    assert(run(feats.repartition(1)) == run(feats.repartition(13)))
+  }
 }
