@@ -423,5 +423,42 @@ object StreamingGates extends QueryModule {
         .select(col("event_type"), col("cnt"),
           col("total").cast("double").as("total"))
         .orderBy("event_type")
+    },
+
+    // Streaming corpus curation (Streams.curateStream): documents stream
+    // in over a nondeterministic multi-file split, each micro-batch is
+    // quality-filtered (min token count) and anti-joined against the
+    // static already-ingested digest set — both stateless, so the landed
+    // corpus is batch-identical by construction. The continuous form of
+    // the batch quality + incremental-dedup pass.
+    QueryDef("ev15_stream_curation", Some("""
+      WITH corpus AS (SELECT md5(text) AS digest FROM documents
+                      WHERE doc_id % 7 = 0)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(min(doc_id) AS BIGINT) AS min_id,
+             CAST(max(doc_id) AS BIGINT) AS max_id
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+        AND md5(text) NOT IN (SELECT digest FROM corpus)
+      GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val in = Scratch.fresh("curate-src")
+      val (out, ck) = (Scratch.fresh("curate-out"), Scratch.fresh("curate-ck"))
+      val docs = Tables.load(s, dir, "documents")
+      docs.repartition(4).write.mode("overwrite").parquet(in)
+      val digests = docs.filter(col("doc_id") % 7 === 0)
+        .select(md5(col("text")).as("digest"))
+      val src = s.readStream.schema(Streams.documentsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Streams.curateStream(src, digests, minTokens = 8)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang")
     })
 }

@@ -35,6 +35,39 @@ object Streams {
                       format: String = "parquet"): DataFrame =
     spark.readStream.schema(eventsSchema).format(format).load(dir)
 
+  /** documents table schema (TESTDATA.md) for streaming corpus ingest. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a directory of document files. */
+  def readDocStream(spark: SparkSession, dir: String,
+                    format: String = "parquet"): DataFrame =
+    spark.readStream.schema(documentsSchema).format(format).load(dir)
+
+  /** Stateless streaming corpus curation: quality-filter incoming
+    * documents (minimum token count) and drop anything whose content
+    * digest already exists in the STATIC ingested-corpus digest set — the
+    * continuous form of the batch quality + incremental-dedup pass
+    * ([[graft.operators.Dedup.incrementalDedup]]). Both steps are
+    * stateless (projection + broadcastable stream-static anti join), so
+    * the transform needs no watermark, no state store, and its output is
+    * batch-identical by construction — micro-batch boundaries cannot
+    * change a per-row decision.
+    *
+    * At scale the digest side ships 32-char hashes, never documents, and
+    * a too-big-to-broadcast digest set degrades to a shuffled anti join
+    * exactly as in the batch operator.
+    */
+  def curateStream(stream: DataFrame, corpusDigests: DataFrame,
+                   minTokens: Int): DataFrame =
+    stream.filter(size(split(col("text"), " ")) >= minTokens)
+      .withColumn("digest", md5(col("text")))
+      .join(corpusDigests, Seq("digest"), "left_anti")
+
   /** Tumbling event-time window counts with a watermark: late events beyond
     * `lateness` are dropped and their window state evicted.
     */

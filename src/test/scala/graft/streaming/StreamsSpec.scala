@@ -220,4 +220,19 @@ class StreamsSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(spark.read.parquet(outDir).count() == batch.count())
   }
+
+  test("curateStream: quality filter + digest anti-join, batch-identical semantics") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six seven eight", "en"),
+      (2L, "too short", "en"),
+      (3L, "already ingested text one two three four five", "fr"),
+      (4L, "fresh long document with eight whole tokens here", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val corpus = Seq("already ingested text one two three four five")
+      .toDF("t").select(org.apache.spark.sql.functions.md5($"t").as("digest"))
+    val kept = Streams.curateStream(docs, corpus, minTokens = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
 }
