@@ -431,6 +431,54 @@ object Graph {
     * @param pairs undirected unique pairs (src, dst), src < dst
     * @return (u, v, cn, ra, pa) with u < v, (u,v) not an edge, cn >= minCommon
     */
+  /** Newman modularity of a node partition over an undirected unique-pair
+    * edge list (src < dst) — the community-quality score that turns
+    * [[labelPropagate]] from "it produced labels" into "the labels are
+    * better than chance". Modularity is RATIONAL in edge counts:
+    * {{{ Q = Σ_c (e_c/m − (d_c/2m)²)
+    *       = [Σ_c (4·m·e_c − d_c²)] / (4·m²) }}}
+    * with e_c = edges inside community c, d_c = total degree of c's
+    * nodes, m = |edges| — so the numerator is an exact integer sum
+    * (DECIMAL(38,0), order-free) and ONE IEEE division ends it: the
+    * score itself hash-gates, which the usual float-accumulated Q does
+    * not. Communities with no internal edges still contribute −d_c².
+    *
+    * Scale posture: one labeled-edge join pair (labels are node-sized),
+    * one |labels|-sized e_c/d_c aggregate each, a one-row m broadcast —
+    * nothing data-sized after the label join.
+    *
+    * @param labels (id, label) covering every node on an edge
+    * @return one row: (m, n_comm, q)
+    */
+  def modularityInt(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val p = pairs.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val lb = labels.select(col("id").cast("long").as("id"),
+      col("label").cast("long").as("label"))
+    val withLab = p
+      .join(lb.select(col("id").as("src"), col("label").as("ls")), "src")
+      .join(lb.select(col("id").as("dst"), col("label").as("ld")), "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ec = withLab.filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("label")).agg(count(lit(1)).as("ec"))
+    val dc = withLab
+      .select(explode(array(col("ls"), col("ld"))).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("dcnt"))
+    val mrow = withLab.agg(count(lit(1)).as("m"))
+    dc.join(ec, Seq("label"), "left")
+      .crossJoin(broadcast(mrow))
+      .select(col("m"),
+        (dec(lit(4)) * dec(col("m")) * dec(coalesce(col("ec"), lit(0L)))
+          - dec(col("dcnt")) * dec(col("dcnt"))).as("t"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_comm"), sum("t").as("__num"))
+      .select(col("m"), col("n_comm"),
+        (col("__num").cast("double") /
+          (dec(lit(4)) * dec(col("m")) * dec(col("m"))).cast("double"))
+          .as("q"))
+  }
+
   def linkPredict(pairs: DataFrame, minCommon: Long = 1, maxDeg: Long = 0,
                   raScale: Long = 1000000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

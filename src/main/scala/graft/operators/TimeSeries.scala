@@ -242,4 +242,45 @@ object TimeSeries {
       .withColumn("sum_win",
         sum(col(valueCol).cast("decimal(18,6)")).over(w).cast("double"))
   }
+
+  /** Seasonal-naive forecast skill (the MASE construction): per key, the
+    * mean absolute error of the lag-`season` "same time last period"
+    * forecast, SCALED by the lag-1 naive baseline's MAE —
+    * {{{ mase = (Σ|x_t − x_{t−s}| / n_s) / (Σ|x_t − x_{t−1}| / n_1)
+    *          = (err_s · n_1) / (err_1 · n_s) }}}
+    * mase < 1 means the seasonal pattern beats "repeat yesterday" — the
+    * monitoring number that says a series HAS usable seasonality.
+    * On the integer value grid both error sums are exact longs and the
+    * cross-multiplied form needs ONE IEEE division, so the statistic
+    * hash-gates (the [[graft.operators.Stats.autocorrInt]] discipline).
+    *
+    * Scale posture: both lags ride ONE window exchange on the key, the
+    * error sums one same-key aggregate — a single shuffle. Null when the
+    * baseline error is 0 (constant series) or no lag-`season` pair
+    * exists.
+    *
+    * @return per key: (n, err_s, err_1, mase)
+    */
+  def maseNaive(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                valueCol: String, season: Int, grid: Long): DataFrame = {
+    require(season >= 1, "season must be >= 1")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val g = df.withColumn("__x",
+        floor(col(valueCol) * lit(grid.toDouble)).cast("long"))
+      .withColumn("__xs", lag(col("__x"), season).over(w))
+      .withColumn("__x1", lag(col("__x"), 1).over(w))
+    g.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("__x") - col("__xs"))).as("err_s"),
+        count(col("__xs")).as("__ns"),
+        sum(abs(col("__x") - col("__x1"))).as("err_1"),
+        count(col("__x1")).as("__n1"))
+      .select((keys.map(col) :+ col("n") :+ col("err_s") :+ col("err_1") :+
+        when(col("err_1") > 0 && col("__ns") > 0,
+          (dec(col("err_s")) * dec(col("__n1"))).cast("double") /
+            (dec(col("err_1")) * dec(col("__ns"))).cast("double"))
+          .as("mase")): _*)
+  }
 }

@@ -3553,5 +3553,93 @@ object Extensions extends QueryModule {
       graft.operators.Stats.perceptronRounds(feats, "doc_id", "bucket",
           "cnt", labels, "y", rounds = 2)
         .orderBy("rnd", "bucket")
+    },
+
+    // Modularity of the label-propagation communities (Graph.modularityInt
+    // over x8_labelprop's partition): Q is rational in edge counts —
+    // Σ_c(4·m·e_c − d_c²) / (4m²) — so the community-quality score itself
+    // hash-gates. The oracle replays two LPA rounds then the exact sum.
+    QueryDef("x8_modularity", Some("""
+      WITH pr AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      eg AS (SELECT src, dst FROM pr
+             UNION ALL SELECT dst AS src, src AS dst FROM pr),
+      nodes AS (SELECT DISTINCT src AS id FROM eg),
+      l0 AS (SELECT id, id AS label FROM nodes),
+      n1 AS (SELECT e.dst AS id, l.label, count(*) AS c
+             FROM eg e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+      t1 AS (SELECT id, label FROM (
+               SELECT id, label,
+                 row_number() OVER (PARTITION BY id
+                   ORDER BY c DESC, label) AS rn FROM n1) WHERE rn = 1),
+      l1 AS (SELECT l0.id, coalesce(t1.label, l0.label) AS label
+             FROM l0 LEFT JOIN t1 ON t1.id = l0.id),
+      n2 AS (SELECT e.dst AS id, l.label, count(*) AS c
+             FROM eg e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+      t2 AS (SELECT id, label FROM (
+               SELECT id, label,
+                 row_number() OVER (PARTITION BY id
+                   ORDER BY c DESC, label) AS rn FROM n2) WHERE rn = 1),
+      l2 AS (SELECT l1.id, coalesce(t2.label, l1.label) AS label
+             FROM l1 LEFT JOIN t2 ON t2.id = l1.id),
+      lp AS (SELECT p.src, p.dst, a.label AS ls, b.label AS ld
+             FROM pr p JOIN l2 a ON a.id = p.src
+                       JOIN l2 b ON b.id = p.dst),
+      ec AS (SELECT ls AS label, count(*) AS ec FROM lp
+             WHERE ls = ld GROUP BY 1),
+      dc AS (SELECT label, count(*) AS dcnt FROM (
+               SELECT ls AS label FROM lp
+               UNION ALL SELECT ld AS label FROM lp) GROUP BY 1),
+      mm AS (SELECT count(*) AS m FROM lp),
+      tm AS (SELECT dc.label,
+               CAST(4 AS HUGEINT) * m * coalesce(ec.ec, 0)
+                 - CAST(dc.dcnt AS HUGEINT) * dc.dcnt AS t, m
+             FROM dc LEFT JOIN ec USING (label), mm)
+      SELECT CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n_comm,
+             CAST(sum(t) AS DOUBLE)
+               / CAST(4 * CAST(m AS HUGEINT) * m AS DOUBLE) AS q
+      FROM tm GROUP BY m ORDER BY m""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val labels = graft.operators.Graph.labelPropagate(edges, rounds = 2)
+      graft.operators.Graph.modularityInt(pairs, labels).orderBy("m")
+    },
+
+    // Seasonal-naive forecast skill (TimeSeries.maseNaive): per event
+    // type, MAE of the lag-7 forecast scaled by the lag-1 naive baseline
+    // — exact integer error sums on the 1e4 grid, cross-multiplied to
+    // one division, both lags on one window exchange.
+    QueryDef("ts9_mase", Some("""
+      WITH g AS (
+        SELECT event_type,
+               CAST(floor(value * 10000) AS BIGINT) AS x,
+               lag(CAST(floor(value * 10000) AS BIGINT), 7) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id) AS xs,
+               lag(CAST(floor(value * 10000) AS BIGINT), 1) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id) AS x1
+        FROM events),
+      a AS (
+        SELECT event_type, count(*) AS n,
+               sum(abs(x - xs)) AS err_s, count(xs) AS ns,
+               sum(abs(x - x1)) AS err_1, count(x1) AS n1
+        FROM g GROUP BY 1)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             CAST(err_s AS BIGINT) AS err_s, CAST(err_1 AS BIGINT) AS err_1,
+             CASE WHEN err_1 > 0 AND ns > 0
+               THEN CAST(CAST(err_s AS HUGEINT) * n1 AS DOUBLE)
+                  / CAST(CAST(err_1 AS HUGEINT) * ns AS DOUBLE) END AS mase
+      FROM a ORDER BY event_type""")) { (s, dir) =>
+      graft.operators.TimeSeries.maseNaive(t(s, dir, "events"),
+          Seq("event_type"), Seq("ts", "event_id"), "value",
+          season = 7, grid = 10000L)
+        .orderBy("event_type")
     })
 }

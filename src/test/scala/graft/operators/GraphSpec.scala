@@ -291,4 +291,21 @@ class GraphSpec extends SparkSpec {
     assert(a == run(pairs.repartition(7)))
     assert(a.nonEmpty)
   }
+
+  test("modularityInt: two triangles with a bridge under the perfect partition") {
+    // m = 7; e_c = 3 each; d_c = 7 each -> Q = 2*(3/7 - (7/14)^2) = 70/196.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "label")
+    val out = Graph.modularityInt(pairs, labels)
+      .as[(Long, Long, Double)].head()
+    assert(out._1 == 7L && out._2 == 2L)
+    assert(out._3 == 70.0 / 196.0)
+    // The everything-in-one-community partition scores exactly 0.
+    val one = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("id", "label")
+    assert(Graph.modularityInt(pairs, one)
+      .as[(Long, Long, Double)].head()._3 == 0.0)
+  }
 }

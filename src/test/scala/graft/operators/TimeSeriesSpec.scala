@@ -146,4 +146,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq((1L, 1.0), (2L, 3.0), (4L, 15.0), (4L, 15.0),
       (4L, 30.0), (1L, 32.0)))
   }
+
+  test("maseNaive: hand-computed skill ratio; constant baseline gives null") {
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("a", 4L, 4.0), ("a", 5L, 5.0),
+      ("c", 1L, 3.0), ("c", 2L, 3.0), ("c", 3L, 3.0)).toDF("k", "t", "v")
+    val out = TimeSeries.maseNaive(df, Seq("k"), Seq("t"), "v",
+        season = 2, grid = 1L)
+      .as[(String, Long, Option[Long], Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // err_s = |3-1|+|4-2|+|5-3| = 6 over 3 pairs; err_1 = 4 over 4 pairs.
+    assert(out("a")._2 == 5L && out("a")._3 == Some(6L) &&
+      out("a")._4 == Some(4L))
+    assert(out("a")._5 == Some((6.0 * 4) / (4.0 * 3)))
+    assert(out("c")._5.isEmpty) // constant series: baseline error 0
+  }
+
+  test("maseNaive: a perfectly seasonal series scores 0 (beats the baseline)") {
+    val xs = (0 until 24).map(i => ("s", i.toLong, (i % 4).toDouble))
+    val out = TimeSeries.maseNaive(xs.toDF("k", "t", "v"), Seq("k"),
+        Seq("t"), "v", season = 4, grid = 1L)
+      .as[(String, Long, Option[Long], Option[Long], Option[Double])].head()
+    assert(out._3 == Some(0L) && out._5 == Some(0.0))
+  }
 }
