@@ -979,6 +979,31 @@ object Maintenance extends QueryModule {
           "user_id", "ts", "value", widthMs = 3600000L)
         .select("event_id", "user_id", "n_win", "sum_win")
         .orderBy("event_id")
+    },
+
+    // Parquet AGGREGATE pushdown (s12): COUNT/MIN/MAX answered from
+    // parquet footer statistics — at 100 TB the scan reads row-group
+    // metadata, not data. Needs the DSv2 parquet path + the pushdown
+    // conf, both armed only for this gate (eager localCheckpoint inside
+    // the try, the r10 discipline); `MaintenanceSpec` asserts the plan
+    // carries PushedAggregation and no data columns in ReadSchema.
+    QueryDef("s12_agg_pushdown", Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(min(l_orderkey) AS BIGINT) AS min_k,
+             CAST(max(l_orderkey) AS BIGINT) AS max_k
+      FROM lineitem ORDER BY n""")) { (s, dir) =>
+      s.conf.set("spark.sql.sources.useV1SourceList", "")
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      try {
+        s.read.parquet(s"${dir.stripSuffix("/")}/lineitem.parquet")
+          .agg(count(lit(1)).as("n"),
+            min("l_orderkey").as("min_k"), max("l_orderkey").as("max_k"))
+          .orderBy("n")
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset("spark.sql.parquet.aggregatePushdown")
+        s.conf.unset("spark.sql.sources.useV1SourceList")
+      }
     }
   )
 }

@@ -160,4 +160,29 @@ class ZoneIOSpec extends SparkSpec {
     Writers.loadTable(spark, z, "", "graft_test", "t1")
     assert(spark.table("graft_test.t1").count() == 7)
   }
+
+  test("s12: COUNT/MIN/MAX push into the parquet scan as PushedAggregation") {
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = spark.read.parquet(sf("lineitem"))
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.min("l_orderkey").as("min_k"),
+          org.apache.spark.sql.functions.max("l_orderkey").as("max_k"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"expected footer-stat aggregation pushdown:\n$plan")
+      assert(plan.contains("MIN(l_orderkey)") && plan.contains("MAX(l_orderkey)"))
+      // And the pushed scan answers correctly.
+      val r = df.collect().head
+      val truth = spark.read.parquet(sf("lineitem"))
+        .selectExpr("count(*)", "min(l_orderkey)", "max(l_orderkey)")
+        .collect().head
+      assert(r == truth)
+    } finally {
+      spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      spark.conf.unset("spark.sql.sources.useV1SourceList")
+    }
+  }
 }
