@@ -479,6 +479,52 @@ object Graph {
           .as("q"))
   }
 
+  /** Per-community structure report over an undirected unique-pair edge
+    * list and a node partition — the cell-level companion to the global
+    * [[modularityInt]] score: for each community, its node count,
+    * internal edge count, volume (total degree), cut (edges leaving),
+    * and CONDUCTANCE φ = cut / min(vol, 2m − vol) — the standard "is
+    * this community real or an artifact" number (low φ = few escaping
+    * edges relative to size). cut = vol − 2·e_in and the min are exact
+    * integers, so only the final φ division is floating point and the
+    * whole report hash-gates. φ is null for a community holding all or
+    * none of the volume (denominator 0).
+    *
+    * Scale posture: identical to modularityInt — one labeled-edge join,
+    * |labels|-sized aggregates, a one-row m broadcast.
+    *
+    * @return per community: (label, n_nodes, e_in, vol, cut, phi)
+    */
+  def communityStats(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val p = pairs.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val lb = labels.select(col("id").cast("long").as("id"),
+      col("label").cast("long").as("label"))
+    val withLab = p
+      .join(lb.select(col("id").as("src"), col("label").as("ls")), "src")
+      .join(lb.select(col("id").as("dst"), col("label").as("ld")), "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nn = p.select(col("src").as("id")).union(p.select(col("dst").as("id")))
+      .distinct().join(lb, "id")
+      .groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    val ec = withLab.filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("label")).agg(count(lit(1)).as("e_in"))
+    val dc = withLab
+      .select(explode(array(col("ls"), col("ld"))).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("vol"))
+    val mrow = withLab.agg(count(lit(1)).as("m"))
+    nn.join(dc, "label").join(ec, Seq("label"), "left")
+      .crossJoin(broadcast(mrow))
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .withColumn("cut", col("vol") - lit(2L) * col("e_in"))
+      .withColumn("__den", least(col("vol"), lit(2L) * col("m") - col("vol")))
+      .select(col("label"), col("n_nodes"), col("e_in"), col("vol"),
+        col("cut"),
+        when(col("__den") > 0,
+          col("cut").cast("double") / col("__den").cast("double"))
+          .as("phi"))
+  }
+
   def linkPredict(pairs: DataFrame, minCommon: Long = 1, maxDeg: Long = 0,
                   raScale: Long = 1000000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

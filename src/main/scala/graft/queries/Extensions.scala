@@ -3641,5 +3641,50 @@ object Extensions extends QueryModule {
           Seq("event_type"), Seq("ts", "event_id"), "value",
           season = 7, grid = 10000L)
         .orderBy("event_type")
+    },
+
+    // Per-community conductance (Graph.communityStats) of the
+    // nation-of-supplier partition over the co-purchase graph: node
+    // count, internal edges, volume, cut and φ = cut/min(vol, 2m−vol)
+    // per community — cut and the min are exact integers, one division
+    // ends it, so the whole structure report hash-gates.
+    QueryDef("x8_conductance", Some("""
+      WITH pr AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      lb AS (SELECT s_suppkey AS id, CAST(s_nationkey AS BIGINT) AS label
+             FROM supplier),
+      lp AS (SELECT la.label AS ls, bb.label AS ld
+             FROM pr JOIN lb la ON la.id = pr.src
+                     JOIN lb bb ON bb.id = pr.dst),
+      mm AS (SELECT count(*) AS m FROM lp),
+      nodes AS (SELECT src AS id FROM pr UNION SELECT dst FROM pr),
+      nn AS (SELECT label, count(*) AS n_nodes
+             FROM nodes JOIN lb USING (id) GROUP BY 1),
+      ec AS (SELECT ls AS label, count(*) AS e_in FROM lp
+             WHERE ls = ld GROUP BY 1),
+      dc AS (SELECT label, count(*) AS vol FROM (
+               SELECT ls AS label FROM lp
+               UNION ALL SELECT ld AS label FROM lp) GROUP BY 1)
+      SELECT nn.label, CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+             CAST(coalesce(ec.e_in, 0) AS BIGINT) AS e_in,
+             CAST(dc.vol AS BIGINT) AS vol,
+             CAST(dc.vol - 2 * coalesce(ec.e_in, 0) AS BIGINT) AS cut,
+             CASE WHEN least(dc.vol, 2 * m - dc.vol) > 0
+               THEN CAST(dc.vol - 2 * coalesce(ec.e_in, 0) AS DOUBLE)
+                  / CAST(least(dc.vol, 2 * m - dc.vol) AS DOUBLE) END AS phi
+      FROM nn JOIN dc USING (label) LEFT JOIN ec USING (label), mm
+      ORDER BY label""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+      val labels = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("id"),
+          col("s_nationkey").cast("long").as("label"))
+      graft.operators.Graph.communityStats(pairs, labels).orderBy("label")
     })
 }

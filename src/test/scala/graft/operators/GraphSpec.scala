@@ -308,4 +308,22 @@ class GraphSpec extends SparkSpec {
     assert(Graph.modularityInt(pairs, one)
       .as[(Long, Long, Double)].head()._3 == 0.0)
   }
+
+  test("communityStats: hand-computed conductance on the bridged triangles") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "label")
+    // Each triangle: 3 nodes, e_in=3, vol=7, cut=1, phi = 1/min(7,7).
+    val out = Graph.communityStats(pairs, labels)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 3L, 7L, 1L, Some(1.0 / 7.0))))
+    assert(out(4L) == ((4L, 3L, 3L, 7L, 1L, Some(1.0 / 7.0))))
+    // One community holding everything: cut 0, denominator 0 -> phi null.
+    val one = (1L to 6L).map((_, 9L)).toDF("id", "label")
+    val all = Graph.communityStats(pairs, one)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(all._5 == 0L && all._6.isEmpty)
+  }
 }
