@@ -827,4 +827,47 @@ object Stats {
     }
     perRound.reduce(_ unionByName _).select("rnd", "bucket", "w")
   }
+
+  /** Histogram-resolution quantiles — the SCALE PATH for percentiles,
+    * deterministic where engine sketch implementations (t-digest,
+    * KLL, GK) are not: values land on a fixed 1/`grid` lattice, the
+    * per-key value histogram is built in one aggregate, and p50/p90 are
+    * the smallest lattice points whose cumulative count reaches
+    * ceil(p·n) — the same rank-at-ceil rule as the exact q6 gate, but
+    * evaluated on the histogram, so the cumulative window runs over
+    * DISTINCT LATTICE VALUES per key, never the data. Error is bounded
+    * by the lattice spacing (exactly 1/grid), which is a contract a
+    * sketch cannot give; the result is bit-reproducible in any engine.
+    *
+    * ceil(p·n) in exact integers: ceil(n/2) = (n+1) div 2,
+    * ceil(9n/10) = (9n+9) div 10 — rank picks never hinge on FP.
+    *
+    * Scale posture: one (key, lattice) aggregate with map-side partials
+    * (the data-sized pass), then windows over histogram rows. State is
+    * |key|·|distinct lattice values| — bounded by grid resolution, the
+    * knob trading memory for error.
+    *
+    * @return per key: (n, p50, p90) — lattice values as doubles
+    */
+  def histQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
+                    grid: Long): DataFrame = {
+    require(grid >= 1, "grid must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .withColumn("__g", floor(col(valueCol) * lit(grid.toDouble)).cast("long"))
+      .groupBy((keys.map(col) :+ col("__g")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__g"))
+    val cum = hist
+      .withColumn("__cum", sum("__c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("__c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.groupBy(keys.map(col): _*)
+      .agg(max("__n").as("n"),
+        (min(when(col("__cum") >= expr("(__n + 1) div 2"), col("__g")))
+          .cast("double") / lit(grid.toDouble)).as("p50"),
+        (min(when(col("__cum") >= expr("(9 * __n + 9) div 10"), col("__g")))
+          .cast("double") / lit(grid.toDouble)).as("p90"))
+  }
 }

@@ -3686,5 +3686,31 @@ object Extensions extends QueryModule {
         .select(col("s_suppkey").as("id"),
           col("s_nationkey").cast("long").as("label"))
       graft.operators.Graph.communityStats(pairs, labels).orderBy("label")
+    },
+
+    // Histogram-resolution quantiles (Stats.histQuantiles): p50/p90 at
+    // 1/100 lattice resolution — the deterministic scale path where
+    // approx_percentile's sketch is engine-specific (x5_approx_pctl can
+    // only rows-only gate) and q6's exact rank sort is data-sized. The
+    // cumulative window runs over distinct lattice values per key, never
+    // the data; error is bounded by the lattice spacing by construction.
+    QueryDef("x9_hist_pctl", Some("""
+      WITH h AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS g,
+                   count(*) AS c
+                 FROM events GROUP BY 1, 2),
+      cw AS (SELECT event_type, g,
+               sum(c) OVER (PARTITION BY event_type ORDER BY g
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+             FROM h)
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN g END) AS DOUBLE)
+               / 100 AS p50,
+             CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN g END)
+               AS DOUBLE) / 100 AS p90
+      FROM cw GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
+      graft.operators.Stats.histQuantiles(t(s, dir, "events"),
+          Seq("event_type"), "value", grid = 100L)
+        .orderBy("event_type")
     })
 }

@@ -429,4 +429,26 @@ class StatsSpec extends SparkSpec {
         .as[(Long, String, Long)].collect().toSet
     assert(run(feats.repartition(1)) == run(feats.repartition(13)))
   }
+
+  test("histQuantiles: rank-at-ceil on the lattice; error bounded by spacing") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 5.25), ("b", 5.25), ("b", 9.99)).toDF("k", "v")
+    val out = Stats.histQuantiles(df, Seq("k"), "v", grid = 100L)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // a: ranks ceil(5/2)=2 -> 2.0; ceil(45/10)=4 -> 4.0 (values on-lattice).
+    assert(out("a") == ((4L, 2.0, 4.0)))
+    assert(out("b") == ((3L, 5.25, 9.99)))
+    // Against the exact order statistic on random data, within 1/grid.
+    val rnd = new scala.util.Random(3)
+    val xs = Seq.fill(500)(rnd.nextDouble() * 50)
+    val got = Stats.histQuantiles(xs.map(("k", _)).toDF("k", "v"),
+        Seq("k"), "v", 100L)
+      .as[(String, Long, Double, Double)].head()
+    val sorted = xs.sorted
+    val exact50 = sorted((xs.length + 1) / 2 - 1)
+    val exact90 = sorted((9 * xs.length + 9) / 10 - 1)
+    assert(math.abs(got._3 - exact50) <= 0.01 + 1e-12)
+    assert(math.abs(got._4 - exact90) <= 0.01 + 1e-12)
+  }
 }
