@@ -61,7 +61,7 @@ object AsOf {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     u.withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         rightCols.map(c => col(s"__match.$c").as(c)): _*)
   }
 
@@ -86,7 +86,7 @@ object AsOf {
       if (forward) unix_millis(col(mts)) - unix_millis(col(leftTs))
       else unix_millis(col(leftTs)) - unix_millis(col(mts))
     val keep = col(mts).isNotNull && gap <= toleranceMs
-    joined.select(left.columns.map(col) ++
+    joined.select(left.columns.toIndexedSeq.map(col) ++
       rightCols.map(c => when(keep, col(c)).otherwise(lit(null)).as(c)): _*)
   }
 }

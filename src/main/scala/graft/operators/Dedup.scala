@@ -663,7 +663,7 @@ object Dedup {
     def checkpointed(d: DataFrame): DataFrame = {
       val before = sc.getPersistentRDDs.keySet
       val out = d.localCheckpoint()
-      val added = sc.getPersistentRDDs.keySet -- before
+      val added = sc.getPersistentRDDs.keySet.toSet -- before
       liveCkpt.foreach(i =>
         sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
       liveCkpt = added
@@ -684,7 +684,7 @@ object Dedup {
     def labelSum(l: DataFrame): java.math.BigDecimal = {
       // sum over zero rows is null — an empty subgraph (no pairs at all)
       // must still converge on the first round
-      val d = l.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+      val d = l.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
     var prevSum = labelSum(labels)
@@ -919,7 +919,7 @@ object Dedup {
     val bsh = shingleSet(bench, idCol, textCol, n).select("shingle").distinct()
     val sketch = bsh
       .agg(BloomOps.bloomAgg(col("shingle"), expectedItems, fpp).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
     val hit = BloomOps.mightContain(lit(sketch), col("shingle"))
     shingleSet(train, idCol, textCol, n)
       .groupBy(idCol)

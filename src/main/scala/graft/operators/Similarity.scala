@@ -81,7 +81,7 @@ object Similarity {
     * an array literal.
     */
   private def bucketExpr(vec: Column, planeVecs: Array[Seq[Double]]): Column =
-    concat(planeVecs.map(pv =>
+    concat(planeVecs.toIndexedSeq.map(pv =>
       when(dot(vec, typedLit(pv)) >= 0, "1").otherwise("0")): _*)
 
   /** Random-hyperplane LSH bucket assignment: input columns + `bucket`
@@ -330,7 +330,7 @@ object Similarity {
     */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
               m: Int, k: Int, iters: Int): Seq[Array[Seq[Double]]] = {
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(m >= 1 && dim % m == 0, s"m must divide the dimension ($dim)")
     val sub = dim / m
     (0 until m).map { j =>
@@ -767,7 +767,7 @@ object Similarity {
       .orderBy(col(cidCol))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    val cmap = map(cents.flatMap { case (id, v) =>
+    val cmap = map(cents.toIndexedSeq.flatMap { case (id, v) =>
       Seq(lit(id), typedLit(v)) }: _*)
     def g(c: Column): Column =
       transform(c, x => floor(x * lit(scale)).cast("long"))
