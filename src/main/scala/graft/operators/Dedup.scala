@@ -443,6 +443,34 @@ object Dedup {
           .as("recall"))
   }
 
+  /** Recall scorecard for sorted-neighborhood blocking — of all exact
+    * Jaccard >= threshold pairs ([[jaccardPairs]], the ground truth),
+    * the fraction [[sortedNeighborhoodPairs]] surfaces with the given
+    * (window, keyLen). Precision is 1 by construction (SNM verifies
+    * candidates with the same exact arithmetic), so recall is THE number
+    * that prices the window: run it on a sample before choosing the
+    * corpus pass, exactly like [[lshRecall]] prices (k, bands).
+    *
+    * Scale posture: both pair sets are blocked operators; the combine is
+    * two one-row counts crossed as broadcasts.
+    *
+    * @return one row: (n_truth, n_found, recall — null when no truth)
+    */
+  def snmRecall(df: DataFrame, idCol: String, textCol: String,
+                blockCol: String, window: Int, keyLen: Int,
+                n: Int, threshold: Double): DataFrame = {
+    val t = jaccardPairs(df, idCol, textCol, n, threshold)
+      .agg(count(lit(1)).as("n_truth"))
+    val f = sortedNeighborhoodPairs(df, idCol, textCol, blockCol,
+        window, keyLen, n, threshold)
+      .agg(count(lit(1)).as("n_found"))
+    t.crossJoin(broadcast(f))
+      .select(col("n_truth"), col("n_found"),
+        when(col("n_truth") > 0,
+          col("n_found").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
+
   /** (docId, band, bh) LSH band-hash table: all band hashes in ONE
     * posexplode over the signature row — a b-way union here would re-run
     * the signature aggregation once per band branch when the result

@@ -3712,5 +3712,36 @@ object Extensions extends QueryModule {
       graft.operators.Stats.histQuantiles(t(s, dir, "events"),
           Seq("event_type"), "value", grid = 100L)
         .orderBy("event_type")
+    },
+
+    // Measured SNM recall (Dedup.snmRecall): of all exact Jaccard >= 0.6
+    // pairs, the fraction the window-8 sorted-neighborhood pass surfaces
+    // — the number that prices the window before a corpus run, the SNM
+    // counterpart of x2_lsh_recall (precision is 1 by construction: SNM
+    // verifies candidates with the same exact arithmetic).
+    QueryDef("x2_snm_recall", Some(s"""
+      WITH $shCte,
+      tr AS (SELECT i.da, i.db FROM inter i
+             JOIN cnt ca ON ca.doc_id = i.da
+             JOIN cnt cb ON cb.doc_id = i.db
+             WHERE CAST(i.ni AS DOUBLE) / (ca.n_sh + cb.n_sh - i.ni) >= 0.6),
+      ord AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY substr(text, 1, 24), doc_id) AS rn
+              FROM documents),
+      cand AS (SELECT least(a.doc_id, b.doc_id) AS da,
+                      greatest(a.doc_id, b.doc_id) AS db
+               FROM ord a JOIN ord b
+                 ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 8),
+      fo AS (SELECT c.da, c.db FROM cand c JOIN tr USING (da, db))
+      SELECT CAST(t.n AS BIGINT) AS n_truth, CAST(f.n AS BIGINT) AS n_found,
+             CASE WHEN t.n > 0
+               THEN CAST(f.n AS DOUBLE) / CAST(t.n AS DOUBLE) END AS recall
+      FROM (SELECT count(*) AS n FROM tr) t,
+           (SELECT count(*) AS n FROM fo) f
+      ORDER BY n_truth""")) { (s, dir) =>
+      Dedup.snmRecall(t(s, dir, "documents"), "doc_id", "text", "lang",
+          window = 8, keyLen = 24, n = 3, threshold = 0.6)
+        .orderBy("n_truth")
     })
 }

@@ -417,4 +417,22 @@ class DedupSpec extends SparkSpec {
     assert(out.map(p => (p._1, p._2)) == Set((1L, 2L)))
     assert(out == run(df.repartition(7)))
   }
+
+  test("snmRecall: counts truth vs surfaced pairs; window widening raises recall") {
+    val df = Seq(
+      (1L, "g", "aaaa one two three four five six"),
+      (2L, "g", "aaab one two three four five six"),
+      (3L, "g", "mmmm unrelated filler words here now"),
+      (4L, "g", "zzzz one two three four five six"))
+      .toDF("doc_id", "lang", "text")
+    // Truth at 0.3: (1,2), (1,4), (2,4). Window 1 finds only (1,2).
+    val narrow = Dedup.snmRecall(df, "doc_id", "text", "lang",
+        window = 1, keyLen = 4, n = 3, threshold = 0.3)
+      .as[(Long, Long, Option[Double])].head()
+    assert(narrow == ((3L, 1L, Some(1.0 / 3.0))))
+    val wide = Dedup.snmRecall(df, "doc_id", "text", "lang",
+        window = 3, keyLen = 4, n = 3, threshold = 0.3)
+      .as[(Long, Long, Option[Double])].head()
+    assert(wide == ((3L, 3L, Some(1.0))))
+  }
 }
