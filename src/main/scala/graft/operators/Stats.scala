@@ -828,6 +828,55 @@ object Stats {
     perRound.reduce(_ unionByName _).select("rnd", "bucket", "w")
   }
 
+  /** Welch's two-sample t statistic per key — the parametric A/B-test
+    * primitive next to the nonparametric [[ksTwoSample]]: does group A's
+    * mean differ from group B's, scaled by the unpooled variances?
+    * {{{ t = (m₁ − m₂) / √(s₁²/n₁ + s₂²/n₂) }}}
+    * Gate-exact construction: values on the integer grid, each group
+    * reduced to exact (n, Σx, Σx²) with map-side partials; means and
+    * sample variances are single divisions of exact integers and t is
+    * ONE fixed-shape IEEE expression (two divisions, one sqrt, one
+    * subtraction) — no FP accumulation anywhere, so the statistic
+    * hash-gates. |t| ≳ 2 is the usual "the groups differ" flag.
+    *
+    * Output per key: (n1, n2, t — null unless both groups have ≥ 2 rows
+    * and at least one positive variance).
+    */
+  def welchT(df: DataFrame, keys: Seq[String], groupCol: String,
+             groupA: String, groupB: String, valueCol: String,
+             grid: Long): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = floor(col(valueCol) * lit(grid.toDouble)).cast("long")
+    val isA = col(groupCol) === groupA
+    val isB = col(groupCol) === groupB
+    val agg = df.filter(isA || isB)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("n1"),
+        sum(when(isA, dec(x))).as("s1"),
+        sum(when(isA, dec(x) * dec(x))).as("ss1"),
+        sum(when(isB, 1L).otherwise(0L)).as("n2"),
+        sum(when(isB, dec(x))).as("s2"),
+        sum(when(isB, dec(x) * dec(x))).as("ss2"))
+    // Sample variance s² = (n·Σx² − (Σx)²) / (n·(n−1)) — exact integer
+    // numerator and denominator; the grid divisor cancels out of t except
+    // as an overall 1/grid factor on the mean difference, so we keep
+    // everything in grid units and t is scale-free.
+    def meanOf(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    def varOf(s: Column, ss: Column, n: Column) =
+      (dec(n) * ss - s * s).cast("double") /
+        (dec(n) * dec(n - lit(1))).cast("double")
+    val m1 = meanOf(col("s1"), col("n1"))
+    val m2 = meanOf(col("s2"), col("n2"))
+    val v1 = varOf(col("s1"), col("ss1"), col("n1"))
+    val v2 = varOf(col("s2"), col("ss2"), col("n2"))
+    val se2 = v1 / col("n1").cast("double") + v2 / col("n2").cast("double")
+    agg.select((keys.map(col) :+ col("n1") :+ col("n2") :+
+      when(col("n1") > 1 && col("n2") > 1 &&
+          (dec(col("n1")) * col("ss1") - col("s1") * col("s1") > 0 ||
+           dec(col("n2")) * col("ss2") - col("s2") * col("s2") > 0),
+        (m1 - m2) / sqrt(se2)).as("t")): _*)
+  }
+
   /** Histogram-resolution quantiles — the SCALE PATH for percentiles,
     * deterministic where engine sketch implementations (t-digest,
     * KLL, GK) are not: values land on a fixed 1/`grid` lattice, the

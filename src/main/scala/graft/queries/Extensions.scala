@@ -3743,5 +3743,44 @@ object Extensions extends QueryModule {
       Dedup.snmRecall(t(s, dir, "documents"), "doc_id", "text", "lang",
           window = 8, keyLen = 24, n = 3, threshold = 0.6)
         .orderBy("n_truth")
+    },
+
+    // Welch's two-sample t per day (Stats.welchT): view vs purchase value
+    // distributions — the parametric A/B-test next to x9_ks. Each group
+    // reduces to exact (n, Σx, Σx²) on the grid; t is ONE fixed-shape
+    // IEEE expression over single divisions of exact integers, so the
+    // statistic hash-gates.
+    QueryDef("x9_ttest", Some("""
+      WITH g AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+                   CAST(floor(value * 10000) AS BIGINT) AS x
+                 FROM events WHERE event_type IN ('view', 'purchase')),
+      a AS (SELECT d,
+              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n1,
+              sum(CASE WHEN event_type = 'view'
+                    THEN CAST(x AS HUGEINT) END) AS s1,
+              sum(CASE WHEN event_type = 'view'
+                    THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT) END) AS ss1,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2,
+              sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(x AS HUGEINT) END) AS s2,
+              sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT) END) AS ss2
+            FROM g GROUP BY 1)
+      SELECT d, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        CASE WHEN n1 > 1 AND n2 > 1
+               AND (n1 * ss1 - s1 * s1 > 0 OR n2 * ss2 - s2 * s2 > 0)
+          THEN (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt(CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                      / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  + CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+                      / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE))
+        END AS t
+      FROM a ORDER BY d""")) { (s, dir) =>
+      graft.operators.Stats.welchT(
+          t(s, dir, "events").withColumn("d", to_date(col("ts"))),
+          Seq("d"), "event_type", "view", "purchase", "value",
+          grid = 10000L)
+        .orderBy("d")
     })
 }

@@ -451,4 +451,29 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(got._3 - exact50) <= 0.01 + 1e-12)
     assert(math.abs(got._4 - exact90) <= 0.01 + 1e-12)
   }
+
+  test("welchT: hand-computed statistic; degenerate groups are null") {
+    val df = Seq(
+      ("k", "a", 1.0), ("k", "a", 2.0), ("k", "a", 3.0),
+      ("k", "b", 4.0), ("k", "b", 6.0),
+      ("z", "a", 5.0), ("z", "b", 9.0)).toDF("g", "grp", "v")
+    val out = Stats.welchT(df, Seq("g"), "grp", "a", "b", "v", grid = 1L)
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // a: n=3 m=2 s²=1; b: n=2 m=5 s²=2 -> t = -3/sqrt(1/3 + 1).
+    assert(out("k")._2 == 3L && out("k")._3 == 2L)
+    assert(out("k")._4 == Some((2.0 - 5.0) / math.sqrt(1.0 / 3.0 + 1.0)))
+    assert(out("z")._4.isEmpty) // single-row groups
+  }
+
+  test("welchT: symmetric groups give t = 0; repartition-invariant") {
+    val rows = (1 to 40).flatMap(i =>
+      Seq(("k", "a", i.toDouble), ("k", "b", i.toDouble)))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.welchT(d, Seq("k"), "grp", "a", "b", "v", 100L)
+        .as[(String, Long, Long, Option[Double])].head()
+    val a = run(rows.toDF("k", "grp", "v"))
+    assert(a._4 == Some(0.0))
+    assert(a == run(rows.toDF("k", "grp", "v").repartition(13)))
+  }
 }
