@@ -550,6 +550,40 @@ object Maintenance extends QueryModule {
         .orderBy("lang")
     },
 
+    // Backfill idempotency (O4+/Airflow catchup semantics — the reference
+    // DAG is a daily schedule): the per-date job writes its logical
+    // date's partition under dynamic overwrite, the schedule runs four
+    // dates, then the first date is RE-RUN as a backfill — re-running a
+    // date must replace its partition, not duplicate it, leaving the
+    // table equal to a single clean run. The driver-side loop is over
+    // LOGICAL DATES (the schedule, bounded), never over data.
+    QueryDef("o11_backfill", Some("""
+      WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+                 FROM events),
+      mn AS (SELECT min(d) AS d0 FROM e)
+      SELECT d, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM e, mn WHERE d <= d0 + 3
+      GROUP BY d ORDER BY d""")) { (s, dir) =>
+      val out = graft.Scratch.fresh("backfill")
+      val ev = t(s, dir, "events").withColumn("d", to_date(col("ts")))
+      val dates = ev.select("d").distinct().orderBy("d")
+        .limit(4).collect().map(_.getDate(0))
+      def runDay(d: java.sql.Date): Unit =
+        ev.filter(col("d") === d)
+          .groupBy("d")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("user_id").as("n_users"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("d").parquet(out)
+      dates.foreach(runDay) // the daily schedule
+      runDay(dates.head)    // backfill re-run: must be idempotent
+      s.read.parquet(out)
+        .select(col("d"), col("n_events"), col("n_users"))
+        .orderBy("d")
+    },
+
     // Sequence packing: concat-then-chunk token budgeting per language
     // shard — per pack: docs, tokens, and the spilled-over tail of the
     // last doc (packs are budget-sized except each shard's final one).
