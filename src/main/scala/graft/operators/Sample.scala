@@ -193,4 +193,36 @@ object Sample {
       .filter(col("__rn") <= nCol)
       .drop("__rn")
   }
+
+  /** Leakage-safe TEMPORAL split with an embargo gap — the time-series
+    * counterpart of [[hashSplit]]: train on everything before the
+    * cutoff, test on everything after cutoff + embargo, and DROP the
+    * embargo band between (rows whose influence straddles the boundary —
+    * label lookahead, session spillover — poison both sides; an explicit
+    * gap is the standard fix in financial/forecasting evaluation).
+    *
+    * The cutoff is `lo + (hi − lo) · fracNum/fracDen` over the observed
+    * millisecond range, computed IN-PLAN (one (min, max) scalar
+    * aggregate broadcast back — the two-pass [[Stats.histogram]] shape),
+    * in pure integer arithmetic, so split membership is exact and
+    * engine-reproducible — no driver round trip, no FP boundary.
+    *
+    * Output: input rows + (ms, split ∈ train/embargo/test).
+    */
+  def temporalSplit(df: DataFrame, tsCol: String,
+                    fracNum: Int, fracDen: Int, embargoMs: Long): DataFrame = {
+    require(fracDen > 0 && fracNum >= 0 && fracNum <= fracDen,
+      "fraction must be within [0, 1]")
+    val ms = unix_millis(col(tsCol))
+    val bounds = df.agg(min(ms).as("__lo"), max(ms).as("__hi"))
+    df.withColumn("ms", ms)
+      .crossJoin(broadcast(bounds))
+      .withColumn("__cut",
+        col("__lo") + expr(s"((__hi - __lo) * $fracNum) div $fracDen"))
+      .withColumn("split",
+        when(col("ms") < col("__cut"), "train")
+          .when(col("ms") >= col("__cut") + embargoMs, "test")
+          .otherwise("embargo"))
+      .drop("__lo", "__hi", "__cut")
+  }
 }

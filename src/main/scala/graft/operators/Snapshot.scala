@@ -33,6 +33,28 @@ object Snapshot {
       .drop("__src", "__rn")
   }
 
+  /** MERGE with SCHEMA EVOLUTION (the lakehouse mergeSchema-on-write
+    * contract): like [[upsert]], but the update batch may carry columns
+    * the base lacks (and vice versa) — the output schema is the
+    * by-name union, base rows read null for newly-arrived columns,
+    * update rows null for columns they dropped. This is the write-path
+    * complement of the s4 mergeSchema READ gate: producers add fields
+    * without a coordinated base rewrite.
+    *
+    * Same plan as upsert: one union + one keyed window shuffle;
+    * keep-priority (updates win) unchanged.
+    */
+  def upsertEvolve(base: DataFrame, updates: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val tagged = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__src").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+
   /** Type-2 SCD history from an event log: one row per run of equal
     * `attrCol` values per key, ordered by (`tsCol`, `ordCol`) — `ordCol`
     * must break ties totally or versioning is nondeterministic. Emits

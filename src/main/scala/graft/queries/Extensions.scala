@@ -3782,5 +3782,60 @@ object Extensions extends QueryModule {
           Seq("d"), "event_type", "view", "purchase", "value",
           grid = 10000L)
         .orderBy("d")
+    },
+
+    // MERGE with schema evolution (Snapshot.upsertEvolve): the update
+    // batch carries a column the base lacks — output schema is the
+    // by-name union, base rows read null for the new column, updates
+    // win on key collision. The write-path complement of the s4
+    // mergeSchema read gate.
+    QueryDef("e8_evolve", Some("""
+      WITH b AS (SELECT o_orderkey AS k, o_custkey AS c,
+                   CAST(NULL AS VARCHAR) AS pr, 0 AS src
+                 FROM orders WHERE o_orderkey % 3 = 0),
+      u AS (SELECT o_orderkey AS k, o_custkey + 1000000 AS c,
+              o_orderpriority AS pr, 1 AS src
+            FROM orders WHERE o_orderkey % 5 = 0),
+      al AS (SELECT * FROM b UNION ALL SELECT * FROM u),
+      r AS (SELECT k, c, pr,
+              row_number() OVER (PARTITION BY k ORDER BY src DESC) AS rn
+            FROM al)
+      SELECT k, CAST(c AS BIGINT) AS c, pr FROM r WHERE rn = 1
+      ORDER BY k""")) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val base = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+      val upd = orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_custkey") + 1000000L).as("c"),
+          col("o_orderpriority").as("pr"))
+      graft.operators.Snapshot.upsertEvolve(base, upd, Seq("k"))
+        .orderBy("k")
+    },
+
+    // Temporal split with embargo (Sample.temporalSplit): train before
+    // the 70% cutoff of the observed ms range, test after cutoff + 24h,
+    // the band between dropped — the leakage-safe time-series split.
+    // Cutoff arithmetic is exact integers computed in-plan, so split
+    // membership hash-gates.
+    QueryDef("x7_temporal_split", Some("""
+      WITH b AS (SELECT epoch_ms(ts) AS ms, user_id FROM events),
+      bounds AS (SELECT min(ms) AS lo, max(ms) AS hi FROM b),
+      s AS (SELECT CASE
+              WHEN ms < lo + ((hi - lo) * 7) // 10 THEN 'train'
+              WHEN ms >= lo + ((hi - lo) * 7) // 10 + 86400000 THEN 'test'
+              ELSE 'embargo' END AS split, ms, user_id
+            FROM b, bounds)
+      SELECT split, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(min(ms) AS BIGINT) AS min_ms,
+             CAST(max(ms) AS BIGINT) AS max_ms
+      FROM s GROUP BY split ORDER BY split""")) { (s, dir) =>
+      graft.operators.Sample.temporalSplit(t(s, dir, "events"), "ts",
+          fracNum = 7, fracDen = 10, embargoMs = 86400000L)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"),
+          min("ms").as("min_ms"), max("ms").as("max_ms"))
+        .orderBy("split")
     })
 }

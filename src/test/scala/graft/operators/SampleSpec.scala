@@ -170,4 +170,22 @@ class SampleSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(other != ordered && other.toSet == ordered.toSet)
   }
+
+  test("temporalSplit: exact integer cutoff, embargo band excluded from both sides") {
+    import java.sql.Timestamp
+    // ms range [0, 100000]: cutoff = 70000, embargo 20000 -> test >= 90000.
+    val rows = Seq(0L, 50000L, 69999L, 70000L, 89999L, 90000L, 100000L)
+      .map(m => (m, new Timestamp(m)))
+    val out = Sample.temporalSplit(rows.toDF("id", "ts"), "ts", 7, 10, 20000L)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(out(0L) == "train" && out(50000L) == "train" &&
+      out(69999L) == "train")
+    assert(out(70000L) == "embargo" && out(89999L) == "embargo")
+    assert(out(90000L) == "test" && out(100000L) == "test")
+    // Split membership is a pure function of the data, not partitioning.
+    val re = Sample.temporalSplit(rows.toDF("id", "ts").repartition(5),
+        "ts", 7, 10, 20000L)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(re == out)
+  }
 }

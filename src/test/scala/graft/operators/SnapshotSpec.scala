@@ -121,4 +121,19 @@ class SnapshotSpec extends SparkSpec {
     assert(out.filter($"k" === 3).select($"cnt").as[Long].collect().toSeq
       == Seq(1L))
   }
+
+  test("upsertEvolve: by-name union schema, nulls for missing, updates win") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val upd = Seq((2L, "B", 9L), (3L, "C", 7L)).toDF("k", "v", "extra")
+    val out = Snapshot.upsertEvolve(base, upd, Seq("k"))
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(out == Set((1L, "a", None), (2L, "B", Some(9L)),
+      (3L, "C", Some(7L))))
+    // Reverse direction: update drops a column the base has.
+    val out2 = Snapshot.upsertEvolve(upd, base, Seq("k"))
+      .select("k", "v", "extra")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(out2 == Set((2L, "b", None), (3L, "C", Some(7L)),
+      (1L, "a", None)))
+  }
 }
