@@ -404,6 +404,55 @@ object Graph {
         coalesce(col("a"), lit(0L)).as("auth"))
   }
 
+  /** Degree assortativity over an undirected unique-pair edge list —
+    * Newman's r: the Pearson correlation of the degrees at the two ends
+    * of every edge (each undirected edge contributes both directions,
+    * the standard convention). r > 0 = hubs link to hubs (social
+    * graphs), r < 0 = hubs link to leaves (web/co-occurrence graphs) —
+    * the one-number structure diagnostic that predicts how skew-prone
+    * joins over the edge list will be.
+    *
+    * Gate-exact: degrees are integers, so the five sums (Σj, Σk, Σjk,
+    * Σj², Σk² over M directed edges) are exact DECIMAL(38,0)
+    * accumulations, and r is one fixed-shape IEEE expression
+    * {{{ (M·Σjk − Σj·Σk) / (√(M·Σj² − (Σj)²) · √(M·Σk² − (Σk)²)) }}}
+    * — no FP accumulation, the [[modularityInt]] discipline.
+    *
+    * Scale posture: one degree aggregate + two node-keyed joins to
+    * attach endpoint degrees + one scalar aggregate. Null for
+    * degree-regular graphs (zero variance).
+    *
+    * @return one row: (m_directed, r)
+    */
+  def assortativity(pairs: DataFrame): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val p = pairs.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val eg = p.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = eg.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val agg = eg
+      .join(deg.select(col("id").as("src"), col("d").as("dj")), "src")
+      .join(deg.select(col("id").as("dst"), col("d").as("dk")), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum(dec(col("dj"))).as("sj"), sum(dec(col("dk"))).as("sk"),
+        sum(dec(col("dj")) * dec(col("dk"))).as("sjk"),
+        sum(dec(col("dj")) * dec(col("dj"))).as("sjj"),
+        sum(dec(col("dk")) * dec(col("dk"))).as("skk"))
+    agg.select(col("m"),
+      when(dec(col("m")) * col("sjj") - col("sj") * col("sj") > 0 &&
+          dec(col("m")) * col("skk") - col("sk") * col("sk") > 0,
+        (dec(col("m")) * col("sjk") - col("sj") * col("sk")).cast("double") /
+          (sqrt((dec(col("m")) * col("sjj") - col("sj") * col("sj"))
+            .cast("double")) *
+           sqrt((dec(col("m")) * col("skk") - col("sk") * col("sk"))
+            .cast("double"))))
+        .as("r"))
+  }
+
   /** Link prediction over an undirected unique-pair edge list (src < dst):
     * for every NON-adjacent node pair (u, v) sharing at least `minCommon`
     * neighbors, the three classic topological scores —

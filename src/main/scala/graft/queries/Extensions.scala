@@ -3837,5 +3837,42 @@ object Extensions extends QueryModule {
         .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"),
           min("ms").as("min_ms"), max("ms").as("max_ms"))
         .orderBy("split")
+    },
+
+    // Degree assortativity (Graph.assortativity) of the supplier
+    // co-purchase graph: Newman's r from five exact integer sums and one
+    // fixed-shape IEEE expression — hubs-link-to-hubs vs hubs-link-to-
+    // leaves, the structure diagnostic that predicts join skew over the
+    // edge list.
+    QueryDef("x8_assortativity", Some("""
+      WITH pr AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      eg AS (SELECT src, dst FROM pr
+             UNION ALL SELECT dst AS src, src AS dst FROM pr),
+      deg AS (SELECT src AS id, count(*) AS d FROM eg GROUP BY 1),
+      j AS (SELECT dj.d AS dj, dk.d AS dk
+            FROM eg JOIN deg dj ON dj.id = eg.src
+                    JOIN deg dk ON dk.id = eg.dst),
+      a AS (SELECT count(*) AS m,
+              sum(CAST(dj AS HUGEINT)) AS sj, sum(CAST(dk AS HUGEINT)) AS sk,
+              sum(CAST(dj AS HUGEINT) * dk) AS sjk,
+              sum(CAST(dj AS HUGEINT) * dj) AS sjj,
+              sum(CAST(dk AS HUGEINT) * dk) AS skk
+            FROM j)
+      SELECT CAST(m AS BIGINT) AS m,
+        CASE WHEN m * sjj - sj * sj > 0 AND m * skk - sk * sk > 0
+          THEN CAST(m * sjk - sj * sk AS DOUBLE)
+             / (sqrt(CAST(m * sjj - sj * sj AS DOUBLE))
+                * sqrt(CAST(m * skk - sk * sk AS DOUBLE))) END AS r
+      FROM a ORDER BY m""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+      graft.operators.Graph.assortativity(pairs).orderBy("m")
     })
 }

@@ -326,4 +326,17 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Option[Double])].head()
     assert(all._5 == 0L && all._6.isEmpty)
   }
+
+  test("assortativity: a star is exactly -1; a regular cycle is null") {
+    // Star 1-{2,3,4}: every edge joins deg 3 to deg 1 -> r = -1 exactly
+    // (num = 6*18-144 = -36; den = sqrt(36)*sqrt(36) = 36).
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val out = Graph.assortativity(star)
+      .as[(Long, Option[Double])].head()
+    assert(out == ((6L, Some(-1.0))))
+    // Degree-regular graph: zero degree variance -> null.
+    val cycle = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.assortativity(cycle)
+      .as[(Long, Option[Double])].head() == ((6L, None)))
+  }
 }
