@@ -443,6 +443,42 @@ object Dedup {
           .as("recall"))
   }
 
+  /** Weighted multi-field record linkage (the Fellegi–Sunter/Splink
+    * shape reduced to deterministic integer weights): candidate pairs
+    * from an equality BLOCK, scored by the sum of per-field agreement
+    * weights — the structured-record entity-resolution operator next to
+    * the text near-dup family (customers/suppliers/products with typos
+    * and partial fields rather than documents). Field comparison is
+    * null-safe equality; a pair must reach `minScore` to surface.
+    * Integer weights make the score — and therefore the match set —
+    * exact under any partitioning (probabilistic FS weights are
+    * log-odds; fixed integer approximations of them keep the decision
+    * reproducible, the engine-wide discipline).
+    *
+    * Scale posture: one self-equijoin on the block key (pair space
+    * bounded per block — choose blocks as for any ER blocking), scoring
+    * as a codegen'd projection; no cross join, nothing driver-side.
+    *
+    * @param fields (column, weight) agreement terms
+    * @return (da, db, score) with da < db, score >= minScore
+    */
+  def fieldMatchPairs(df: DataFrame, idCol: String, blockCol: String,
+                      fields: Seq[(Column, Long)],
+                      minScore: Long): DataFrame = {
+    require(fields.nonEmpty, "need at least one field")
+    val proj = df.select(Seq(col(idCol).as("__id"), col(blockCol).as("__blk"))
+      ++ fields.zipWithIndex.map { case ((c, _), i) => c.as(s"__f$i") }: _*)
+    val score = fields.indices.map { i =>
+      when(col(s"a.__f$i") <=> col(s"b.__f$i"), lit(fields(i)._2))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    proj.as("a").join(proj.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
+      .withColumn("score", score)
+      .filter(col("score") >= minScore)
+      .select(col("a.__id").as("da"), col("b.__id").as("db"), col("score"))
+  }
+
   /** Recall scorecard for sorted-neighborhood blocking — of all exact
     * Jaccard >= threshold pairs ([[jaccardPairs]], the ground truth),
     * the fraction [[sortedNeighborhoodPairs]] surfaces with the given

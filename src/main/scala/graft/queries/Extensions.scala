@@ -3874,5 +3874,30 @@ object Extensions extends QueryModule {
         .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
         .distinct()
       graft.operators.Graph.assortativity(pairs).orderBy("m")
+    },
+
+    // Weighted record linkage (Dedup.fieldMatchPairs): customers blocked
+    // by nation, scored by market-segment (w=3) and account-balance-band
+    // (w=2) agreement, surfacing pairs that agree on both — the
+    // structured-record ER operator (Fellegi–Sunter with deterministic
+    // integer weights) next to the text near-dup family.
+    QueryDef("x2_reclink", Some("""
+      WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                   floor(c_acctbal / 500) AS band
+                 FROM customer)
+      SELECT a.c_custkey AS da, b.c_custkey AS db,
+        CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 3 ELSE 0 END
+           + CASE WHEN a.band = b.band THEN 2 ELSE 0 END AS BIGINT) AS score
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 3 ELSE 0 END
+           + CASE WHEN a.band = b.band THEN 2 ELSE 0 END) >= 5
+      ORDER BY da, db""")) { (s, dir) =>
+      Dedup.fieldMatchPairs(t(s, dir, "customer"),
+          "c_custkey", "c_nationkey",
+          Seq(col("c_mktsegment") -> 3L,
+            floor(col("c_acctbal") / lit(500)) -> 2L),
+          minScore = 5L)
+        .orderBy("da", "db")
     })
 }
