@@ -3899,5 +3899,45 @@ object Extensions extends QueryModule {
             floor(col("c_acctbal") / lit(500)) -> 2L),
           minScore = 5L)
         .orderBy("da", "db")
+    },
+
+    // The ER capstone: record-linkage pairs resolved to entity clusters
+    // (min-label components over the match graph) and reduced to the
+    // per-nation entity count vs raw record count — the master-data
+    // "how many real entities do we have" number. Composes
+    // fieldMatchPairs + resolveClusters; oracle replays the match SQL
+    // plus a recursive min-label CTE.
+    QueryDef("x2_reclink_resolve", Some("""
+      WITH RECURSIVE c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                   floor(c_acctbal / 500) AS band
+                 FROM customer),
+      pr AS (SELECT a.c_custkey AS da, b.c_custkey AS db
+             FROM c a JOIN c b
+               ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+             WHERE (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 3 ELSE 0 END
+                  + CASE WHEN a.band = b.band THEN 2 ELSE 0 END) >= 5),
+      eg AS (SELECT da AS src, db AS dst FROM pr
+             UNION ALL SELECT db, da FROM pr),
+      reach(id, r) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION
+        SELECT e.src, rc.r FROM eg e JOIN reach rc ON e.dst = rc.id),
+      cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      SELECT c_nationkey,
+             CAST(count(*) AS BIGINT) AS n_records,
+             CAST(count(DISTINCT cluster) AS BIGINT) AS n_entities
+      FROM customer JOIN cl ON cl.id = c_custkey
+      GROUP BY c_nationkey ORDER BY c_nationkey""")) { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val pairs = Dedup.fieldMatchPairs(cust, "c_custkey", "c_nationkey",
+        Seq(col("c_mktsegment") -> 3L,
+          floor(col("c_acctbal") / lit(500)) -> 2L),
+        minScore = 5L)
+      val labels = Dedup.resolveClusters(cust, "c_custkey", pairs)
+      cust.join(labels, cust("c_custkey") === labels("id"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct("cluster").as("n_entities"))
+        .orderBy("c_nationkey")
     })
 }
