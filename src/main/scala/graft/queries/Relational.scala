@@ -32,7 +32,11 @@ object Relational extends QueryModule {
       SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
              l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
              strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_s
-      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100"""),
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+               l_extendedprice, l_discount, l_tax, l_returnflag,
+               l_linestatus, l_shipdate_s
+      LIMIT 100"""),
       bench = true) { (s, dir) =>
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
@@ -41,7 +45,13 @@ object Relational extends QueryModule {
           col("l_linestatus"),
           date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
             .as("l_shipdate_s"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // The synthetic lineitem duplicates (l_orderkey, l_linenumber),
+        // so a LIMIT under that prefix alone would cut inside tie groups
+        // whose rows DIFFER — order by every output column for a true
+        // total order (caught by the 10x sf0.1 oracle sweep).
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate_s")
         .limit(100)
     },
 
@@ -63,13 +73,17 @@ object Relational extends QueryModule {
     QueryDef("r6_view_sql", Some("""
       SELECT l_orderkey, l_linenumber, l_returnflag,
              CAST(l_quantity AS DOUBLE) AS qty
-      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""")) {
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, l_returnflag, qty
+      LIMIT 100""")) {
       (s, dir) =>
       t(s, dir, "lineitem").createOrReplaceTempView("df")
       val out = s.sql("""
         SELECT l_orderkey, l_linenumber, l_returnflag,
                CAST(l_quantity AS DOUBLE) AS qty
-        FROM df ORDER BY l_orderkey, l_linenumber LIMIT 100""")
+        FROM df
+        ORDER BY l_orderkey, l_linenumber, l_returnflag, qty
+        LIMIT 100""")
       val materialized = out.cache()
       materialized.count() // force before the view drops under the plan
       s.catalog.dropTempView("df")
@@ -81,11 +95,13 @@ object Relational extends QueryModule {
     QueryDef("s2_filter_scan", Some("""
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       FROM lineitem WHERE l_quantity <= 5.0 AND l_returnflag = 'A'
-      ORDER BY l_orderkey, l_linenumber""")) { (s, dir) =>
+      ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""))
+    { (s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_quantity") <= 5.0 && col("l_returnflag") === "A")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")
     },
 
     // TPC-H Q1-shaped grouped aggregation: partial+final HashAggregate.
