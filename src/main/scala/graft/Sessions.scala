@@ -69,6 +69,14 @@ object Sessions {
     */
   val clusterEnvelope: Map[String, String] = Map(
     "spark.dynamicAllocation.enabled" -> "true",
+    // The reference's allocation sizing (etl-on-gcp-vinicius-campos
+    // .py:81-83): floor 5, start 10, ceiling 30 executors. Carried
+    // verbatim as the envelope's default; a 1000-executor deployment
+    // overrides maxExecutors, the ratio (floor ≈ ceiling/6, start ≈
+    // ceiling/3) is the part worth keeping.
+    "spark.dynamicAllocation.minExecutors" -> "5",
+    "spark.dynamicAllocation.initialExecutors" -> "10",
+    "spark.dynamicAllocation.maxExecutors" -> "30",
     "spark.shuffle.service.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> "1",
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "10")

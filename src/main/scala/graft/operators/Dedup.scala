@@ -448,8 +448,12 @@ object Dedup {
     * from an equality BLOCK, scored by the sum of per-field agreement
     * weights — the structured-record entity-resolution operator next to
     * the text near-dup family (customers/suppliers/products with typos
-    * and partial fields rather than documents). Field comparison is
-    * null-safe equality; a pair must reach `minScore` to surface.
+    * and partial fields rather than documents). A field contributes its
+    * weight only when BOTH sides are non-null and equal — a missing
+    * value carries zero evidence (the Fellegi–Sunter convention; scoring
+    * null<=>null as agreement would inflate scores exactly on the
+    * partial-fields data this operator exists for). A pair must reach
+    * `minScore` to surface.
     * Integer weights make the score — and therefore the match set —
     * exact under any partitioning (probabilistic FS weights are
     * log-odds; fixed integer approximations of them keep the decision
@@ -469,7 +473,8 @@ object Dedup {
     val proj = df.select(Seq(col(idCol).as("__id"), col(blockCol).as("__blk"))
       ++ fields.zipWithIndex.map { case ((c, _), i) => c.as(s"__f$i") }: _*)
     val score = fields.indices.map { i =>
-      when(col(s"a.__f$i") <=> col(s"b.__f$i"), lit(fields(i)._2))
+      when(col(s"a.__f$i").isNotNull &&
+          (col(s"a.__f$i") <=> col(s"b.__f$i")), lit(fields(i)._2))
         .otherwise(lit(0L))
     }.reduce(_ + _)
     proj.as("a").join(proj.as("b"),
@@ -701,12 +706,19 @@ object Dedup {
     requireIntegral(pairs.schema("db").dataType, "pairs.db (resolveClusters)")
     val sc = df.sparkSession.sparkContext
     val ids = df.select(col(idCol).cast("long").as("id"))
-    // Undirected: each edge in both directions — via ONE explode, not a
-    // union, so the (expensive) pair-generation subtree is evaluated once
-    // when the cache materializes, not once per union branch.
+    // Undirected edges in both directions PLUS a self-loop per endpoint —
+    // via ONE explode, not a union, so the (expensive) pair-generation
+    // subtree is evaluated once when the cache materializes. The
+    // self-loops make each propagate round a single join+min-aggregate:
+    // min over {label(u)} ∪ {label(v) : v ∈ N(u)} is just the neighbor
+    // min once u neighbors itself (duplicate self-loops are harmless
+    // under min), eliminating the former keep-own-label union/left-join
+    // branch from every round.
     val edges = pairs.select(explode(array(
         struct(col("da").cast("long").as("src"), col("db").cast("long").as("dst")),
-        struct(col("db").cast("long").as("src"), col("da").cast("long").as("dst"))))
+        struct(col("db").cast("long").as("src"), col("da").cast("long").as("dst")),
+        struct(col("da").cast("long").as("src"), col("da").cast("long").as("dst")),
+        struct(col("db").cast("long").as("src"), col("db").cast("long").as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -733,14 +745,13 @@ object Dedup {
       liveCkpt = added
       out
     }
-    // Init = each endpoint's min over {itself, its neighbors} — the first
-    // propagation round for free (one aggregation instead of a
-    // join+window round): typical near-dup clusters (diameter <= 2) then
-    // converge on the first in-loop round's no-change check.
+    // Init = each endpoint's min over {itself, its neighbors} — ONE
+    // aggregation (the self-loops put `itself` in the neighbor stream):
+    // the first propagation round for free. Typical near-dup clusters
+    // (diameter <= 2) then converge on the first in-loop round's
+    // no-change check.
     var labels = checkpointed(edges
-      .groupBy("src").agg(min("dst").as("__mn"))
-      .select(col("src").as("id"),
-        least(col("src"), col("__mn")).as("cluster")))
+      .groupBy(col("src").as("id")).agg(min("dst").as("cluster")))
     // Convergence test: labels only ever decrease, so the exact label sum
     // is strictly monotone — one scan-free aggregate over the checkpointed
     // table per round replaces a join + count job. Decimal(38,0) keeps the
@@ -755,24 +766,36 @@ object Dedup {
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
-      val viaEdges = edges
+      // Fused propagate: newLabel(u) = min over {label(u)} ∪ {label(v) :
+      // v ∈ N(u)} as ONE equijoin + ONE min-aggregate — the self-loops
+      // in `edges` deliver u's own label through the same join, so the
+      // former join→agg→left-join chain (two joins per round) is now a
+      // single join, a third less shuffle work per round.
+      val prop = checkpointed(edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id")).agg(min("cluster").as("nbr"))
-      val prop = labels.join(viaEdges, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster")))
-            .as("cluster"))
-      // Pointer jump: label(id) := label(label(id)). Every label value is
-      // itself an id (labels are mins of ids), so the self-join keeps all
-      // rows; label monotonicity makes the jumped label the smaller one.
-      val next = checkpointed(prop.as("a")
-        .join(prop.select(col("id").as("cluster"), col("cluster").as("cc"))
-          .as("b"), "cluster")
-        .select(col("id"), col("cc").as("cluster")))
-      val nextSum = labelSum(next)
-      changed = if (nextSum.compareTo(prevSum) == 0) 0L else 1L
-      prevSum = nextSum
-      labels = next
+        .groupBy(col("src").as("id")).agg(min("cluster").as("cluster")))
+      val propSum = labelSum(prop)
+      if (propSum.compareTo(prevSum) == 0) {
+        // Propagate-fixpoint: every label already equals the min over its
+        // closed neighborhood, which IS the component min — the pointer
+        // jump below is only an accelerator, so skip it entirely on the
+        // terminal round (near-dup clusters have diameter <= 2-3, so in
+        // the common case exactly one jump ever runs).
+        changed = 0L
+        labels = prop
+      } else {
+        // Pointer jump: label(id) := label(label(id)) — O(log diameter)
+        // total rounds on long chains (SNM blocks, ER link paths). Every
+        // label value is itself an id (labels are mins of ids), so the
+        // self-join keeps all rows; monotonicity makes the jumped label
+        // the smaller one.
+        val next = checkpointed(prop.as("a")
+          .join(prop.select(col("id").as("cluster"), col("cluster").as("cc"))
+            .as("b"), "cluster")
+          .select(col("id"), col("cc").as("cluster")))
+        prevSum = labelSum(next)
+        labels = next
+      }
       round += 1
     }
     require(changed == 0, s"label propagation did not converge in $maxRounds rounds")

@@ -241,19 +241,62 @@ object Graph {
     keep
   }
 
+  /** Integer-exact PageRank, damping 17/20, rank scaled by `scale`.
+    *
+    * Dangling (sink) mass: with `dangling = false` (the default) the rank
+    * flowing into sink nodes simply drains each iteration — the exact
+    * recurrence the gate's oracle replays, and a documented deviation
+    * from canonical PageRank. With `dangling = true` the standard
+    * redistribution runs in the same exact-integer arithmetic:
+    * {{{ rank'(v) = 3·scale div 20
+    *              + (17 · (inflow(v) + S div n)) div 20 }}}
+    * where S = Σ rank over sinks and n = |nodes| — each node receives an
+    * equal integral share of the drained mass, so total mass is conserved
+    * up to floor-division remainders and the statistic still hash-gates.
+    *
+    * Scale posture: the sink set is a node-sized anti-join computed once;
+    * per iteration S is a ONE-ROW aggregate crossed in as a broadcast —
+    * no driver-side collect, no extra data-sized shuffle. Overflow
+    * envelope: S ≤ n·scale, so longs hold to n ≈ 9e9 nodes at the default
+    * scale — beyond that pass a smaller `scale`.
+    */
   def pageRankInt(edges: DataFrame, iters: Int,
-                  scale: Long = 1000000000L): DataFrame = {
+                  scale: Long = 1000000000L,
+                  dangling: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     // Edge list with out-degree attached — the loop-invariant operand.
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ew = e.join(outdeg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ew = e.join(outdeg, "src").persist(lvl)
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     val base = (3L * scale) / 20L
+    // n is needed only as a literal divisor for the dangling share; the
+    // count is one job over the (already persisted) node table.
+    val nNodes = if (dangling) nodes.count() else 0L
+    val sinks =
+      if (dangling)
+        nodes.join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+          .persist(lvl)
+      else null
+    // Dangling mode reads each iteration's ranks TWICE (inflow + sink
+    // sum): left lazy, the plan tree would double per iteration — pin each
+    // round with an eager localCheckpoint, keeping exactly one live
+    // checkpoint (the resolveClusters leak discipline).
+    val sc = edges.sparkSession.sparkContext
+    var liveCkpt: scala.collection.Set[Int] = Set.empty[Int]
+    def checkpointed(d: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = d.localCheckpoint()
+      val added = sc.getPersistentRDDs.keySet.toSet -- before
+      liveCkpt.foreach(i =>
+        sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
+      liveCkpt = added
+      out
+    }
     // `rnk` internally: `rank` is a window-function name to the SQL parser
     // inside expr(), and `div` has no Column-API operator.
     var ranks = nodes.withColumn("rnk", lit(scale))
@@ -261,9 +304,20 @@ object Graph {
       val inflow = ew.join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("rnk div outdeg").as("c"))
         .groupBy("id").agg(sum("c").as("inflow"))
-      ranks = nodes.join(inflow, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr("(17 * coalesce(inflow, 0)) div 20")).as("rnk"))
+      ranks =
+        if (dangling) {
+          val sRow = ranks.join(sinks, "id")
+            .agg(coalesce(sum("rnk"), lit(0L)).as("__s"))
+          checkpointed(nodes.join(inflow, Seq("id"), "left")
+            .crossJoin(broadcast(sRow))
+            .select(col("id"),
+              (lit(base) + expr("(17 * (coalesce(inflow, 0) " +
+                s"+ __s div CAST($nNodes AS BIGINT))) div 20")).as("rnk")))
+        } else {
+          nodes.join(inflow, Seq("id"), "left")
+            .select(col("id"),
+              (lit(base) + expr("(17 * coalesce(inflow, 0)) div 20")).as("rnk"))
+        }
     }
     ranks.select(col("id"), col("rnk").as("rank"))
   }
@@ -612,6 +666,11 @@ object Graph {
       .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
       .select(col("u"), col("v"), col("cn"), col("ra"),
-        (col("du") * col("dv")).as("pa"))
+        // Preferential attachment is a degree PRODUCT: on hub-heavy
+        // graphs (deg ~1e5+) du*dv overflows LongType silently — carry
+        // it as DECIMAL(38,0) like every other overflow-prone product
+        // in this file.
+        (col("du").cast("decimal(38,0)") * col("dv").cast("decimal(38,0)"))
+          .as("pa"))
   }
 }

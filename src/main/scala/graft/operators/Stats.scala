@@ -724,13 +724,21 @@ object Stats {
       .agg(coalesce(sum("c"), lit(0L)).as("agree"))
     val ra = cells.groupBy("la").agg(sum("c").as("ca"))
     val cb = cells.groupBy("lb").agg(sum("c").as("cb"))
+    // Marginal products and n² overflow LongType past ~3e9 rows; carry
+    // them as DECIMAL(38,0) (the engine-wide exact-integer envelope, as
+    // in contingencyResiduals/autocorrInt) so the statistic survives the
+    // advertised scale. n and agree stay BIGINT (plain row counts).
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val chance = ra.join(cb, col("la") === col("lb"))
-      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("chance_num"))
+      .agg(coalesce(sum(dec(col("ca")) * dec(col("cb"))),
+        lit(0).cast("decimal(38,0)")).as("chance_num"))
     n.crossJoin(broadcast(agree)).crossJoin(broadcast(chance))
       .select(col("n"), col("agree"), col("chance_num"),
-        when(col("n") * col("n") =!= col("chance_num"),
-          (col("n") * col("agree") - col("chance_num")).cast("double") /
-            (col("n") * col("n") - col("chance_num")).cast("double"))
+        when(dec(col("n")) * dec(col("n")) =!= col("chance_num"),
+          (dec(col("n")) * dec(col("agree")) - col("chance_num"))
+            .cast("double") /
+            (dec(col("n")) * dec(col("n")) - col("chance_num"))
+              .cast("double"))
           .as("kappa"))
   }
 

@@ -256,7 +256,8 @@ object Extensions extends QueryModule {
                            CAST(0 AS DOUBLE)) AS score
               FROM sc GROUP BY 1, 2)
       SELECT doc_id, dl, score FROM agg
-      ORDER BY score DESC, doc_id LIMIT 10""")) { (s, dir) =>
+      ORDER BY score DESC, doc_id LIMIT 10"""),
+      bench = true) { (s, dir) =>
       TextOps.bm25(t(s, dir, "documents"), "doc_id", "text",
           terms = Seq("batch", "customer", "stream"), topK = 10)
     },
@@ -366,7 +367,8 @@ object Extensions extends QueryModule {
     QueryDef("x1_dedup", Some("""
       SELECT array_to_string(string_split(text,' ')[1:3],' ') AS key3,
              CAST(min(doc_id) AS BIGINT) AS doc_id
-      FROM documents GROUP BY 1 ORDER BY key3, doc_id""")) { (s, dir) =>
+      FROM documents GROUP BY 1 ORDER BY key3, doc_id"""),
+      bench = true) { (s, dir) =>
       val d = t(s, dir, "documents").withColumn("key3",
         array_join(slice(TextOps.tokens(col("text")), 1, 3), " "))
       Dedup.exactKeepFirst(d, Seq("key3"), "doc_id")
@@ -531,6 +533,18 @@ object Extensions extends QueryModule {
     QueryDef("x2_minhash_k64", None, bench = true) { (s, dir) =>
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
           n = 3, k = 64, bands = 16, threshold = 0.8, portable = false)
+        .orderBy("da", "db")
+    },
+
+    // Production signature width: k=128 / 32 bands through the same
+    // one-buffer MinHashAgg (one aggregate expression regardless of k, so
+    // doubling k doubles per-row hash work but NOT the aggregate count —
+    // the timed gate that prices the production config against k=64).
+    // rows-only like the other xxhash64 fast-path gates; its oracle-matched
+    // exact companion is x2_jaccard_pairs (same verify arithmetic).
+    QueryDef("x2_minhash_k128", None, bench = true) { (s, dir) =>
+      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 128, bands = 32, threshold = 0.8, portable = false)
         .orderBy("da", "db")
     },
 
@@ -1580,7 +1594,8 @@ object Extensions extends QueryModule {
         """ + (0 until 8).map(j =>
           s"CAST(ascii(substr(md5(text),${j + 1},1)) AS BIGINT) AS c$j")
           .mkString(",\n        ") + """
-      FROM documents ORDER BY id LIMIT 100""")) { (s, dir) =>
+      FROM documents ORDER BY id LIMIT 100"""),
+      bench = true) { (s, dir) =>
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
       val feats = Multimodal.extractFeatures(media, Multimodal.StubDecoder)
       feats.toDF()
@@ -1857,6 +1872,46 @@ object Extensions extends QueryModule {
       val edges = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pageRankInt(edges, iters = 3).orderBy("id")
+    },
+
+    // PageRank WITH the canonical dangling-mass redistribution
+    // (pageRankInt(dangling = true)) on the DIRECTED co-order graph
+    // (edges low→high supplier id, so the highest-keyed suppliers are
+    // genuine sinks): every node receives an equal integral share
+    // S div n of the sink-drained rank each iteration — canonical
+    // semantics, still exact-integer, so it hash-gates. x8_pagerank
+    // stays as the documented drain-semantics variant.
+    QueryDef("x8_pagerank_dangling", Some(s"""
+      WITH pr AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      nodes AS (SELECT DISTINCT id FROM
+        (SELECT src AS id FROM pr UNION ALL SELECT dst FROM pr)),
+      deg AS (SELECT src, count(*) AS outdeg FROM pr GROUP BY src),
+      nn AS (SELECT count(*) AS c FROM nodes),
+      r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM nodes)""" +
+      (1 to 3).map { i =>
+        s""",
+      s${i - 1} AS (SELECT coalesce(sum(rank), 0) AS s FROM r${i - 1} n
+        WHERE NOT EXISTS (SELECT 1 FROM deg d WHERE d.src = n.id)),
+      r$i AS (SELECT n.id,
+        CAST(150000000 + (17 * (coalesce(f.i, 0)
+          + (SELECT s FROM s${i - 1}) // (SELECT c FROM nn))) // 20
+          AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS id, sum(r.rank // d.outdeg) AS i
+          FROM pr e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON r.id = e.src
+          GROUP BY e.dst) f ON f.id = n.id)"""
+      }.mkString + """
+      SELECT id, rank FROM r3 ORDER BY id""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+      Graph.pageRankInt(pairs, iters = 3, dangling = true).orderBy("id")
     },
 
     // Personalized PageRank (Graph.personalizedPageRankInt): teleport
@@ -2252,7 +2307,8 @@ object Extensions extends QueryModule {
                 ORDER BY est_d2 ASC, nid) AS rnk
             FROM est)
       SELECT qid, rnk, nid, est_d2 FROM r WHERE rnk <= 3
-      ORDER BY qid, rnk""")) { (s, dir) =>
+      ORDER BY qid, rnk"""),
+      bench = true) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val ctr = e.filter(col("vec_id") < 8)
       val res = Similarity.residuals(e, "vec_id", "embedding",
@@ -2294,7 +2350,8 @@ object Extensions extends QueryModule {
                     >= CAST(0.35 AS DOUBLE))
       SELECT id AS vec_id, CAST(cell AS BIGINT) AS cell
       FROM cell WHERE id NOT IN (SELECT id FROM drp)
-      ORDER BY vec_id""")) { (s, dir) =>
+      ORDER BY vec_id"""),
+      bench = true) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       Similarity.semanticDedup(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 8), "vec_id", "embedding",
@@ -2396,7 +2453,8 @@ object Extensions extends QueryModule {
         SELECT e.dst, b.h + 1 FROM bfs b JOIN eg e ON e.src = b.id
         WHERE b.h < 2)
       SELECT id, CAST(min(h) AS BIGINT) AS hop
-      FROM bfs GROUP BY id ORDER BY id""")) { (s, dir) =>
+      FROM bfs GROUP BY id ORDER BY id"""),
+      bench = true) { (s, dir) =>
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
         .distinct()
       val pairs = li.as("a").join(li.as("b"), "l_orderkey")
@@ -2433,7 +2491,8 @@ object Extensions extends QueryModule {
         SELECT e.dst, b.d + e.w, b.h + 1 FROM sp b JOIN eg e ON e.src = b.id
         WHERE b.h < 3)
       SELECT id, CAST(min(d) AS BIGINT) AS dist
-      FROM sp GROUP BY id ORDER BY id""")) { (s, dir) =>
+      FROM sp GROUP BY id ORDER BY id"""),
+      bench = true) { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .filter(col("l_orderkey") % 5 === 0)
         .select("l_orderkey", "l_partkey").distinct()
@@ -3246,6 +3305,14 @@ object Extensions extends QueryModule {
     // (sum of 1e9 div deg(z) — floor division, so the normally
     // FP-order-fragile RA score hash-gates) and preferential attachment.
     // The oracle replays wedge enumeration relationally.
+    //
+    // minCommon calibration: expected common-neighbor count for a random
+    // pair is ~d̄²/n (avg degree is ~117 at BOTH gate SFs while n grows
+    // 10x, so the signal band CONTRACTS with scale — measured non-adjacent
+    // max cn: 31 at sf0.01, 11 at sf0.1). 10 sits inside the band at both
+    // gate SFs (322k rows at sf0.01, 16 at sf0.1), so the 10x oracle
+    // sweep carries non-empty evidence; a production corpus re-derives
+    // the cut from its own d̄²/n.
     QueryDef("x8_linkpred", Some("""
       WITH pr AS (
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -3259,12 +3326,12 @@ object Extensions extends QueryModule {
       sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
                CAST(sum(1000000000 // dz.d) AS BIGINT) AS ra
              FROM w JOIN deg dz ON w.z = dz.id
-             GROUP BY u, v HAVING count(*) >= 20),
+             GROUP BY u, v HAVING count(*) >= 10),
       ne AS (SELECT sc.* FROM sc LEFT JOIN pr
                ON pr.src = sc.u AND pr.dst = sc.v
              WHERE pr.src IS NULL)
       SELECT ne.u, ne.v, ne.cn, ne.ra,
-             CAST(du.d * dv.d AS BIGINT) AS pa
+             CAST(CAST(du.d AS DECIMAL(38,0)) * dv.d AS DECIMAL(38,0)) AS pa
       FROM ne JOIN deg du ON du.id = ne.u
               JOIN deg dv ON dv.id = ne.v
       ORDER BY u, v""")) { (s, dir) =>
@@ -3274,7 +3341,7 @@ object Extensions extends QueryModule {
         .filter(col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .distinct()
-      graft.operators.Graph.linkPredict(pairs, minCommon = 20)
+      graft.operators.Graph.linkPredict(pairs, minCommon = 10)
         .orderBy("u", "v")
     },
 
@@ -3341,7 +3408,7 @@ object Extensions extends QueryModule {
                JOIN (SELECT lb, sum(c) AS cb FROM cells GROUP BY 1) b
                  ON a.la = b.lb)
       SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
-             CAST(chance_num AS BIGINT) AS chance_num,
+             CAST(chance_num AS DECIMAL(38,0)) AS chance_num,
              CASE WHEN n * n <> chance_num
                THEN CAST(n * agree - chance_num AS DOUBLE)
                   / CAST(n * n - chance_num AS DOUBLE) END AS kappa
@@ -3927,7 +3994,8 @@ object Extensions extends QueryModule {
              CAST(count(*) AS BIGINT) AS n_records,
              CAST(count(DISTINCT cluster) AS BIGINT) AS n_entities
       FROM customer JOIN cl ON cl.id = c_custkey
-      GROUP BY c_nationkey ORDER BY c_nationkey""")) { (s, dir) =>
+      GROUP BY c_nationkey ORDER BY c_nationkey"""),
+      bench = true) { (s, dir) =>
       val cust = t(s, dir, "customer")
       val pairs = Dedup.fieldMatchPairs(cust, "c_custkey", "c_nationkey",
         Seq(col("c_mktsegment") -> 3L,

@@ -132,7 +132,8 @@ object Maintenance extends QueryModule {
              row_number() OVER w AS version,
              (lead(valid_from) OVER w IS NULL) AS is_current
       FROM v WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
-      ORDER BY user_id, version""")) { (s, dir) =>
+      ORDER BY user_id, version"""),
+      bench = true) { (s, dir) =>
       Snapshot.scd2(
           t(s, dir, "events").filter(col("user_id") % 25 === 0),
           "user_id", "event_type", "ts", "event_id")
@@ -567,8 +568,15 @@ object Maintenance extends QueryModule {
       GROUP BY d ORDER BY d""")) { (s, dir) =>
       val out = graft.Scratch.fresh("backfill")
       val ev = t(s, dir, "events").withColumn("d", to_date(col("ts")))
-      val dates = ev.select("d").distinct().orderBy("d")
-        .limit(4).collect().map(_.getDate(0))
+      // The schedule is CALENDAR dates d0..d0+3 (Airflow's @daily interval
+      // runs every date in the window whether or not data exists), not the
+      // first four DISTINCT data dates — a gap day is an empty run, and
+      // the backfill head re-run is always d0 (which min() guarantees
+      // exists). This also mirrors the oracle's `d <= d0 + 3` exactly.
+      val d0 = ev.agg(min(col("d"))).head().getDate(0)
+      val dates = (0 to 3).map { i =>
+        java.sql.Date.valueOf(d0.toLocalDate.plusDays(i.toLong))
+      }
       def runDay(d: java.sql.Date): Unit =
         ev.filter(col("d") === d)
           .groupBy("d")

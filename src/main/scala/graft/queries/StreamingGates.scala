@@ -49,7 +49,8 @@ object StreamingGates extends QueryModule {
              cnt, sum_value
       FROM agg, mx
       WHERE h + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
-      ORDER BY event_type, hour_s""")) { (s, dir) =>
+      ORDER BY event_type, hour_s"""),
+      bench = true) { (s, dir) =>
       val (in, out, ck) = stage(s, dir)
       val q = Streams.windowedCounts(
           Streams.readEventStream(s, in), "1 hour", "1 hour")

@@ -11,6 +11,10 @@ class SessionsSpec extends AnyFunSuite {
     assert(e("spark.shuffle.service.enabled") == "true")
     assert(e("spark.sql.adaptive.coalescePartitions.minPartitionNum") == "1")
     assert(e("spark.sql.adaptive.coalescePartitions.initialPartitionNum") == "10")
+    // reference executor sizing (etl-on-gcp-vinicius-campos.py:81-83)
+    assert(e("spark.dynamicAllocation.minExecutors") == "5")
+    assert(e("spark.dynamicAllocation.initialExecutors") == "10")
+    assert(e("spark.dynamicAllocation.maxExecutors") == "30")
   }
 
   test("local session runs with AQE + nanos + sized codegen cache") {

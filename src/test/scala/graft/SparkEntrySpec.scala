@@ -38,7 +38,8 @@ class SparkEntrySpec extends AnyFunSuite {
   test("oracle coverage: only the known sketch gates are rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set("x2_minhash_fast", "x2_minhash_k64",
-      "x5_approx_distinct", "x5_approx_pctl", "x6_decontam_bloom")
+      "x2_minhash_k128", "x5_approx_distinct", "x5_approx_pctl",
+      "x6_decontam_bloom")
     assert(noOracle == expected,
       s"rows-only gate set changed: $noOracle — every new operator needs an oracle")
   }

@@ -436,7 +436,7 @@ class DedupSpec extends SparkSpec {
     assert(wide == ((3L, 3L, Some(1.0))))
   }
 
-  test("fieldMatchPairs: weighted agreement, blocking, null-safe fields") {
+  test("fieldMatchPairs: weighted agreement, blocking, nulls carry no weight") {
     val df = Seq(
       (1L, "b1", Some("x"), 10L), (2L, "b1", Some("x"), 10L),
       (3L, "b1", Some("y"), 10L), (4L, "b2", Some("x"), 10L),
@@ -447,7 +447,8 @@ class DedupSpec extends SparkSpec {
         Seq(col("f1") -> 3L, col("f2") -> 2L), minScore = 5L)
       .as[(Long, Long, Long)].collect().toSet
     // (1,2): both fields agree -> 5. (1,3)/(2,3): only f2 -> 2, dropped.
-    // 4 is in another block. (5,6): null <=> null agrees -> 5.
-    assert(out == Set((1L, 2L, 5L), (5L, 6L, 5L)))
+    // 4 is in another block. (5,6): f1 missing on both sides — a missing
+    // value is zero evidence (Fellegi–Sunter), so only f2's 2 -> dropped.
+    assert(out == Set((1L, 2L, 5L)))
   }
 }

@@ -47,6 +47,36 @@ class GraphSpec extends SparkSpec {
     assert(sr(9L) > sr(2L))
   }
 
+  test("pageRankInt dangling: hand case — sink mass redistributed exactly") {
+    // 1→2 and 3→2: node 2 is a sink holding scale=1e9 at iter 0.
+    // share = 1e9 div 3 = 333333333
+    // rank'(1) = rank'(3) = 15e7 + (17*share) div 20        = 433333333
+    // rank'(2) = 15e7 + (17*(2e9 + share)) div 20           = 2133333333
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val out = Graph.pageRankInt(edges, iters = 1, dangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 433333333L, 3L -> 433333333L,
+      2L -> 2133333333L))
+    // and the default still drains: same graph, no redistribution term
+    val drain = Graph.pageRankInt(edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(drain(1L) == 150000000L && drain(2L) == 1850000000L)
+  }
+
+  test("pageRankInt dangling: bit-identical under repartitioning") {
+    val li = spark.read.parquet(sf("lineitem"))
+      .select($"l_orderkey", $"l_suppkey")
+    val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+      .filter($"a.l_suppkey" < $"b.l_suppkey")
+      .select($"a.l_suppkey".as("src"), $"b.l_suppkey".as("dst")).distinct()
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.pageRankInt(df, iters = 2, dangling = true)
+        .as[(Long, Long)].collect().toMap
+    val a = run(pairs.repartition(1))
+    assert(a == run(pairs.repartition(7)))
+    assert(a.nonEmpty)
+  }
+
   test("pageRankInt: total rank never exceeds n*scale (mass only leaks)") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
     val out = Graph.pageRankInt(edges, iters = 5).as[(Long, Long)].collect()
@@ -261,6 +291,7 @@ class GraphSpec extends SparkSpec {
     // degree is 2 so ra = 2 * (1e9 div 2) = 1e9 and pa = 4.
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
     val out = Graph.linkPredict(pairs)
+      .withColumn("pa", col("pa").cast("long")) // decimal(38,0) in the op
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 3L, 2L, 1000000000L, 4L),
       (2L, 4L, 2L, 1000000000L, 4L)))
@@ -272,6 +303,7 @@ class GraphSpec extends SparkSpec {
     // and with it every wedge.
     val pairs = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
     val full = Graph.linkPredict(pairs)
+      .withColumn("pa", col("pa").cast("long"))
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(full == Set((1L, 2L, 1L, 333333333L, 1L),
       (1L, 3L, 1L, 333333333L, 1L), (2L, 3L, 1L, 333333333L, 1L)))
@@ -286,6 +318,7 @@ class GraphSpec extends SparkSpec {
       .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst")).distinct()
     def run(df: org.apache.spark.sql.DataFrame) =
       Graph.linkPredict(df, minCommon = 2)
+        .withColumn("pa", col("pa").cast("long"))
         .as[(Long, Long, Long, Long, Long)].collect().toSet
     val a = run(pairs.repartition(1))
     assert(a == run(pairs.repartition(7)))

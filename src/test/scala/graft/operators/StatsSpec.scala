@@ -372,11 +372,15 @@ class StatsSpec extends SparkSpec {
     val rows =
       Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
       Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
-    val out = Stats.cohenKappa(rows.toDF("a", "b"), "a", "b")
+    // chance_num is DECIMAL(38,0) (marginal products overflow LongType
+    // past ~3e9 rows); narrow it for the tuple encoder only.
+    def narrowed(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("n"), col("agree"), col("chance_num").cast("long"), col("kappa"))
+    val out = narrowed(Stats.cohenKappa(rows.toDF("a", "b"), "a", "b"))
       .as[(Long, Long, Long, Option[Double])].head()
     assert(out == ((50L, 35L, 1250L, Some(0.4))))
-    val const = Stats.cohenKappa(
-      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b")
+    val const = narrowed(Stats.cohenKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("a", "b"), "a", "b"))
       .as[(Long, Long, Long, Option[Double])].head()
     assert(out._1 > 0 && const._4.isEmpty)
   }
