@@ -24,7 +24,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.benchNames.sorted
+    // Local-iteration filter (driver sets no filter → full set): comma
+    // list of name prefixes, e.g. SPARK_GRAFT_BENCH_ONLY=x2_,x3_ivfpq
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(pfx) =>
+        val ps = pfx.split(',').toSeq
+        SparkEntry.benchNames.filter(n => ps.exists(n.startsWith)).sorted
+      case None => SparkEntry.benchNames.sorted
+    }
     val qs = SparkEntry.queries
 
     def once(name: String): Double = {

@@ -143,8 +143,24 @@ object Similarity {
     val v = Par.spread(df).select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"))
       .withColumn("cell", cellExpr(col("v"), cents))
-    val dropped = v.as("a").join(v.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+    // A coarse quantizer has FEW cells by design — often fewer than the
+    // cluster has cores — and the within-cell pair join shuffles on the
+    // cell id alone, so at 8 cells at most 8 tasks grind the (quadratic
+    // per cell) pair space while the rest of the cluster idles. Salt the
+    // join key: side a adds salt = id mod s, side b replicates s ways, so
+    // every pair still meets exactly once (at a's salt) but the pair
+    // space fans out over cells × s reducers. s is sized from cores vs
+    // cell count and collapses to 1 (zero replication) once the cell
+    // count alone saturates the cluster — the production IVF regime.
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val s = math.max(1L, math.min(64L, 2L * cores / cents.length))
+    val a = v.withColumn("__salt", pmod(col("id"), lit(s)))
+    val b = v.withColumn("__salt", explode(
+      sequence(lit(0L), lit(s - 1L))))
+    val dropped = a.as("a").join(b.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.__salt") === col("b.__salt") &&
+          col("a.id") < col("b.id"))
       .filter(cosine(col("a.v"), col("b.v")) >= threshold)
       .select(col("b.id").as("id")).distinct()
     v.join(dropped, Seq("id"), "left_anti").select(col("id"), col("cell"))
@@ -233,15 +249,17 @@ object Similarity {
   }
 
   /** Nearest-centroid cell id (IVF coarse quantizer): argmax cosine over
-    * the centroid literals, ties to the lowest centroid id. Pure projection.
+    * the centroid literals, ties to the lowest centroid id. Pure
+    * projection via the native VecBestIndex loop — the former
+    * greatest + first-match CASE chain re-evaluated the k-way best in
+    * every branch (subexpression elimination does not cross `when`
+    * boundaries) and generated a method too large for HotSpot to JIT:
+    * ~400x slower for the same answer (Probe, k=8, dim=64).
     */
-  private def cellExpr(vec: Column, cents: Array[(Long, Seq[Double])]): Column = {
-    val sims = cents.map { case (_, cv) => cosine(vec, typedLit(cv)) }
-    val best = if (sims.length == 1) sims.head else greatest(sims.toSeq: _*)
-    cents.zip(sims).foldRight(lit(null).cast("long")) {
-      case (((cid, _), s), els) => when(s === best, lit(cid)).otherwise(els)
-    }
-  }
+  private def cellExpr(vec: Column, cents: Array[(Long, Seq[Double])]): Column =
+    element_at(typedLit(cents.map(_._1).toSeq),
+      org.apache.spark.sql.graft.VectorFunctions.vecArgmaxCos(vec,
+        typedLit(cents.map(_._2).toSeq)) + 1)
 
   /** The `nprobe` nearest cells for a query vector, as an exploded column:
     * sort struct(-sim, cid) ascending (= sim desc, cid asc — matching the
@@ -330,27 +348,34 @@ object Similarity {
     */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
               m: Int, k: Int, iters: Int): Seq[Array[Seq[Double]]] = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    require(m >= 1 && dim % m == 0, s"m must divide the dimension ($dim)")
-    val sub = dim / m
-    (0 until m).map { j =>
-      kmeansCentroids(
-        df.select(col(idCol),
-          slice(asDouble(col(vecCol)), j * sub + 1, sub).as(vecCol)),
-        idCol, vecCol, k, iters)
-    }
+    // Training makes 1 + m·(1 + iters) passes over `df`, which is often
+    // an expensive projection itself (e.g. [[residuals]] output —
+    // cell-assignment cosines per row): materialize it once. All results
+    // are driver-side codebook arrays, so the pin can be dropped
+    // immediately after.
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = cached.select(size(col(vecCol))).head().getInt(0)
+      require(m >= 1 && dim % m == 0, s"m must divide the dimension ($dim)")
+      val sub = dim / m
+      (0 until m).map { j =>
+        kmeansCentroids(
+          cached.select(col(idCol),
+            slice(asDouble(col(vecCol)), j * sub + 1, sub).as(vecCol)),
+          idCol, vecCol, k, iters)
+      }
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Per-subspace code: argmin squared-L2 over the codebook entries, ties
-    * to the lowest code. Pure projection against codebook literals.
+    * to the lowest code. Pure projection against codebook literals —
+    * native VecBestIndex loop (argmin via negated score), same
+    * JIT-friendliness rationale as [[cellExpr]]; the score is the exact
+    * three-dot dist2, so code assignment bits match the CASE-chain form.
     */
-  private def codeExpr(subVec: Column, codebook: Array[Seq[Double]]): Column = {
-    val d2s = codebook.map(cv => dist2(subVec, typedLit(cv)))
-    val best = if (d2s.length == 1) d2s.head else least(d2s.toSeq: _*)
-    codebook.indices.zip(d2s).foldRight(lit(null).cast("int")) {
-      case ((c, d), els) => when(d === best, lit(c)).otherwise(els)
-    }
-  }
+  private def codeExpr(subVec: Column, codebook: Array[Seq[Double]]): Column =
+    org.apache.spark.sql.graft.VectorFunctions.vecArgminL2(subVec,
+      typedLit(codebook.toSeq))
 
   /** PQ-compressed ANN (asymmetric distance computation): the corpus is
     * reduced to m small integer codes per vector — at production scale the
@@ -510,19 +535,23 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
 
-  /** The assigned cell's centroid vector, as a chained-literal projection
-    * (same zero-shuffle pattern as [[cellExpr]]).
+  /** The assigned cell's centroid vector: one literal map lookup
+    * (GetMapValue is codegen and O(k) over a k-entry literal — the former
+    * CASE chain carried a full array literal per branch).
     */
   private def centroidVecExpr(cell: Column,
                               cents: Array[(Long, Seq[Double])]): Column =
-    cents.foldRight(lit(null).cast("array<double>")) {
-      case ((cid, cv), els) => when(cell === cid, typedLit(cv)).otherwise(els)
-    }
+    element_at(
+      map(cents.toIndexedSeq.flatMap { case (cid, cv) =>
+        Seq(lit(cid), typedLit(cv)) }: _*),
+      cell)
 
   /** RESIDUAL frame for composite indexes: each vector minus its assigned
     * coarse-cell centroid, carried under the original `vecCol` name so the
     * output feeds [[pqTrain]] unchanged. Pure projection (cell assignment
-    * + a zip_with subtraction against centroid literals) — no shuffle;
+    * + a native vec_sub against centroid literals) — no shuffle, fully
+    * codegen (a zip_with here is CodegenFallback and would expel the whole
+    * encode projection from WSCG);
     * subtraction is exact IEEE, so residuals are engine-portable.
     *
     * Output: (idCol, cell, vecCol = residual).
@@ -536,8 +565,8 @@ object Similarity {
       .select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .withColumn("cell", cellExpr(col("__v"), cents))
       .select(col(idCol), col("cell"),
-        zip_with(col("__v"), centroidVecExpr(col("cell"), cents),
-          (a, b) => a - b).as(vecCol))
+        org.apache.spark.sql.graft.VectorFunctions.vecSub(col("__v"),
+          centroidVecExpr(col("cell"), cents)).as(vecCol))
   }
 
   /** IVF-PQ composite index (the FAISS-style index layout): the coarse
@@ -578,8 +607,8 @@ object Similarity {
         .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("__v"))
         .withColumn("cell", cellExpr(col("__v"), cents))
         .withColumn("__rv",
-          zip_with(col("__v"), centroidVecExpr(col("cell"), cents),
-            (a, b) => a - b))
+          org.apache.spark.sql.graft.VectorFunctions.vecSub(col("__v"),
+            centroidVecExpr(col("cell"), cents)))
       cv.select(Seq(col("nid"), col("cell")) ++
         codebooks.zipWithIndex.map { case (cb, j) =>
           codeExpr(slice(col("__rv"), j * sub + 1, sub), cb).as(s"c$j")
@@ -589,14 +618,14 @@ object Similarity {
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
       .withColumn("cell", explode(probeCellsExpr(col("qv"), cents, nprobe)))
       .withColumn("qrv",
-        zip_with(col("qv"), centroidVecExpr(col("cell"), cents),
-          (a, b) => a - b)))
+        org.apache.spark.sql.graft.VectorFunctions.vecSub(col("qv"),
+          centroidVecExpr(col("cell"), cents))))
+    // ADC: the code column INDEXES the codebook literal directly
+    // (element_at on an array-of-arrays literal) — no per-code CASE
+    // branches, so the whole estimate stays one small codegen projection.
     val est = codebooks.zipWithIndex.map { case (cb, j) =>
       val qsub = slice(col("qrv"), j * sub + 1, sub)
-      cb.indices.foldRight(lit(null).cast("double")) {
-        case (c, els) =>
-          when(col(s"c$j") === c, dist2(qsub, typedLit(cb(c)))).otherwise(els)
-      }
+      dist2(qsub, element_at(typedLit(cb.toSeq), col(s"c$j") + 1))
     }.reduce(_ + _)
     val scored = coded.join(qb, "cell").withColumn("est_d2", est)
     val w = org.apache.spark.sql.expressions.Window

@@ -51,7 +51,7 @@ object GenData {
   }
 
   def generate(spark: SparkSession, outDir: String, sf: Double): Unit = {
-    val nCust = (1500000 * sf).toLong
+    val nCust = (150000 * sf).toLong
     val nSupp = (10000 * sf).toLong
     val nPart = (200000 * sf).toLong
     val nOrd = (1500000 * sf).toLong

@@ -39,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children(0), children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("vec_sub"),
+      new ExpressionInfo(classOf[VecSub].getName, "vec_sub"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vec_sub takes exactly 2 arguments")
+        VecSub(children(0), children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("text_clean"),
       new ExpressionInfo(classOf[TextClean].getName, "text_clean"),
       (children: Seq[Expression]) => {

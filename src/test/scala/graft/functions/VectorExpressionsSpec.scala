@@ -51,4 +51,68 @@ class VectorExpressionsSpec extends SparkSpec {
     val r = df.select(Similarity.dot($"a", $"b")).collect()
     assert(r.head.isNullAt(0))
   }
+
+  test("vecSub is bit-identical to the zip_with fold") {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .filter($"a.vec_id" < 10 && $"b.vec_id".between(10, 30))
+      .select($"a.embedding".cast("array<double>").as("x"),
+        $"b.embedding".cast("array<double>").as("y"))
+    val cmp = pairs.select(
+      VectorFunctions.vecSub($"x", $"y").as("n"),
+      zip_with($"x", $"y", (p, q) => p - q).as("h"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { case (n, h) =>
+      assert(n.length == h.length)
+      n.zip(h).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ==
+          java.lang.Double.doubleToLongBits(b))
+      }
+    }
+  }
+
+  test("vecArgmaxCos matches greatest+first-match; vecArgminL2 matches least") {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val cents: Seq[Seq[Double]] = emb.filter($"vec_id" < 8)
+      .orderBy("vec_id")
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].collect().toSeq
+    val vv = $"embedding".cast("array<double>")
+    // reference: the CASE-chain formulation over the same score exprs
+    val sims = cents.map(cv => Similarity.cosine(vv, typedLit(cv)))
+    val best = greatest(sims: _*)
+    val ref = cents.indices.zip(sims).foldRight(lit(null).cast("int")) {
+      case ((i, s), els) => when(s === best, lit(i)).otherwise(els)
+    }
+    val cmp = emb.select(
+      VectorFunctions.vecArgmaxCos(vv, typedLit(cents)).as("n"),
+      ref.as("r")).as[(Int, Int)].collect()
+    assert(cmp.nonEmpty && cmp.forall { case (n, r) => n == r })
+    // argmin-L2 against the least+CASE formulation
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Similarity.dot(a, a) - lit(2.0) * Similarity.dot(a, b) +
+        Similarity.dot(b, b)
+    val ds = cents.map(cv => d2(vv, typedLit(cv)))
+    val least8 = least(ds: _*)
+    val refMin = cents.indices.zip(ds).foldRight(lit(null).cast("int")) {
+      case ((i, d), els) => when(d === least8, lit(i)).otherwise(els)
+    }
+    val cmp2 = emb.select(
+      VectorFunctions.vecArgminL2(vv, typedLit(cents)).as("n"),
+      refMin.as("r")).as[(Int, Int)].collect()
+    assert(cmp2.nonEmpty && cmp2.forall { case (n, r) => n == r })
+  }
+
+  test("vecArgmaxCos: ties go to the lowest index; zero vector gives null") {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val cents = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val df = Seq((1L, Seq(2.0, 0.0)), (2L, Seq(0.0, 0.0)))
+      .toDF("id", "v")
+    val r = df.select($"id",
+        VectorFunctions.vecArgmaxCos($"v", typedLit(cents)).as("c"))
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1 else x.getInt(1)))
+      .toMap
+    assert(r(1L) == 0) // duplicate best centroid: first wins
+    assert(r(2L) == -1) // all-NaN cosines: null, as the CASE chain gave
+  }
 }
