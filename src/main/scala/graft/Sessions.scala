@@ -7,6 +7,19 @@ import org.apache.spark.sql.SparkSession
   * Spark 4.x. Two profiles: `local` for tests/bench (local[N], UI off) and
   * `withDefaults` for composing into an externally-built session (cluster).
   *
+  * Deliberate deviation — `enableHiveSupport()`
+  * (etl-on-gcp-vinicius-campos.py:69): the reference enables the Hive
+  * catalog because Dataproc wires table metadata through a Hive
+  * metastore. This engine's catalog surface (S7 temp views, S9/O7
+  * warehouse tables) runs on Spark's built-in in-memory/`spark_catalog`
+  * session catalog: every gated operation (create database, saveAsTable,
+  * truncate-load, SQL over views) is catalog-implementation-agnostic, so
+  * Hive classes would add a dependency and a metastore requirement
+  * without changing any observable behavior (SURVEY.md §4.2). A
+  * deployment that needs shared persistent metadata composes
+  * `withDefaults` into a builder that has `enableHiveSupport()` or a
+  * `spark.sql.catalog.*` plugin set — nothing here conflicts with either.
+  *
   * Scale posture: AQE on (runtime re-plan + skew-join splitting), shuffle
   * coalescing to 128 MB advisory partitions, Kryo, committer v2 — the same
   * knobs the reference ships, which are also the right defaults for a
