@@ -266,4 +266,42 @@ class ZipTextSourceSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("member"))
   }
+
+  test("commit aborts loudly when fs.rename reports failure") {
+    // HDFS-style FileSystems signal a refused move by RETURNING FALSE from
+    // rename (destination exists, quota, ...), not by throwing — a commit
+    // that ignores the boolean silently drops the partition's archive.
+    // Drive the real driver-side commit through a wrapper scheme whose
+    // rename always refuses, and assert the loud IOException path
+    // (ZipTextSource commit).
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.failrename.impl", classOf[FailRenameFileSystem].getName)
+    hconf.setBoolean("fs.failrename.impl.disable.cache", true)
+    val dir = Scratch.fresh("zipsink")
+    val ex = intercept[Exception] {
+      Seq("m1.txt" -> "payload one", "m2.txt" -> "payload two")
+        .toDF("member", "text").coalesce(1)
+        .write.format(FMT).mode("append").save(s"failrename://$dir")
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.contains("graft-zip commit failed"),
+      s"expected the loud commit-abort IOException, got: $chain")
+    // The temp file written by the task is still on disk (commit threw
+    // before cleanup); no committed part-*.zip may exist.
+    val committed = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".zip"))
+    assert(committed.isEmpty,
+      s"no archive may be committed after a refused rename: ${committed.toSeq}")
+  }
+}
+
+/** RawLocalFileSystem under scheme `failrename://` whose rename always
+  * returns false — simulates an HDFS destination-exists/refused move for
+  * the commit-failure spec. Instantiated reflectively by Hadoop.
+  */
+class FailRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("failrename:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = false
 }
