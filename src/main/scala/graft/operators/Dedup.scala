@@ -91,7 +91,8 @@ object Dedup {
       if (prefixFilter)
         pairIntersections(prefixCandidates(candInput, idCol, threshold),
           sh, idCol)
-      else if (maxDocFreq <= 0) sharedShingleIntersections(sh, idCol)
+      else if (maxDocFreq <= 0)
+        sharedShingleIntersections(sh, idCol, Some(threshold))
       else pairIntersections(
         sharedShingleIntersections(candInput, idCol).select("da", "db"),
         sh, idCol)
@@ -237,14 +238,40 @@ object Dedup {
     * couple of tasks, serializing a multi-million-row explosion. Pin the
     * plan instead: hash-repartition both sides on the key at full
     * parallelism and force a shuffle merge join.
+    *
+    * `lengthFilter = Some(t)`: EXACT prune for Jaccard >= t over the very
+    * sets being joined — jacc = |∩|/|∪| <= min/max, so any qualifying pair
+    * has `min(|A|,|B|) >= t·max(|A|,|B|)`. Applied as a join residual it
+    * drops a dissimilar pair at its FIRST shared shingle instead of
+    * counting every shared shingle into the (da, db) aggregate — at a 0.8
+    * threshold most of the freq² pair stream dies here, before the
+    * aggregate hash map and its shuffle. The `- 0.5` slack (sizes are
+    * integers) makes double rounding of `t·max` provably unable to prune a
+    * boundary pair the final double-compared `jacc >= t` filter would keep.
+    * Only sound when `sh` holds the SAME sets the final score uses —
+    * callers joining over df-cut/prefix subsets must not pass it.
     */
-  private def sharedShingleIntersections(sh: DataFrame, idCol: String): DataFrame = {
+  private def sharedShingleIntersections(sh: DataFrame, idCol: String,
+      lengthFilter: Option[Double] = None): DataFrame = {
     val p = sh.sparkSession.sparkContext.defaultParallelism
-    val byShingle = sh.repartition(p, col("shingle"))
+    val withN = lengthFilter match {
+      case Some(_) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+        sh.withColumn("__n", count(lit(1)).over(w))
+      case None => sh
+    }
+    val byShingle = withN.repartition(p, col("shingle"))
+    val base = col("a.shingle") === col("b.shingle") &&
+      col(s"a.$idCol") < col(s"b.$idCol")
+    val cond = lengthFilter match {
+      case Some(t) => base &&
+        least(col("a.__n"), col("b.__n")).cast("double") >=
+          lit(t) * greatest(col("a.__n"), col("b.__n")).cast("double") -
+            lit(0.5)
+      case None => base
+    }
     byShingle.as("a").hint("shuffle_merge")
-      .join(byShingle.as("b").hint("shuffle_merge"),
-        col("a.shingle") === col("b.shingle") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+      .join(byShingle.as("b").hint("shuffle_merge"), cond)
       .groupBy(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"))
       .agg(count(lit(1)).as("ni"))
   }
@@ -422,7 +449,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val truth =
-      scorePairs(sharedShingleIntersections(sh, idCol), cnt, idCol, threshold)
+      scorePairs(sharedShingleIntersections(sh, idCol, Some(threshold)),
+        cnt, idCol, threshold)
         .select(col("da"), col("db"), lit(1L).as("__t"))
     val bandDf = bandHashTable(sh, idCol, k, bands, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
