@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Density clustering (DBSCAN) over point sets, grid-blocked for scale.
+  *
+  * The missing family next to quantizer-partition dedup
+  * ([[Similarity.semanticDedup]]) and pair-graph resolution
+  * ([[Dedup.resolveClusters]]): clusters are *density-connected* regions —
+  * any shape, no cluster count chosen up front — with points in no dense
+  * region reported as noise. The training-pipeline uses are outlier
+  * carving (drop noise before sampling) and behavioral segmentation over
+  * metric feature spaces (time × value, geo, projected embeddings).
+  *
+  * Determinism: classic DBSCAN's border-point assignment depends on visit
+  * order. This formulation is canonical instead — cluster id = min core id
+  * of the density-connected component, and a border point joins the
+  * MINIMUM cluster id among its core neighbors — so output is a pure
+  * function of (points, eps, minPts) under any partitioning, and an
+  * independent engine can replay it.
+  */
+object Density {
+
+  /** DBSCAN over `vecCol: array<double>` (any dimension >= 2).
+    *
+    *  - neighbor: squared L2 distance <= eps² (self excluded);
+    *  - core: |N_eps(p)| + 1 >= minPts (the classic count includes p);
+    *  - clusters: connected components over core–core neighbor pairs
+    *    (min-label propagation with pointer jumping —
+    *    [[Dedup.resolveClusters]]);
+    *  - border: non-core within eps of >= 1 core, assigned the min
+    *    cluster id among its core neighbors;
+    *  - noise: everything else — absent from the output.
+    *
+    * Scale posture: candidate pairs come from a grid over the FIRST TWO
+    * coordinates with cell width eps — an eps-ball around p is contained
+    * in the 3×3 cell neighborhood of p's cell in those coordinates no
+    * matter how many further dimensions the distance runs over, so
+    * blocking is complete (it only ever over-generates, the exact
+    * distance residual prunes). One explode(9) + equijoin on the cell
+    * key; the distance is a codegen residual; degree/cluster steps are
+    * keyed aggregates and the O(log diameter) component loop. Nothing is
+    * collected. The grid prunes exactly when eps is small against the
+    * data extent — the regime density clustering is FOR; with eps at the
+    * data diameter every point shares one cell and no blocking scheme
+    * can help (pick eps accordingly).
+    *
+    * Squared distance uses the fixed sequential-fold identity
+    * `dot(a,a) - 2·dot(a,b) + dot(b,b)` so any engine replaying the same
+    * folds reproduces membership bit-identically.
+    *
+    * @return (id, cluster, is_core) — noise points absent
+    */
+  def dbscan(points: DataFrame, idCol: String, vecCol: String,
+             eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0, "eps must be > 0")
+    require(minPts >= 1, "minPts must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val d2: (Column, Column) => Column = (a, b) =>
+      Similarity.dot(a, a) - lit(2.0) * Similarity.dot(a, b) +
+        Similarity.dot(b, b)
+    val v = Par.spread(points)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cx", floor(element_at(col("v"), 1) / eps).cast("long"))
+      .withColumn("cy", floor(element_at(col("v"), 2) / eps).cast("long"))
+      .persist(lvl)
+    // Directed neighbor pairs: each point probes its 3×3 cell
+    // neighborhood; the exact all-dimension distance prunes. Directed
+    // (ia, ib) kept — the degree count needs per-point rows anyway.
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    val probes = v.select(col("id").as("ia"), col("v").as("va"),
+        col("cx"), col("cy"), explode(array(offsets: _*)).as("o"))
+      .select(col("ia"), col("va"),
+        (col("cx") + col("o.dx")).as("px"), (col("cy") + col("o.dy")).as("py"))
+    val nbr = probes.join(
+        v.select(col("id").as("ib"), col("v").as("vb"),
+          col("cx"), col("cy")),
+        col("px") === col("cx") && col("py") === col("cy") &&
+          col("ia") =!= col("ib"))
+      .filter(d2(col("va"), col("vb")) <= lit(eps * eps))
+      .select("ia", "ib")
+      .persist(lvl)
+    val cores = nbr.groupBy(col("ia").as("id"))
+      .agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") + 1 >= minPts)
+      .select("id")
+      .persist(lvl)
+    // Core–core undirected pairs; every directed pair appears both ways in
+    // `nbr`, so ia < ib keeps each once.
+    val corePairs = nbr.filter(col("ia") < col("ib"))
+      .join(cores.withColumnRenamed("id", "ia"), "ia")
+      .join(cores.withColumnRenamed("id", "ib"), "ib")
+      .select(col("ia").as("da"), col("ib").as("db"))
+    val clusters = Dedup.resolveClusters(cores, "id", corePairs)
+      .withColumnRenamed("cluster", "cluster")
+    // Border: non-core with >= 1 core neighbor — min cluster id among its
+    // core neighbors (the canonical deterministic assignment).
+    val border = nbr
+      .join(cores.withColumnRenamed("id", "ib"), "ib")
+      .join(cores.withColumnRenamed("id", "ia"), Seq("ia"), "left_anti")
+      .join(clusters.select(col("id").as("ib"), col("cluster")), "ib")
+      .groupBy(col("ia").as("id"))
+      .agg(min(col("cluster")).as("cluster"))
+    clusters.select(col("id"), col("cluster"), lit(true).as("is_core"))
+      .unionByName(border.select(col("id"), col("cluster"),
+        lit(false).as("is_core")))
+  }
+}

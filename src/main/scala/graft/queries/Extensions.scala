@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{AsOf, Dedup, Graph, Multimodal, Sample, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, Density, Graph, Multimodal, Sample, Similarity, TextOps}
 
 /** Mandated extension surface (SURVEY.md §2.4 / BASELINE.json north_star):
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
@@ -1012,6 +1012,61 @@ object Extensions extends QueryModule {
       Similarity.cellInertia(e, "vec_id", "embedding",
           e.filter(col("vec_id") < 8), "vec_id", "embedding", scale = 1e5)
         .orderBy("cell")
+    },
+
+    // Density clustering (Density.dbscan) over events in (user, value)
+    // space: grid-blocked DBSCAN — eps-grid on the first two coordinates
+    // (complete blocking: an eps-ball fits in the 3x3 cell neighborhood),
+    // exact all-dim distance residual, core test |N_eps|+1 >= minPts,
+    // clusters = min-label components over core-core pairs, borders take
+    // the min cluster among core neighbors, noise absent. The user axis
+    // makes point density scale-INVARIANT (the user population grows with
+    // SF), so cluster sizes stay bounded and cluster count scales
+    // linearly at every SF — the regime the grid prunes for. The oracle
+    // replays the same grid (as an exploded 9-offset equi-join), the same
+    // dot-fold distance identity and the same canonical labels through a
+    // recursive CTE.
+    QueryDef("x3_dbscan", Some("""
+      WITH RECURSIVE g AS (
+        SELECT event_id AS id,
+               CAST(user_id AS DOUBLE) AS x, value/100.0 AS y,
+               CAST(floor(CAST(user_id AS DOUBLE)/0.05) AS BIGINT) AS cx,
+               CAST(floor((value/100.0)/0.05) AS BIGINT) AS cy
+        FROM events),
+      offs AS (SELECT dx, dy FROM (SELECT unnest([-1,0,1]) AS dx),
+                                  (SELECT unnest([-1,0,1]) AS dy)),
+      pr AS (SELECT id, x, y, cx+dx AS px, cy+dy AS py FROM g, offs),
+      nb AS (
+        SELECT a.id AS ia, b.id AS ib
+        FROM pr a JOIN g b
+          ON a.px = b.cx AND a.py = b.cy AND a.id <> b.id
+         AND list_dot_product([a.x,a.y],[a.x,a.y])
+             - 2.0*list_dot_product([a.x,a.y],[b.x,b.y])
+             + list_dot_product([b.x,b.y],[b.x,b.y])
+             <= CAST(0.05 AS DOUBLE)*CAST(0.05 AS DOUBLE)),
+      cores AS (SELECT ia AS id FROM nb GROUP BY ia
+                HAVING count(*) + 1 >= 4),
+      ce AS (SELECT ia AS src, ib AS dst FROM nb
+             WHERE ia IN (SELECT id FROM cores)
+               AND ib IN (SELECT id FROM cores)),
+      reach(id, r) AS (
+        SELECT id, id FROM cores
+        UNION
+        SELECT e.src, rc.r FROM ce e JOIN reach rc ON e.dst = rc.id),
+      cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      border AS (
+        SELECT nb.ia AS id, min(cl.cluster) AS cluster
+        FROM nb JOIN cl ON nb.ib = cl.id
+        WHERE nb.ia NOT IN (SELECT id FROM cores)
+        GROUP BY nb.ia)
+      SELECT id, CAST(cluster AS BIGINT) AS cluster, is_core FROM (
+        SELECT id, cluster, TRUE AS is_core FROM cl
+        UNION ALL SELECT id, cluster, FALSE FROM border)
+      ORDER BY id"""), bench = true) { (s, dir) =>
+      val pts = t(s, dir, "events").select(col("event_id").as("id"),
+        array(col("user_id").cast("double"),
+          col("value") / lit(100.0)).as("pt"))
+      Density.dbscan(pts, "id", "pt", eps = 0.05, minPts = 4).orderBy("id")
     },
 
     // PQ-compressed ANN (Similarity.pqTrain/knnPq): m=2 subspaces × k=4
