@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{AsOf, Dedup, Density, Graph, Multimodal, Sample, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, Density, Graph, Integrity, Multimodal, Sample, Similarity, TextOps}
 
 /** Mandated extension surface (SURVEY.md §2.4 / BASELINE.json north_star):
   * dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
@@ -2883,6 +2883,39 @@ object Extensions extends QueryModule {
     // conf and lift are single divisions of exact integers, so the scores
     // themselves hash-gate — lift being exp(PMI), this is the engine's
     // co-occurrence-strength surface without a cross-engine log.
+    // Order-independent dataset fingerprint (Integrity.fingerprint): md5
+    // per canonically-rendered row, two disjoint 15-hex-digit slices
+    // summed as DECIMAL(38,0) — commutative, so the checksum is invariant
+    // to partitioning/row order/engine, the "did the 100 TB copy arrive
+    // intact" one-row handshake. Oracle replays the digest arithmetic
+    // with DuckDB's hex-cast.
+    QueryDef("x10_checksum", Some("""
+      WITH d AS (SELECT md5(concat_ws('|',
+          coalesce(CAST(doc_id AS VARCHAR), chr(1)),
+          coalesce(lang, chr(1)),
+          coalesce(text, chr(1)))) AS h FROM documents)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        sum(CAST(CAST('0x'||substr(h,1,15) AS BIGINT) AS HUGEINT)) AS ck_lo,
+        sum(CAST(CAST('0x'||substr(h,17,15) AS BIGINT) AS HUGEINT)) AS ck_hi
+      FROM d""")) { (s, dir) =>
+      Integrity.fingerprint(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "text"))
+    },
+
+    // Per-group fingerprints (Integrity.fingerprintBy): bisect WHERE two
+    // copies diverge without re-reading matching groups.
+    QueryDef("x10_checksum_by", Some("""
+      WITH d AS (SELECT lang, md5(concat_ws('|',
+          coalesce(CAST(doc_id AS VARCHAR), chr(1)),
+          coalesce(text, chr(1)))) AS h FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        sum(CAST(CAST('0x'||substr(h,1,15) AS BIGINT) AS HUGEINT)) AS ck_lo,
+        sum(CAST(CAST('0x'||substr(h,17,15) AS BIGINT) AS HUGEINT)) AS ck_hi
+      FROM d GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      Integrity.fingerprintBy(t(s, dir, "documents"),
+        Seq("lang"), Seq("doc_id", "text")).orderBy("lang")
+    },
+
     QueryDef("x10_assoc", Some("""
       WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
                   FROM lineitem),

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IntegritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    (1L, Some("en"), Some("hello world")),
+    (2L, Some("de"), Some("hallo welt")),
+    (3L, None, Some("no lang")),
+    (4L, Some("en"), None))
+
+  test("fingerprint is invariant to row order and partitioning") {
+    val a = rows.toDF("id", "lang", "text")
+    val b = rows.reverse.toDF("id", "lang", "text").repartition(7)
+    val fa = Integrity.fingerprint(a, Seq("id", "lang", "text")).collect()
+    val fb = Integrity.fingerprint(b, Seq("id", "lang", "text")).collect()
+    assert(fa.sameElements(fb))
+    assert(fa.head.getLong(0) == 4L)
+  }
+
+  test("any single-row change moves the checksum") {
+    val base = rows.toDF("id", "lang", "text")
+    val mut = rows.updated(1, (2L, Some("de"), Some("hallo Welt")))
+      .toDF("id", "lang", "text")
+    val fa = Integrity.fingerprint(base, Seq("id", "lang", "text")).collect().head
+    val fb = Integrity.fingerprint(mut, Seq("id", "lang", "text")).collect().head
+    assert(fa.getLong(0) == fb.getLong(0))
+    assert(fa.getDecimal(1) != fb.getDecimal(1) ||
+      fa.getDecimal(2) != fb.getDecimal(2))
+  }
+
+  test("null and empty string do not collide; null column position matters") {
+    val x = Seq((1L, Some(""), Some("t"))).toDF("id", "lang", "text")
+    val y = Seq((1L, Option.empty[String], Some("t"))).toDF("id", "lang", "text")
+    val fx = Integrity.fingerprint(x, Seq("id", "lang", "text")).collect().head
+    val fy = Integrity.fingerprint(y, Seq("id", "lang", "text")).collect().head
+    assert(fx.getDecimal(1) != fy.getDecimal(1))
+    val p = Seq((Some("a"), Option.empty[String])).toDF("u", "v")
+    val q = Seq((Option.empty[String], Some("a"))).toDF("u", "v")
+    assert(Integrity.fingerprint(p, Seq("u", "v")).collect().head.getDecimal(1) !=
+      Integrity.fingerprint(q, Seq("u", "v")).collect().head.getDecimal(1))
+  }
+
+  test("fingerprintBy groups agree with per-group fingerprint") {
+    val df = rows.toDF("id", "lang", "text")
+    val by = Integrity.fingerprintBy(df, Seq("lang"), Seq("id", "text"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getDecimal(2), r.getDecimal(3))).toMap
+    assert(by.keySet == Set(Some("en"), Some("de"), None))
+    val en = Integrity.fingerprint(
+      df.filter(col("lang") === "en"), Seq("id", "text")).collect().head
+    assert(by(Some("en")) == ((en.getLong(0), en.getDecimal(1), en.getDecimal(2))))
+    assert(by(Some("en"))._1 == 2L)
+  }
+}
