@@ -80,6 +80,70 @@ object Graph {
     dist
   }
 
+  /** Landmark hop distances: [[bfsHops]] run per landmark IN ONE SWEEP —
+    * the frontier carries the landmark label, so k landmark BFSs cost one
+    * sequence of joins over a state table of (node, landmark) pairs
+    * instead of k separate traversals. The classic landmark/sketch
+    * primitive: the output table is the embedding that answers
+    * approximate point-to-point distance queries (d(u,v) <= min over lm
+    * of hop(u,lm)+hop(v,lm)) and feeds [[closenessFromLandmarks]].
+    *
+    * Scale posture: per round one equijoin of the edge list with the
+    * labeled frontier + a distinct + an anti join against the settled
+    * (id, lm) table — all keyed shuffles; state is O(nodes × landmarks)
+    * rows, persisted, never collected. Landmark count is the caller's
+    * budget knob exactly as in the literature.
+    *
+    * @return (id, lm, hop) — min hops from landmark `lm`, hop <= maxHops;
+    *         unreached (id, lm) pairs absent
+    */
+  def landmarkHops(edges: DataFrame, landmarks: DataFrame,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    var dist = landmarks.select(col("id").cast("long").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("lm"), lit(0L).as("hop"))
+      .persist(lvl)
+    var frontier = dist
+    for (h <- 1 to maxHops) {
+      val next = e.join(frontier.withColumnRenamed("id", "src")
+          .select("src", "lm"), "src")
+        .select(col("dst").as("id"), col("lm")).distinct()
+        .join(dist.select("id", "lm"), Seq("id", "lm"), "left_anti")
+        .select(col("id"), col("lm"), lit(h.toLong).as("hop"))
+        .persist(lvl)
+      dist = dist.unionByName(next).persist(lvl)
+      frontier = next
+    }
+    dist
+  }
+
+  /** Bounded-radius closeness centrality against a landmark set: per
+    * node, how many landmarks reach it within `maxHops` and at what total
+    * distance — `closeness = n_lm / dist_sum` (one IEEE division over two
+    * exact longs; landmark self-rows at hop 0 contribute count but no
+    * distance, matching the classic convention of excluding d(v,v)).
+    * Sampling landmarks IS the standard estimator for exact closeness
+    * (Eppstein–Wang): at 100 TB nobody runs n BFSs — k landmark sweeps
+    * give a bounded-error estimate, and this operator is that estimator
+    * with the landmark set made explicit.
+    *
+    * Nodes no landmark reaches are absent; nodes only reached at distance
+    * 0 (an isolated landmark) report closeness null rather than divide by
+    * zero.
+    */
+  def closenessFromLandmarks(edges: DataFrame, landmarks: DataFrame,
+                             maxHops: Int): DataFrame =
+    landmarkHops(edges, landmarks, maxHops)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lm"), sum(col("hop")).as("dist_sum"))
+      .withColumn("closeness",
+        when(col("dist_sum") > 0,
+          col("n_lm").cast("double") / col("dist_sum").cast("double")))
+
   /** Weighted single/multi-source shortest paths — synchronous
     * Bellman-Ford rounds with frontier pruning. Per round, only nodes whose
     * distance IMPROVED last round relax their out-edges (the delta-stepping

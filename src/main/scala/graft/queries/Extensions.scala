@@ -2564,6 +2564,48 @@ object Extensions extends QueryModule {
       Graph.ssspRounds(edges, seeds, rounds = 3).orderBy("id")
     },
 
+    // Landmark closeness (Graph.landmarkHops/closenessFromLandmarks): k
+    // landmark BFSs in ONE labeled sweep — the Eppstein-Wang sampled
+    // estimator for closeness centrality, which is how closeness is
+    // actually computed at scale (n full BFSs are off the table). Per
+    // node: landmarks reaching it within 2 hops, exact hop sum, one IEEE
+    // division. The oracle enumerates every <=2-hop path per landmark and
+    // min-aggregates.
+    QueryDef("x8_closeness", Some("""
+      WITH RECURSIVE pr AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey % 5 = 0),
+      eg AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+      lms AS (SELECT DISTINCT src AS lm FROM eg WHERE src % 100 = 0),
+      b(id, lm, h) AS (
+        SELECT lm, lm, 0 FROM lms
+        UNION ALL
+        SELECT e.dst, b.lm, b.h + 1 FROM b JOIN eg e ON e.src = b.id
+        WHERE b.h < 2),
+      m AS (SELECT id, lm, min(h) AS h FROM b GROUP BY id, lm)
+      SELECT id, CAST(count(*) AS BIGINT) AS n_lm,
+        CAST(sum(h) AS BIGINT) AS dist_sum,
+        CASE WHEN sum(h) > 0
+             THEN CAST(count(*) AS DOUBLE) / CAST(sum(h) AS DOUBLE)
+        END AS closeness
+      FROM m GROUP BY id ORDER BY id""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select("l_orderkey", "l_partkey").distinct()
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lms = edges.select(col("src").as("id")).distinct()
+        .filter(col("id") % 100 === 0)
+      Graph.closenessFromLandmarks(edges, lms, maxHops = 2).orderBy("id")
+    },
+
     // Hash-driven walks (Graph.hashWalk): the DeepWalk corpus primitive
     // made exactly reproducible — at step t a walker moves to the
     // out-neighbor minimizing md5(salt:walker:t:neighbor); the hash plays

@@ -372,4 +372,36 @@ class GraphSpec extends SparkSpec {
     assert(Graph.assortativity(cycle)
       .as[(Long, Option[Double])].head() == ((6L, None)))
   }
+
+  test("landmarkHops: one labeled sweep equals per-landmark BFS") {
+    // Undirected path 1-2-3-4-5, landmarks {1,5}.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val lms = Seq(1L, 5L).toDF("id")
+    val got = Graph.landmarkHops(und, lms, maxHops = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val expect = (for {
+      lm <- Seq(1L, 5L); n <- 1L to 5L
+    } yield (n, lm, math.abs(n - lm))).toSet
+    assert(got == expect)
+    // Bounded: maxHops 1 keeps only self + direct neighbors.
+    val b1 = Graph.landmarkHops(und, lms, maxHops = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(b1 == Set((1L, 1L, 0L), (2L, 1L, 1L), (5L, 5L, 0L), (4L, 5L, 1L)))
+  }
+
+  test("closenessFromLandmarks: hand-computed sums; isolated landmark is null") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val lms = Seq(1L, 5L, 9L).toDF("id") // 9 has no edges
+    val out = Graph.closenessFromLandmarks(und, lms, maxHops = 4)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // Node 3: both landmarks at hop 2 -> 2/4.
+    assert(out(3L) == ((2L, 4L, Some(2.0 / 4.0))))
+    // Node 1: itself (0) + landmark 5 at 4 -> 2/4.
+    assert(out(1L) == ((2L, 4L, Some(2.0 / 4.0))))
+    // Isolated landmark: only its own hop-0 row -> dist_sum 0, null.
+    assert(out(9L) == ((1L, 0L, None)))
+  }
 }
