@@ -295,6 +295,39 @@ object TextOps {
           .as("dup_frac"))
   }
 
+  /** Order-aware n-gram NOVELTY: per document, the fraction of its
+    * distinct n-grams whose FIRST corpus occurrence (minimum id) is this
+    * document — i.e. how much genuinely new material each document adds
+    * given everything before it in id order. Where [[dupNgramStats]] is
+    * symmetric (appears-anywhere-else), novelty is directional: stream a
+    * growing corpus through it and the per-doc curve is the freshness
+    * signal that drives "stop crawling this source" / curriculum-by-
+    * recency decisions.
+    *
+    * First-occurrence attribution via min(id) per n-gram is exact and
+    * order-independent to COMPUTE (any partitioning) while being
+    * order-AWARE in meaning (id = ingestion order by contract).
+    *
+    * Scale posture: distinct (id, gram) pairs, one gram-keyed min
+    * aggregate, one gram-keyed join back, one id-keyed count — the same
+    * inverted-index discipline as the dedup family, never doc × doc.
+    */
+  def noveltyStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val grams = Par.spread(df)
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("g"))
+      .distinct()
+    val first = grams.groupBy("g").agg(min(col(idCol)).as("__first"))
+    grams.join(first, "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col(idCol) === col("__first"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(idCol), col("n_distinct"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_distinct").cast("double"))
+          .as("novel_frac"))
+  }
+
   /** Boilerplate removal (the CCNet/RefinedWeb repeated-line strip): drop
     * every segment that appears in at least `minDf` DISTINCT documents of
     * the same scope (e.g. per-source — navigation chrome, footers, cookie

@@ -1437,6 +1437,24 @@ object Extensions extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Order-aware novelty (TextOps.noveltyStats): per doc, the fraction
+    // of its distinct 3-grams first introduced BY it (min-doc_id
+    // attribution) — the corpus-freshness curve behind "stop crawling
+    // this source". Directional where x6_dup_ngrams is symmetric.
+    QueryDef("x5_novelty", Some(s"""
+      WITH $shCte,
+      f AS (SELECT shingle, min(doc_id) AS fid FROM sh GROUP BY shingle)
+      SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+        CAST(sum(CASE WHEN sh.doc_id = f.fid THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_novel,
+        CAST(sum(CASE WHEN sh.doc_id = f.fid THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS novel_frac
+      FROM sh JOIN f USING (shingle)
+      GROUP BY sh.doc_id ORDER BY doc_id""")) { (s, dir) =>
+      TextOps.noveltyStats(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    },
+
     // Content-defined chunk dedup: boundaries from word content (md5 band),
     // not positions — early insertions don't shift downstream chunks, so
     // shifted copies still dedup. Expected chunk ~8 words.

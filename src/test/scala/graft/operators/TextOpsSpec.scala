@@ -374,4 +374,34 @@ class TextOpsSpec extends SparkSpec {
       assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
     }
   }
+
+  test("noveltyStats: first doc all novel; copies zero; partial overlap counted") {
+    val docs = Seq(
+      (1L, "a b c d"),          // grams: "a b", "b c", "c d" — all novel
+      (2L, "a b c d"),          // exact copy — nothing novel
+      (3L, "c d e f"),          // "c d" seen, "d e" and "e f" novel
+      (4L, "x y"))              // single novel gram
+      .toDF("doc_id", "text")
+    val out = TextOps.noveltyStats(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((3L, 0L, 0.0)))
+    assert(out(3L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(out(4L) == ((1L, 1L, 1.0)))
+  }
+
+  test("noveltyStats: repeated grams inside one doc count once; partition-invariant") {
+    val docs = Seq((1L, "a b a b a b"), (2L, "a b x"))
+      .toDF("doc_id", "text")
+    val once = TextOps.noveltyStats(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // Doc 1 distinct 2-grams: "a b", "b a" — both novel. Doc 2: "a b"
+    // seen, "b x" novel.
+    assert(once.map(r => (r._1, r._2, r._3)) ==
+      Set((1L, 2L, 2L), (2L, 2L, 1L)))
+    val re = TextOps.noveltyStats(docs.repartition(5), "doc_id", "text", 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(re == once)
+  }
 }
