@@ -1062,7 +1062,7 @@ object Extensions extends QueryModule {
       SELECT id, CAST(cluster AS BIGINT) AS cluster, is_core FROM (
         SELECT id, cluster, TRUE AS is_core FROM cl
         UNION ALL SELECT id, cluster, FALSE FROM border)
-      ORDER BY id"""), bench = true) { (s, dir) =>
+      ORDER BY id""")) { (s, dir) =>
       val pts = t(s, dir, "events").select(col("event_id").as("id"),
         array(col("user_id").cast("double"),
           col("value") / lit(100.0)).as("pt"))
