@@ -50,6 +50,38 @@ object Integrity {
         sum(slice(col("__d"), 17)).as("ck_hi"))
   }
 
+  /** Streaming fingerprint maintenance: each micro-batch's partial
+    * (n, ck_lo, ck_hi) is ADDED onto a versioned one-row snapshot —
+    * commutativity is exactly what makes the checksum incrementally
+    * maintainable, so a landing stream carries a continuously-current
+    * integrity handshake without ever re-reading history. Batch `i`
+    * reads the latest snapshot strictly below `i` and overwrites its own
+    * version, so replayed batches are idempotent (the
+    * [[graft.streaming.Streams.aggSink]] discipline).
+    */
+  def fingerprintSink(df: DataFrame, cols: Seq[String], dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       id: Long) =>
+        val s = batch.sparkSession
+        val delta = fingerprint(batch.toDF(), cols)
+        val merged = graft.streaming.Streams
+          .latestSnapshotBefore(s, dir, id)
+          .map { p =>
+            s.read.parquet(p).unionByName(delta)
+              .agg(sum(col("n")).as("n"),
+                sum(col("ck_lo")).as("ck_lo"),
+                sum(col("ck_hi")).as("ck_hi"))
+          }
+          .getOrElse(delta)
+        merged.select(col("n").cast("long").as("n"),
+            col("ck_lo").cast(DecimalType(38, 0)).as("ck_lo"),
+            col("ck_hi").cast(DecimalType(38, 0)).as("ck_hi"))
+          .write.mode("overwrite").parquet(s"$dir/v$id")
+        ()
+    }
+
   /** Per-group fingerprints — bisect WHERE two copies diverge (per
     * partition key, per day, per shard) without re-reading the matching
     * groups.

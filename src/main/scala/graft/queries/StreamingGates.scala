@@ -461,5 +461,36 @@ object StreamingGates extends QueryModule {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("lang")
+    },
+
+    // Streaming fingerprint maintenance (Integrity.fingerprintSink): the
+    // order-independent checksum is a SUM of per-row terms, so each
+    // micro-batch's partial ADDS onto a versioned snapshot — a landing
+    // stream carries a continuously-current integrity handshake without
+    // re-reading history. Final snapshot must equal the batch fingerprint
+    // of everything streamed (the incremental-view-maintenance law,
+    // applied to integrity metadata).
+    QueryDef("ev16_stream_checksum", Some("""
+      WITH d AS (SELECT md5(concat_ws('|',
+          coalesce(CAST(event_id AS VARCHAR), chr(1)),
+          coalesce(event_type, chr(1)))) AS h FROM events)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        sum(CAST(CAST('0x'||substr(h,1,15) AS BIGINT) AS HUGEINT)) AS ck_lo,
+        sum(CAST(CAST('0x'||substr(h,17,15) AS BIGINT) AS HUGEINT)) AS ck_hi
+      FROM d""")) { (s, dir) =>
+      import graft.operators.Integrity
+      val in = Scratch.fresh("ckm-src")
+      val (snap, ck) = (Scratch.fresh("ckm-snap"), Scratch.fresh("ckm-ck"))
+      Tables.load(s, dir, "events").repartition(4)
+        .write.mode("overwrite").parquet(in)
+      val src = s.readStream.schema(Streams.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Integrity.fingerprintSink(src, Seq("event_id", "event_type"),
+          snap)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(Streams.latestSnapshot(s, snap)
+        .getOrElse(sys.error("fingerprintSink wrote no snapshot")))
     })
 }

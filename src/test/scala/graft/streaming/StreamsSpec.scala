@@ -235,4 +235,35 @@ class StreamsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L))
   }
+
+  test("fingerprintSink: streamed checksum equals the batch fingerprint") {
+    import graft.operators.Integrity
+    implicit val sqlCtx = spark.sqlContext
+    val snap = Scratch.fresh("stream-fp")
+    val ck = Scratch.fresh("stream-fp-ck")
+    val in = MemoryStream[(Long, String)]
+    val q = Integrity.fingerprintSink(in.toDF().toDF("id", "s"),
+        Seq("id", "s"), snap)
+      .option("checkpointLocation", ck).start()
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+      val latest = Streams.latestSnapshot(spark, snap).get
+      assert(latest.endsWith("/v1"), s"two versions expected: $latest")
+      val streamed = spark.read.parquet(latest)
+        .select($"n", $"ck_lo".cast("string"), $"ck_hi".cast("string"))
+        .as[(Long, String, String)].head()
+      val batch = Integrity.fingerprint(
+          Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"),
+          Seq("id", "s"))
+        .select($"n", $"ck_lo".cast("string"), $"ck_hi".cast("string"))
+        .as[(Long, String, String)].head()
+      assert(streamed == batch && streamed._1 == 3L)
+      // v0 carries only batch 0's partial — versions are immutable.
+      val v0 = spark.read.parquet(s"$snap/v0").select($"n").as[Long].head()
+      assert(v0 == 2L)
+    } finally q.stop()
+  }
 }
