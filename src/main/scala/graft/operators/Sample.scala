@@ -225,4 +225,38 @@ object Sample {
           .otherwise("embargo"))
       .drop("__lo", "__hi", "__cut")
   }
+
+  /** CURRICULUM ordering: band each stratum into `bands` quality tiers
+    * (ntile over score DESCENDING — band 1 is the best material), then
+    * give every row a deterministic within-band shuffle position (md5
+    * order, id tiebreak). Reading (band, pos) front to back is
+    * curriculum learning's schedule: highest-quality material first,
+    * with adjacent examples DE-CORRELATED inside each band — the reason
+    * real pipelines shuffle within tiers instead of feeding a raw
+    * quality sort, which would cluster near-identical documents
+    * back-to-back. Pure function of (df, score): re-derivable on any
+    * cluster, resumable mid-band by position.
+    *
+    * Scale posture: two window passes over the same stratum-keyed
+    * exchange (ntile on (stratum), row_number on (stratum, band) — the
+    * second partitions a refinement of the first, so no new shuffle at
+    * execution). Stratify by a real partition key (language, source);
+    * ntile needs a per-stratum total order, which is the same
+    * requirement [[graft.operators.Stats.quantileBins]] carries.
+    *
+    * Output: input columns + (band, pos).
+    */
+  def curriculum(df: DataFrame, stratumCol: String, idCol: String,
+                 scoreCol: String, bands: Int): DataFrame = {
+    require(bands >= 1, "bands must be >= 1")
+    val wBand = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("band"))
+      .orderBy(md5(concat_ws("|", lit("curr"), col(idCol).cast("string"))),
+        col(idCol))
+    df.withColumn("band", ntile(bands).over(wBand))
+      .withColumn("pos", row_number().over(wPos))
+  }
 }

@@ -1317,6 +1317,34 @@ object Extensions extends QueryModule {
 
     // ---------------- X7: deterministic sampling ----------------
 
+    // Curriculum ordering (Sample.curriculum): per-language quality
+    // tiers (ntile over token count DESC — band 1 is the best material)
+    // with a deterministic md5 shuffle position inside each band.
+    // Reading (band, pos) front to back is the curriculum-learning
+    // schedule with adjacent examples de-correlated — why pipelines
+    // shuffle within tiers instead of feeding a raw quality sort. Two
+    // window passes over one stratum-keyed exchange.
+    QueryDef("x7_curriculum", Some("""
+      WITH sc AS (SELECT doc_id, lang,
+                    len(string_split(text,' ')) AS score FROM documents),
+      b AS (SELECT doc_id, lang, score,
+              ntile(4) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
+                AS band
+            FROM sc),
+      p AS (SELECT doc_id, lang, band,
+              row_number() OVER (PARTITION BY lang, band
+                ORDER BY md5('curr|'||CAST(doc_id AS VARCHAR)), doc_id)
+                AS pos
+            FROM b)
+      SELECT doc_id, lang, CAST(band AS INT) AS band, CAST(pos AS INT) AS pos
+      FROM p ORDER BY lang, band, pos""")) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("score", size(TextOps.tokens(col("text"))))
+      Sample.curriculum(d, "lang", "doc_id", "score", bands = 4)
+        .select("doc_id", "lang", "band", "pos")
+        .orderBy("lang", "band", "pos")
+    },
+
     // Hash-Bernoulli ~25% sample: membership derives from md5(doc_id), so
     // the same docs are sampled under any partitioning / cluster size /
     // retry — df.sample()'s per-partition RNG can't promise that.

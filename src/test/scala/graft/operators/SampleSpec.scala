@@ -188,4 +188,30 @@ class SampleSpec extends SparkSpec {
       .select("id", "split").as[(Long, String)].collect().toMap
     assert(re == out)
   }
+
+  test("curriculum: best scores band first; positions are a within-band permutation") {
+    val rows = (1L to 12L).map(i => (i, "en", i * 10)) ++
+      (21L to 26L).map(i => (i, "de", 100 - i))
+    val out = Sample.curriculum(rows.toDF("id", "lang", "score"),
+        "lang", "id", "score", bands = 3)
+      .select("id", "lang", "band", "pos")
+      .as[(Long, String, Int, Int)].collect()
+    val en = out.filter(_._2 == "en")
+    // 12 en rows, 3 bands -> 4 each; score DESC means ids 12..9 band 1.
+    assert(en.filter(_._3 == 1).map(_._1).toSet == Set(12L, 11L, 10L, 9L))
+    assert(en.filter(_._3 == 3).map(_._1).toSet == Set(4L, 3L, 2L, 1L))
+    // Positions are exactly 1..n within each (lang, band).
+    out.groupBy(r => (r._2, r._3)).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq == (1 to g.length).toSeq)
+    }
+    // de: score = 100 - i, so smallest ids score best.
+    val de = out.filter(_._2 == "de")
+    assert(de.filter(_._3 == 1).map(_._1).toSet == Set(21L, 22L))
+    // Deterministic under repartitioning.
+    val re = Sample.curriculum(rows.toDF("id", "lang", "score").repartition(7),
+        "lang", "id", "score", bands = 3)
+      .select("id", "lang", "band", "pos")
+      .as[(Long, String, Int, Int)].collect()
+    assert(re.toSet == out.toSet)
+  }
 }
