@@ -737,4 +737,62 @@ object Graph {
         (col("du").cast("decimal(38,0)") * col("dv").cast("decimal(38,0)"))
           .as("pa"))
   }
+
+  /** Strongly connected components of a DIRECTED graph with a BOUNDED
+    * node vocabulary — the cyclic-structure primitive the undirected
+    * [[Dedup.resolveClusters]] min-label components cannot express
+    * (mutual reachability, not mere connectivity). Intended for
+    * CONDENSED entity graphs whose node set is bounded by contract —
+    * country/market trade graphs, category co-occurrence, event-type
+    * state machines — where the 100 TB-scale work is aggregating the
+    * edge stream down to the entity graph (a distinct-project the
+    * caller does with one shuffle) and the closure itself is tiny.
+    * NOT for document- or user-scale graphs: transitive closure holds
+    * Θ(n·reach) rows, which is why the parameter is named `maxNodes`
+    * and enforced in the contract, not discovered at runtime.
+    *
+    * Algorithm: path-doubling transitive closure — reach⁰ = E ∪ id,
+    * reachᵏ⁺¹ = reachᵏ ∪ (reachᵏ ∘ reachᵏ) — so ⌈log₂ maxNodes⌉
+    * rounds cover every path (simple paths have < maxNodes hops);
+    * then v's component label is min{w : v→*w ∧ w→*v}, well-defined
+    * because the identity pairs make every node mutually reach itself.
+    * Min-label output is deterministic under any partitioning. Each
+    * round is one equijoin + distinct on tables capped by the closure
+    * size; nothing driver-side but the (data-independent) loop counter.
+    *
+    * @param edges    directed (src, dst) id columns
+    * @param maxNodes contract bound on |V| (sets the doubling rounds)
+    * @return (id, scc, scc_size) — scc is the min node id of the
+    *         component, one row per node appearing in `edges`
+    */
+  def sccBounded(edges: DataFrame, maxNodes: Int): DataFrame = {
+    require(maxNodes >= 2, "maxNodes must be >= 2")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val rounds = 32 - Integer.numberOfLeadingZeros(maxNodes - 1)
+    var reach = e.union(nodes.select(col("id").as("src"),
+      col("id").as("dst"))).distinct().persist()
+    reach.count()
+    for (_ <- 1 to rounds) {
+      val next = reach.as("a")
+        .join(reach.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .union(reach).distinct().persist()
+      next.count()
+      reach.unpersist()
+      reach = next
+    }
+    val lab = reach.as("f")
+      .join(reach.as("g"),
+        col("f.src") === col("g.dst") && col("f.dst") === col("g.src"))
+      .select(col("f.src").as("id"), col("f.dst").as("w"))
+      .groupBy("id").agg(min("w").as("scc"))
+    val size = lab.groupBy("scc").agg(count(lit(1)).as("scc_size"))
+    val out = lab.join(size, "scc")
+      .select(col("id"), col("scc"), col("scc_size")).localCheckpoint()
+    reach.unpersist()
+    out
+  }
 }

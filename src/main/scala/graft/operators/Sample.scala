@@ -194,6 +194,55 @@ object Sample {
       .drop("__rn")
   }
 
+  /** TEMPERATURE-scaled mixture (α = 1/2): domain quotas derived FROM
+    * the corpus — p(domain) ∝ √n(domain) — instead of [[mixture]]'s
+    * hand-fixed quota map. This is the standard rebalancing for
+    * multilingual / multi-source training corpora: α < 1 upsamples the
+    * tail domains a raw proportional draw would starve, without the
+    * uniform draw's overfit on tiny domains. α is pinned to 1/2 because
+    * √ is the one power with an EXACT integer form — q(d) = isqrt(n(d)),
+    * computed as floor(IEEE √) plus a ±1 integer fix-up (√ is correctly
+    * rounded per IEEE-754, so the double estimate is off by at most one
+    * lattice step; the fix-up compares (s±1)² against n in long
+    * arithmetic) — which keeps quota arithmetic, and therefore sample
+    * MEMBERSHIP, bit-identical in any engine. General α would put libm
+    * `pow` (not correctly rounded, engine-dependent) inside the gate.
+    *
+    * The overall take is `totalNum/totalDen` of the corpus; domain d
+    * receives take·q(d)/Σq (integer division), filled by the same
+    * md5-ranked deterministic draw as [[mixture]]. Everything is
+    * in-plan: one domain-count aggregate (broadcast back), one scalar
+    * Σq (broadcast), one per-domain rank window over the data — no
+    * driver arithmetic, no FP boundary. Envelope: take·q < 2⁶³ caps
+    * rows·√rows at ~10²⁷ row-domains.
+    */
+  def temperatureMixture(df: DataFrame, stratumCol: String, idCol: String,
+                         totalNum: Int, totalDen: Int): DataFrame = {
+    require(totalDen > 0 && totalNum >= 0 && totalNum <= totalDen,
+      "take fraction must be within [0, 1]")
+    def isqrt(n: Column): Column = {
+      val s0 = floor(sqrt(n.cast("double"))).cast("long")
+      when((s0 + 1) * (s0 + 1) <= n, s0 + 1)
+        .when(s0 * s0 > n, s0 - 1)
+        .otherwise(s0)
+    }
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__q", isqrt(col("__n")))
+    val tot = counts.agg(sum("__q").as("__sq"), sum("__n").as("__tot"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .withColumn("__take",
+        expr(s"((__tot * $totalNum) div $totalDen * __q) div __sq"))
+      .select(col(stratumCol), col("__take"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(quota), stratumCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__take"))
+      .drop("__rn", "__take")
+  }
+
   /** Leakage-safe TEMPORAL split with an embargo gap — the time-series
     * counterpart of [[hashSplit]]: train on everything before the
     * cutoff, test on everything after cutoff + embargo, and DROP the

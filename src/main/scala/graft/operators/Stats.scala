@@ -927,4 +927,52 @@ object Stats {
         (min(when(col("__cum") >= expr("(9 * __n + 9) div 10"), col("__g")))
           .cast("double") / lit(grid.toDouble)).as("p90"))
   }
+
+  /** Closed-form simple linear regression per key — the trend-fit
+    * primitive next to [[welchT]] (difference) and
+    * [[contingencyResiduals]] (association): fit y ≈ slope·x + icept by
+    * ordinary least squares, with the fit quality r².
+    * {{{ slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *     icept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    *     r²    = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²)) }}}
+    * Gate-exact construction (same discipline as [[welchT]]): x and y
+    * land on integer grids via floor(v·grid) — floor of one IEEE
+    * product is bit-identical in any engine, unlike double→decimal
+    * casts which differ on rounding ties — then each key reduces to
+    * exact (n, Σx, Σy, Σxy, Σx², Σy²) DECIMAL(38,0) moments with
+    * map-side partials, and each output statistic is ONE fixed-shape
+    * IEEE expression over exact integers. No FP accumulation anywhere,
+    * so slope/icept/r² hash-gate under any partitioning.
+    *
+    * icept is in y-grid units per the contract (divide by yGrid for
+    * raw units); slope is in (y-grid / x-grid) units. Statistics are
+    * null when x is constant (den = 0); r² additionally needs y
+    * non-constant. Envelope: |Σy·Σx²| < 10³⁸ caps rows·|y·grid|·x² —
+    * at 10⁹ rows with cent-grid prices and x ≤ 10⁴ that is ~10²⁷,
+    * thirty bits of headroom over the 100 TB posture.
+    *
+    * Scale posture: one scan, one map-side-partial aggregate on the
+    * keys, zero joins — the cheapest shape a fit can have.
+    */
+  def olsFit(df: DataFrame, keys: Seq[String], xCol: String, yCol: String,
+             xGrid: Long = 1L, yGrid: Long = 1L): DataFrame = {
+    require(xGrid >= 1 && yGrid >= 1, "grids must be >= 1")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = dec(floor(col(xCol) * lit(xGrid.toDouble)).cast("long"))
+    val y = dec(floor(col(yCol) * lit(yGrid.toDouble)).cast("long"))
+    val agg = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val n = dec(col("n"))
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val den = n * col("sxx") - col("sx") * col("sx")
+    val deny = n * col("syy") - col("sy") * col("sy")
+    agg.select((keys.map(col) :+ col("n") :+
+      when(den > 0, num.cast("double") / den.cast("double")).as("slope") :+
+      when(den > 0, (col("sy") * col("sxx") - col("sx") * col("sxy"))
+        .cast("double") / den.cast("double")).as("icept") :+
+      when(den > 0 && deny > 0,
+        num.cast("double") * num.cast("double") /
+          (den.cast("double") * deny.cast("double"))).as("r2")): _*)
+  }
 }

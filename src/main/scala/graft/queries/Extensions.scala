@@ -4027,6 +4027,78 @@ object Extensions extends QueryModule {
         .orderBy("d")
     },
 
+    // Closed-form OLS fit (Stats.olsFit): per-returnflag regression of
+    // extendedprice (cent grid) on quantity — slope/intercept/r² from
+    // exact DECIMAL(38,0) moments in one map-side-partial aggregate,
+    // each statistic one fixed-shape IEEE expression. The trend-fit
+    // member of the x9 stats family (ttest = difference, residuals =
+    // association, ols = relationship).
+    QueryDef("x9_ols", Some("""
+      WITH b AS (SELECT l_returnflag AS grp,
+                   CAST(floor(l_quantity) AS HUGEINT) AS x,
+                   CAST(floor(l_extendedprice * 100) AS HUGEINT) AS y
+                 FROM lineitem),
+      a AS (SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM b GROUP BY 1)
+      SELECT grp, CAST(n AS BIGINT) AS n,
+        CASE WHEN n * sxx - sx * sx > 0 THEN
+          CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+        CASE WHEN n * sxx - sx * sx > 0 THEN
+          CAST(sy * sxx - sx * sxy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) END AS icept,
+        CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+          CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+            / (CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+      FROM a ORDER BY grp""")) { (s, dir) =>
+      graft.operators.Stats.olsFit(
+          t(s, dir, "lineitem").withColumn("grp", col("l_returnflag")),
+          Seq("grp"), "l_quantity", "l_extendedprice", yGrid = 100L)
+        .orderBy("grp")
+    },
+
+    // Directed strongly connected components (Graph.sccBounded) over
+    // the nation trade graph: supplier-nation → customer-nation edges
+    // aggregated from the full lineitem stream (the scale work — one
+    // distinct-project over three joins), then mutual-reachability
+    // components of the ≤25-node condensed graph by path-doubling
+    // closure. The oracle replays reachability as a recursive CTE and
+    // takes the same min-label-of-mutual-pairs rule.
+    QueryDef("x8_scc", Some("""
+      WITH RECURSIVE e AS (
+        SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS src,
+               CAST(c.c_nationkey AS BIGINT) AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      reach(src, dst) AS (
+        SELECT id, id FROM n
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst),
+      m AS (SELECT f.src AS id, min(f.dst) AS scc
+            FROM reach f JOIN reach g ON f.src = g.dst AND f.dst = g.src
+            GROUP BY 1),
+      sz AS (SELECT scc, count(*) AS scc_size FROM m GROUP BY 1)
+      SELECT m.id, CAST(m.scc AS BIGINT) AS scc,
+             CAST(sz.scc_size AS BIGINT) AS scc_size
+      FROM m JOIN sz USING (scc) ORDER BY id""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val ords = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val edges = li
+        .join(ords, li("l_orderkey") === ords("o_orderkey"))
+        .join(cust, ords("o_custkey") === cust("c_custkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      graft.operators.Graph.sccBounded(edges, maxNodes = 25)
+        .orderBy("id")
+    },
+
     // MERGE with schema evolution (Snapshot.upsertEvolve): the update
     // batch carries a column the base lacks — output schema is the
     // by-name union, base rows read null for the new column, updates

@@ -637,6 +637,39 @@ object Maintenance extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Temperature mixture (Sample.temperatureMixture): α=1/2 quotas
+    // derived from per-language corpus counts — q = isqrt(n) with the
+    // exact ±1 integer fix-up over the IEEE √ estimate, overall take
+    // 1/4 of the corpus, domain shares q/Σq by integer division, the
+    // same md5-ranked draw as x7_mixture. The upsample-the-tail
+    // rebalancing of multilingual corpora, fully in-plan.
+    QueryDef("x7_temperature", Some("""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      q AS (SELECT lang, n,
+              CASE WHEN (CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) + 1)
+                        * (CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) + 1)
+                        <= n
+                   THEN CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) + 1
+                   WHEN CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+                        * CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) > n
+                   THEN CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) - 1
+                   ELSE CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) END
+                AS q
+            FROM c),
+      t AS (SELECT sum(q) AS sq, sum(n) AS tot FROM q),
+      k AS (SELECT lang, ((tot * 1) // 4 * q) // sq AS take FROM q, t),
+      r AS (SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents)
+      SELECT r.doc_id, r.lang FROM r JOIN k USING (lang)
+      WHERE rn <= take ORDER BY doc_id""")) { (s, dir) =>
+      graft.operators.Sample.temperatureMixture(t(s, dir, "documents"),
+          "lang", "doc_id", totalNum = 1, totalDen = 4)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination: shingle-overlap fraction of each training
     // doc against the benchmark split's shingle vocabulary.
     QueryDef("x6_decontam", Some("""

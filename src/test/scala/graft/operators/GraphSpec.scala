@@ -404,4 +404,28 @@ class GraphSpec extends SparkSpec {
     // Isolated landmark: only its own hop-0 row -> dist_sum 0, null.
     assert(out(9L) == ((1L, 0L, None)))
   }
+
+  test("sccBounded: cycles fuse, bridges don't, singletons stand alone") {
+    // 1→2→3→1 is one SCC; 3→4 is a one-way bridge; 4⇄5 is an SCC;
+    // 6→1 leaves 6 a singleton.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 4L), (6L, 1L)).toDF("src", "dst")
+    val got = Graph.sccBounded(e, maxNodes = 6)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      4L -> ((4L, 2L)), 5L -> ((4L, 2L)), 6L -> ((6L, 1L))))
+  }
+
+  test("sccBounded: long cycle needs every doubling round; order-invariant") {
+    // A single directed 8-cycle: one SCC of size 8 (diameter 7 forces
+    // the full ceil(log2 n) doubling schedule to matter).
+    val cyc = (0L until 8L).map(i => (i + 10L, (i + 1) % 8 + 10L))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Graph.sccBounded(d, maxNodes = 8)
+        .as[(Long, Long, Long)].collect().toSet
+    val a = run(cyc.toDF("src", "dst"))
+    assert(a == (10L until 18L).map(i => (i, 10L, 8L)).toSet)
+    assert(a == run(cyc.toDF("src", "dst").repartition(5)))
+  }
 }

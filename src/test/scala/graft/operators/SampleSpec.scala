@@ -214,4 +214,35 @@ class SampleSpec extends SparkSpec {
       .as[(Long, String, Int, Int)].collect()
     assert(re.toSet == out.toSet)
   }
+
+  test("temperatureMixture: isqrt quotas upsample the tail; invariant") {
+    // Strata: a=100 rows, b=25, c=4. isqrt -> q = 10, 5, 2; Σq = 17,
+    // tot = 129, take 1/2 -> 64 total; quotas 64*10/17=37, 64*5/17=18,
+    // 64*2/17=7 (integer div). The tail c gets 7/4 -> capped by its own
+    // size at 4; a proportional draw would have given c just 2.
+    val rows = (1L to 100L).map(i => (i, "a")) ++
+      (101L to 125L).map(i => (i, "b")) ++ (126L to 129L).map(i => (i, "c"))
+    val df = rows.toDF("id", "s")
+    val out = Sample.temperatureMixture(df, "s", "id", 1, 2)
+      .select("s").as[String].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(out == Map("a" -> 37, "b" -> 18, "c" -> 4))
+    val re = Sample.temperatureMixture(df.repartition(9), "s", "id", 1, 2)
+      .select("id", "s").as[(Long, String)].collect().toSet
+    val base = Sample.temperatureMixture(df, "s", "id", 1, 2)
+      .select("id", "s").as[(Long, String)].collect().toSet
+    assert(re == base)
+  }
+
+  test("temperatureMixture: perfect squares hit the isqrt boundary") {
+    // n = 16 and n = 17 straddle s0 rounding: isqrt 4 both; n = 15 -> 3.
+    val rows = (1L to 16L).map(i => (i, "p")) ++
+      (17L to 33L).map(i => (i, "q")) ++ (34L to 48L).map(i => (i, "r"))
+    // q = 4, 4, 3; Σq = 11; tot = 48; take all (1/1) -> 48*q/11.
+    val out = Sample.temperatureMixture(rows.toDF("id", "s"), "s", "id", 1, 1)
+      .select("s").as[String].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // 48*4/11 = 17 (capped at 16 for p), 48*3/11 = 13.
+    assert(out == Map("p" -> 16, "q" -> 17, "r" -> 13))
+  }
 }

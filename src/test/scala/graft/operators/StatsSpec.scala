@@ -480,4 +480,31 @@ class StatsSpec extends SparkSpec {
     assert(a._4 == Some(0.0))
     assert(a == run(rows.toDF("k", "grp", "v").repartition(13)))
   }
+
+  test("olsFit: exact line recovered; constant x is null") {
+    // y = 2x + 3 exactly -> slope 2, icept 3, r² 1.
+    val df = (1 to 5).map(x => ("k", x.toDouble, 2.0 * x + 3.0)) ++
+      Seq(("c", 4.0, 1.0), ("c", 4.0, 9.0)) // constant x
+    val out = Stats.olsFit(df.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("k") == ("k", 5L, Some(2.0), Some(3.0), Some(1.0)))
+    assert(out("c")._3.isEmpty && out("c")._4.isEmpty && out("c")._5.isEmpty)
+  }
+
+  test("olsFit: noisy hand-computed fit on grids; repartition-invariant") {
+    // x in {1,2,3}, y = {1.0, 2.5, 2.5} with yGrid=10 -> y = {10, 25, 25}:
+    // n=3 sx=6 sy=60, sxy=10+50+75=135, sxx=14.
+    // num = 3*135-6*60 = 45, den = 3*14-36 = 6 -> slope 7.5,
+    // icept = (60*14-6*135)/6 = 5, syy=1350, deny=3*1350-3600=450,
+    // r² = 45²/(6*450) = 2025/2700 = 0.75.
+    val rows = Seq(("k", 1.0, 1.0), ("k", 2.0, 2.5), ("k", 3.0, 2.5))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.olsFit(d, Seq("k"), "x", "y", xGrid = 1L, yGrid = 10L)
+        .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+        .head()
+    val a = run(rows.toDF("k", "x", "y"))
+    assert(a == (("k", 3L, Some(7.5), Some(5.0), Some(0.75))))
+    assert(a == run(rows.toDF("k", "x", "y").repartition(7)))
+  }
 }
