@@ -97,4 +97,55 @@ object Integrity {
         sum(slice(col("__d"), 1)).as("ck_lo"),
         sum(slice(col("__d"), 17)).as("ck_hi"))
   }
+
+  /** COLUMN-level reconciliation of two keyed snapshots — the drill-down
+    * companion to [[fingerprint]] (which says *whether* two sides agree)
+    * and to `Snapshot.diff` (which emits the changed *rows*): after a
+    * migration or an engine swap, the question is usually "WHICH FIELDS
+    * drifted, and how much" — one report row per compared column with
+    * how many keys matched on it, not a delta the size of the change.
+    *
+    * One full outer join on the key (null-safe, with presence markers so
+    * legitimately-null key columns cannot masquerade as inserts — same
+    * discipline as `Snapshot.diff`), then a single aggregate computing
+    * per-column null-safe mismatch counts plus the shared presence
+    * totals, unpivoted plan-side into the per-column report. Scale
+    * posture: one shuffle (the join), one map-side-partial aggregate to
+    * a |columns|-sized result — report size is schema-sized, never
+    * data-sized.
+    *
+    * Output per compared column, plus the presence facts carried on
+    * every row so each line reads standalone:
+    * (col_name, n_both, n_only_before, n_only_after, n_mismatch).
+    */
+  def reconcileColumns(before: DataFrame, after: DataFrame,
+                       keys: Seq[String]): DataFrame = {
+    val cols = before.columns.toSeq
+    val dataCols = cols.filterNot(keys.contains)
+    require(dataCols.nonEmpty, "reconcile needs non-key columns")
+    val b = before.select(cols.map(c => col(c).as(s"__b_$c")): _*)
+      .withColumn("__b_present", lit(true))
+    val a = after.select(cols.map(c => col(c).as(s"__a_$c")): _*)
+      .withColumn("__a_present", lit(true))
+    val on = keys.map(k => col(s"__b_$k") <=> col(s"__a_$k")).reduce(_ && _)
+    val inB = col("__b_present").isNotNull
+    val inA = col("__a_present").isNotNull
+    val one = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    val aggCols = Seq(one(inB && inA).as("__both"),
+      one(inB && !inA).as("__only_b"),
+      one(!inB && inA).as("__only_a")) ++
+      dataCols.map(c => one(inB && inA &&
+        !(col(s"__b_$c") <=> col(s"__a_$c"))).as(s"__mm_$c"))
+    val agg = b.join(a, on, "full_outer").agg(aggCols.head, aggCols.tail: _*)
+    val report = array(dataCols.map(c =>
+      struct(lit(c).as("col_name"), col(s"__mm_$c").as("n_mismatch"))): _*)
+    agg.select(explode(report).as("__r"),
+        col("__both"), col("__only_b"), col("__only_a"))
+      .select(col("__r.col_name").as("col_name"),
+        col("__both").as("n_both"),
+        col("__only_b").as("n_only_before"),
+        col("__only_a").as("n_only_after"),
+        col("__r.n_mismatch").as("n_mismatch"))
+  }
 }

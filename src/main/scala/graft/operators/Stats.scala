@@ -975,4 +975,54 @@ object Stats {
         num.cast("double") * num.cast("double") /
           (den.cast("double") * deny.cast("double"))).as("r2")): _*)
   }
+
+  /** Pairwise Pearson correlation MATRIX over k numeric columns in ONE
+    * pass — the multi-column profiling step after [[olsFit]]'s single
+    * pair: which measures move together across the whole corpus?
+    * All k sums, k square-sums and k(k−1)/2 cross-products accumulate
+    * in a single map-side-partial aggregate (one scan, no joins, no
+    * per-pair passes); each correlation is then
+    * {{{ corr(i,j) = (n·Σxy − Σx·Σy)
+    *               / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) }}}
+    * — exact DECIMAL(38,0) integer moments on per-column floor grids
+    * (see [[olsFit]] for why floor-of-one-IEEE-product gates where
+    * decimal casts don't), one fixed-shape IEEE expression per pair
+    * (√ is correctly rounded, so the shape is engine-identical). The
+    * unpivot to (col_a, col_b) rows happens plan-side on the one-row
+    * aggregate — report size is k², never data-sized. Null when either
+    * column is constant.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Long)]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    require(cols.forall(_._2 >= 1), "grids must be >= 1")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g: Map[String, Column] = cols.map { case (c, grid) =>
+      c -> dec(floor(col(c) * lit(grid.toDouble)).cast("long"))
+    }.toMap
+    val names = cols.map(_._1)
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (i, j)
+    val aggs = (names.map(c => sum(g(c)).as(s"__s_$c")) ++
+      names.map(c => sum(g(c) * g(c)).as(s"__ss_$c")) ++
+      pairs.map { case (i, j) =>
+        sum(g(names(i)) * g(names(j))).as(s"__sp_${i}_$j")
+      }).toSeq
+    val m = df.agg(count(lit(1)).as("n"), aggs: _*)
+    val n = dec(col("n"))
+    val rows = pairs.map { case (i, j) =>
+      val (ci, cj) = (names(i), names(j))
+      val num = n * col(s"__sp_${i}_$j") - col(s"__s_$ci") * col(s"__s_$cj")
+      val di = n * col(s"__ss_$ci") - col(s"__s_$ci") * col(s"__s_$ci")
+      val dj = n * col(s"__ss_$cj") - col(s"__s_$cj") * col(s"__s_$cj")
+      struct(lit(ci).as("col_a"), lit(cj).as("col_b"),
+        when(di > 0 && dj > 0,
+          num.cast("double") /
+            (sqrt(di.cast("double")) * sqrt(dj.cast("double"))))
+          .as("corr"))
+    }
+    m.select(col("n"), explode(array(rows: _*)).as("__p"))
+      .select(col("__p.col_a").as("col_a"), col("__p.col_b").as("col_b"),
+        col("n"), col("__p.corr").as("corr"))
+  }
 }

@@ -4099,6 +4099,109 @@ object Extensions extends QueryModule {
         .orderBy("id")
     },
 
+    // Pairwise correlation matrix (Stats.corrMatrix): quantity /
+    // extendedprice / discount moments on floor grids, all accumulated
+    // in ONE pass, each Pearson coefficient one fixed-shape IEEE
+    // expression over exact DECIMAL(38,0) integers.
+    QueryDef("x9_corr", Some("""
+      WITH b AS (SELECT CAST(floor(l_quantity) AS HUGEINT) AS q,
+                   CAST(floor(l_extendedprice * 100) AS HUGEINT) AS p,
+                   CAST(floor(l_discount * 10000) AS HUGEINT) AS d
+                 FROM lineitem),
+      m AS (SELECT count(*) AS n, sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+              sum(q * q) AS ssq, sum(p * p) AS ssp, sum(d * d) AS ssd,
+              sum(q * p) AS sqp, sum(q * d) AS sqd, sum(p * d) AS spd
+            FROM b)
+      SELECT col_a, col_b, n, corr FROM (
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+               CAST(n AS BIGINT) AS n,
+               CASE WHEN n * ssq - sq * sq > 0 AND n * ssp - sp * sp > 0
+                 THEN CAST(n * sqp - sq * sp AS DOUBLE)
+                      / (sqrt(CAST(n * ssq - sq * sq AS DOUBLE))
+                         * sqrt(CAST(n * ssp - sp * sp AS DOUBLE))) END AS corr
+        FROM m
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+               CASE WHEN n * ssq - sq * sq > 0 AND n * ssd - sd * sd > 0
+                 THEN CAST(n * sqd - sq * sd AS DOUBLE)
+                      / (sqrt(CAST(n * ssq - sq * sq AS DOUBLE))
+                         * sqrt(CAST(n * ssd - sd * sd AS DOUBLE))) END
+        FROM m
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+               CASE WHEN n * ssp - sp * sp > 0 AND n * ssd - sd * sd > 0
+                 THEN CAST(n * spd - sp * sd AS DOUBLE)
+                      / (sqrt(CAST(n * ssp - sp * sp AS DOUBLE))
+                         * sqrt(CAST(n * ssd - sd * sd AS DOUBLE))) END
+        FROM m)
+      ORDER BY col_a, col_b""")) { (s, dir) =>
+      graft.operators.Stats.corrMatrix(t(s, dir, "lineitem"),
+          Seq(("l_quantity", 1L), ("l_extendedprice", 100L),
+            ("l_discount", 10000L)))
+        .orderBy("col_a", "col_b")
+    },
+
+    // Column-level reconciliation (Integrity.reconcileColumns): the
+    // after side deletes every 13th order, inserts shifted copies of
+    // every 17th, bumps totalprice on every 7th and flips priority on
+    // every 11th — the report pins which columns drifted and by how
+    // many keys, plus the presence facts, from one full outer join +
+    // one schema-sized aggregate.
+    QueryDef("x10_reconcile", Some("""
+      WITH bs AS (SELECT o_orderkey AS k, o_custkey AS c,
+                    CAST(floor(o_totalprice * 100) AS BIGINT) AS tp,
+                    o_orderpriority AS pr
+                  FROM orders),
+      af AS (SELECT k, c,
+               CASE WHEN k % 7 = 0 THEN tp + 1 ELSE tp END AS tp,
+               CASE WHEN k % 11 = 0 THEN 'X-SHIFTED' ELSE pr END AS pr
+             FROM bs WHERE k % 13 <> 0
+             UNION ALL
+             SELECT k + 100000000, c, tp, pr FROM bs WHERE k % 17 = 0),
+      j AS (SELECT b.k AS bk, a.k AS ak,
+              b.c AS bc, a.c AS ac, b.tp AS btp, a.tp AS atp,
+              b.pr AS bpr, a.pr AS apr
+            FROM bs b FULL OUTER JOIN af a ON b.k = a.k),
+      t AS (SELECT
+              sum(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+                    THEN 1 ELSE 0 END) AS n_both,
+              sum(CASE WHEN bk IS NOT NULL AND ak IS NULL
+                    THEN 1 ELSE 0 END) AS n_only_before,
+              sum(CASE WHEN bk IS NULL AND ak IS NOT NULL
+                    THEN 1 ELSE 0 END) AS n_only_after,
+              sum(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+                    AND bc IS DISTINCT FROM ac THEN 1 ELSE 0 END) AS mm_c,
+              sum(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+                    AND btp IS DISTINCT FROM atp THEN 1 ELSE 0 END) AS mm_tp,
+              sum(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+                    AND bpr IS DISTINCT FROM apr THEN 1 ELSE 0 END) AS mm_pr
+            FROM j)
+      SELECT col_name, CAST(n_both AS BIGINT) AS n_both,
+             CAST(n_only_before AS BIGINT) AS n_only_before,
+             CAST(n_only_after AS BIGINT) AS n_only_after,
+             CAST(n_mismatch AS BIGINT) AS n_mismatch FROM (
+        SELECT 'c' AS col_name, n_both, n_only_before, n_only_after,
+               mm_c AS n_mismatch FROM t
+        UNION ALL
+        SELECT 'tp', n_both, n_only_before, n_only_after, mm_tp FROM t
+        UNION ALL
+        SELECT 'pr', n_both, n_only_before, n_only_after, mm_pr FROM t)
+      ORDER BY col_name""")) { (s, dir) =>
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("tp"),
+        col("o_orderpriority").as("pr"))
+      val after = base.filter(col("k") % 13 =!= 0)
+        .withColumn("tp",
+          when(col("k") % 7 === 0, col("tp") + 1).otherwise(col("tp")))
+        .withColumn("pr",
+          when(col("k") % 11 === 0, lit("X-SHIFTED")).otherwise(col("pr")))
+        .unionByName(base.filter(col("k") % 17 === 0)
+          .withColumn("k", col("k") + 100000000L))
+      graft.operators.Integrity.reconcileColumns(base, after, Seq("k"))
+        .orderBy("col_name")
+    },
+
     // MERGE with schema evolution (Snapshot.upsertEvolve): the update
     // batch carries a column the base lacks — output schema is the
     // by-name union, base rows read null for the new column, updates

@@ -55,4 +55,30 @@ class IntegritySpec extends SparkSpec {
     assert(by(Some("en")) == ((en.getLong(0), en.getDecimal(1), en.getDecimal(2))))
     assert(by(Some("en"))._1 == 2L)
   }
+
+  test("reconcileColumns: per-column drift counts; null-safe compare") {
+    val before = Seq(
+      (1L, Some("a"), Some(10L)), (2L, Some("b"), Some(20L)),
+      (3L, Some("c"), None), (4L, None, Some(40L))).toDF("k", "s", "v")
+    val after = Seq(
+      (1L, Some("a"), Some(10L)),      // identical
+      (2L, Some("B"), Some(20L)),      // s drifted
+      (3L, Some("c"), Some(30L)),      // v null -> value
+      (5L, Some("e"), Some(50L))).toDF("k", "s", "v") // insert; 4 deleted
+    val out = Integrity.reconcileColumns(before, after, Seq("k"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("s") == (("s", 3L, 1L, 1L, 1L)))
+    assert(out("v") == (("v", 3L, 1L, 1L, 1L)))
+    // Null == null counts as agreement, not drift (k=4 is only_before
+    // so its null never reaches the mismatch term).
+    assert(out.keySet == Set("s", "v"))
+  }
+
+  test("reconcileColumns: identical snapshots report zero drift") {
+    val df = Seq((1L, "x", 1L), (2L, "y", 2L)).toDF("k", "s", "v")
+    val out = Integrity.reconcileColumns(df, df, Seq("k"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.toSet == Set(("s", 2L, 0L, 0L, 0L), ("v", 2L, 0L, 0L, 0L)))
+  }
 }

@@ -507,4 +507,38 @@ class StatsSpec extends SparkSpec {
     assert(a == (("k", 3L, Some(7.5), Some(5.0), Some(0.75))))
     assert(a == run(rows.toDF("k", "x", "y").repartition(7)))
   }
+
+  test("corrMatrix: perfect, inverse, and constant columns in one pass") {
+    // b = 2a (corr 1), c = -a (corr -1 with a, -1 with b), d constant
+    // (null with everything).
+    val df = (1 to 6).map(i =>
+      (i.toDouble, 2.0 * i, -i.toDouble, 7.0)).toDF("a", "b", "c", "d")
+    val out = Stats.corrMatrix(df,
+        Seq(("a", 1L), ("b", 1L), ("c", 1L), ("d", 1L)))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // Expected values go through the SAME fixed IEEE shape the operator
+    // pins (num / (√di · √dj)) — e.g. √105·√420 ≈ 209.99999999999997,
+    // so "perfect" correlation is 1 + 1ulp, identically in any engine.
+    def shape(num: Double, di: Double, dj: Double) =
+      num / (math.sqrt(di) * math.sqrt(dj))
+    assert(out(("a", "b")) == ((6L, Some(shape(210, 105, 420)))))
+    assert(out(("a", "c")) == ((6L, Some(shape(-105, 105, 105)))))
+    assert(out(("b", "c")) == ((6L, Some(shape(-210, 420, 105)))))
+    assert(out(("a", "b"))._2.get > 0.999999 &&
+      out(("a", "c"))._2.get < -0.999999)
+    assert(out(("a", "d"))._2.isEmpty)
+    assert(out(("b", "d"))._2.isEmpty)
+    assert(out(("c", "d"))._2.isEmpty)
+    assert(out.size == 6) // k(k-1)/2 pairs, no diagonal, no duplicates
+  }
+
+  test("corrMatrix: repartition-invariant on grids") {
+    val rows = Seq((1.0, 0.11), (2.0, 0.07), (3.0, 0.93), (4.0, 0.42))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.corrMatrix(d, Seq(("x", 1L), ("y", 100L)))
+        .as[(String, String, Long, Option[Double])].head()
+    assert(run(rows.toDF("x", "y")) ==
+      run(rows.toDF("x", "y").repartition(11)))
+  }
 }
