@@ -229,4 +229,30 @@ object Multimodal {
       .withColumn("shard", expr(s"(__cum - n_bytes) div ${targetBytes}L"))
       .drop("__cum")
   }
+
+  /** KEYFRAME selection over a [[sampleFrames]] stream: a frame is a
+    * keyframe when its payload differs from the previous sampled frame
+    * of the same media item (the first frame always is) — the
+    * static-scene collapse every video/screen-recording pipeline runs
+    * before paying for decode or embedding on near-identical frames.
+    * Comparison is raw byte equality (null-safe), the strongest form
+    * that needs no decoder; perceptual collapse layers `pHashBits` on
+    * top of the keyframes this emits.
+    *
+    * Scale posture: one keyed window (media id → frame order) over the
+    * frame stream, one `lag`, no joins — frames never shuffle except
+    * into their own item's partition, and payload bytes move once.
+    *
+    * Output: input rows + `is_key` boolean.
+    */
+  def keyframes(frames: DataFrame, idCol: String = "id",
+                noCol: String = "frame_no",
+                frameCol: String = "frame"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(noCol))
+    frames.withColumn("__prev", lag(col(frameCol), 1).over(w))
+      .withColumn("is_key",
+        col("__prev").isNull || !(col("__prev") <=> col(frameCol)))
+      .drop("__prev")
+  }
 }

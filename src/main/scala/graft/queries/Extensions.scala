@@ -1778,6 +1778,44 @@ object Extensions extends QueryModule {
         .orderBy("id").limit(100)
     },
 
+    // Keyframe selection (Multimodal.keyframes): static-scene collapse
+    // over the sampled frame stream — a frame is kept when its bytes
+    // differ from the previous sampled frame. The payload carries a
+    // 128-byte low-entropy prefix (a repeated 16-byte pattern) so the
+    // leading strided frames are bit-identical and the collapse is
+    // exercised, with the natural text tail staying distinct. The
+    // oracle replays the same 32-byte/stride-2 slicing on the hex
+    // rendering (byte equality ≡ hex equality).
+    QueryDef("x4_keyframes", Some("""
+      WITH m AS (SELECT doc_id,
+               hex(encode(repeat('ABCDEFGHIJKLMNOP', 8) || text)) AS hx,
+               octet_length(encode(repeat('ABCDEFGHIJKLMNOP', 8) || text))
+                 AS len
+             FROM documents),
+      f AS (SELECT doc_id, i AS frame_no,
+              substring(hx, CAST(64 * i + 1 AS BIGINT), 64) AS frame
+            FROM m, LATERAL (SELECT unnest(range(0, (len + 31) // 32, 2))
+                             AS i) ii),
+      k AS (SELECT doc_id, frame_no,
+              CASE WHEN lag(frame) OVER (PARTITION BY doc_id
+                                         ORDER BY frame_no)
+                   IS DISTINCT FROM frame THEN 1 ELSE 0 END AS is_key
+            FROM f)
+      SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(is_key) AS BIGINT) AS n_key
+      FROM k GROUP BY 1 ORDER BY id LIMIT 200""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("text",
+          concat(expr("repeat('ABCDEFGHIJKLMNOP', 8)"), col("text")))
+      val media = Multimodal.fromText(docs, "doc_id", "text")
+      Multimodal.keyframes(
+          Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)(s))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("is_key"), 1L).otherwise(0L)).as("n_key"))
+        .orderBy("id").limit(200)
+    },
+
     // The MODERN curation pipeline end-to-end: quality-model scoring →
     // near-dup resolution keeping the best (longest) cluster member →
     // per-language token-budget mixture. Round-3 operators composed into

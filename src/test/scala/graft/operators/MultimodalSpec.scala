@@ -142,4 +142,22 @@ class MultimodalSpec extends SparkSpec {
       assert(sorted == sorted.sorted)
     }
   }
+
+  test("keyframes: first frame keys, repeats collapse, changes key") {
+    // id 1: AAAA, AAAA, BBBB, BBBB, AAAA -> keys at 0, 2, 4 (return to
+    // an EARLIER scene still keys: comparison is to the previous frame,
+    // not a seen-set). id 2: single frame -> key.
+    val f = Seq(
+      (1L, 0, "AAAA"), (1L, 1, "AAAA"), (1L, 2, "BBBB"),
+      (1L, 3, "BBBB"), (1L, 4, "AAAA"), (2L, 0, "ZZ"))
+      .map { case (id, no, s) => (id, no, s.getBytes("UTF-8")) }
+      .toDF("id", "frame_no", "frame")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.keyframes(d).select("id", "frame_no", "is_key")
+        .as[(Long, Int, Boolean)].collect().toSet
+    val got = run(f)
+    assert(got == Set((1L, 0, true), (1L, 1, false), (1L, 2, true),
+      (1L, 3, false), (1L, 4, true), (2L, 0, true)))
+    assert(got == run(f.repartition(5)))
+  }
 }
