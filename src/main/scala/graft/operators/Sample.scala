@@ -243,6 +243,38 @@ object Sample {
       .drop("__rn", "__take")
   }
 
+  /** EPOCH (repeat-factor) schedule per domain — the other half of
+    * mixture design: when a target mix wants MORE of a domain than it
+    * holds, the loader re-reads it; this computes how many times. Each
+    * domain's token target is an equal share of the corpus (budget B =
+    * total tokens, k domains, target = B div k) and its repeat factor
+    * is ceil(target / tokens), capped at `cap` — the repetition budget
+    * real recipes enforce because data repeated past a few epochs
+    * stops helping. Pure integer arithmetic end to end
+    * (ceil(a/b) = (a + b − 1) div b), so the schedule hash-gates.
+    *
+    * Scale posture: one per-domain aggregate + a one-row rollup
+    * broadcast back — report is domain-count-sized. The schedule is a
+    * PLAN (domain → repeat_factor/achieved tokens); appliers join it
+    * back and explode by repeat_factor or feed it to the interleaver.
+    */
+  def epochSchedule(df: DataFrame, stratumCol: String, tokensCol: String,
+                    cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val g = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("tokens"))
+    val t = g.agg(sum("tokens").as("__b"), count(lit(1)).as("__k"))
+    g.crossJoin(broadcast(t))
+      .withColumn("repeat_factor",
+        when(col("tokens") > 0,
+          least(lit(cap.toLong),
+            expr("(__b div __k + tokens - 1) div tokens")))
+          .otherwise(0L))
+      .withColumn("achieved", col("repeat_factor") * col("tokens"))
+      .drop("__b", "__k")
+  }
+
   /** Leakage-safe TEMPORAL split with an embargo gap — the time-series
     * counterpart of [[hashSplit]]: train on everything before the
     * cutoff, test on everything after cutoff + embargo, and DROP the

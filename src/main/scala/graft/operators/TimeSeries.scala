@@ -283,4 +283,41 @@ object TimeSeries {
             (dec(col("err_1")) * dec(col("__ns"))).cast("double"))
           .as("mase")): _*)
   }
+
+  /** SEASONAL INDEX per (key, period slot) — the multiplicative
+    * seasonality profile (classical decomposition's seasonal factor at
+    * slot granularity): how does the slot's mean compare to the key's
+    * overall mean?
+    * {{{ idx(slot) = mean(slot) / mean(all)
+    *               = (Σslot · n_all) / (n_slot · Σall) }}}
+    * evaluated as exact DECIMAL(38,0) cross-products with ONE IEEE
+    * division — the [[maseNaive]] ratio discipline, so the profile
+    * hash-gates. idx > 1 marks above-trend slots (the weekday/hour
+    * effects a forecast or an anomaly baseline must remove first).
+    * Values land on a floor grid (see `Stats.olsFit` for why floor
+    * beats decimal casts cross-engine).
+    *
+    * Scale posture: one (key, slot) aggregate, one key-level rollup of
+    * that (slot-count-sized, broadcast back) — the data shuffles once.
+    *
+    * @param slot the period-slot expression (day-of-week, hour, month —
+    *             any small integer expression of the row)
+    */
+  def seasonalIndex(df: DataFrame, keys: Seq[String], slot: Column,
+                    valueCol: String, grid: Long): DataFrame = {
+    require(grid >= 1, "grid must be >= 1")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = dec(floor(col(valueCol) * lit(grid.toDouble)).cast("long"))
+    val bySlot = df.withColumn("__slot", slot)
+      .groupBy((keys :+ "__slot").map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(x).as("__s"))
+    val byKey = bySlot.groupBy(keys.map(col): _*)
+      .agg(sum("cnt").as("__tot_n"), sum("__s").as("__tot_s"))
+    bySlot.join(broadcast(byKey), keys)
+      .select((keys.map(col) :+ col("__slot").as("slot") :+ col("cnt") :+
+        when(dec(col("cnt")) * col("__tot_s") =!= 0,
+          (col("__s") * dec(col("__tot_n"))).cast("double") /
+            (dec(col("cnt")) * col("__tot_s")).cast("double"))
+          .as("idx")): _*)
+  }
 }

@@ -3924,6 +3924,31 @@ object Extensions extends QueryModule {
         .orderBy("event_type")
     },
 
+    // Seasonal index (TimeSeries.seasonalIndex): per-event-type
+    // day-of-week multiplicative profile — slot mean over overall mean
+    // as exact DECIMAL(38,0) cross-products and one IEEE division, the
+    // seasonality a forecast/anomaly baseline removes first.
+    QueryDef("ts10_seasonal", Some("""
+      WITH g AS (SELECT event_type,
+                   CAST(dayofweek(ts) + 1 AS BIGINT) AS slot,
+                   CAST(floor(value * 10000) AS HUGEINT) AS x
+                 FROM events),
+      bs AS (SELECT event_type, slot, count(*) AS cnt, sum(x) AS s
+             FROM g GROUP BY 1, 2),
+      bk AS (SELECT event_type, sum(cnt) AS tot_n, sum(s) AS tot_s
+             FROM bs GROUP BY 1)
+      SELECT event_type, slot, CAST(cnt AS BIGINT) AS cnt,
+             CASE WHEN CAST(cnt AS HUGEINT) * tot_s <> 0
+               THEN CAST(s * tot_n AS DOUBLE)
+                  / CAST(CAST(cnt AS HUGEINT) * tot_s AS DOUBLE) END AS idx
+      FROM bs JOIN bk USING (event_type)
+      ORDER BY event_type, slot""")) { (s, dir) =>
+      graft.operators.TimeSeries.seasonalIndex(t(s, dir, "events"),
+          Seq("event_type"), dayofweek(col("ts")).cast("long"),
+          "value", grid = 10000L)
+        .orderBy("event_type", "slot")
+    },
+
     // Per-community conductance (Graph.communityStats) of the
     // nation-of-supplier partition over the co-purchase graph: node
     // count, internal edges, volume, cut and φ = cut/min(vol, 2m−vol)

@@ -670,6 +670,33 @@ object Maintenance extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Epoch schedule (Sample.epochSchedule): per-language repeat
+    // factors toward an equal-share token target, capped at 4 epochs —
+    // ceil by integer arithmetic, so the schedule hash-gates. The
+    // "how many times may the tail repeat" half of mixture design.
+    QueryDef("x7_epochs", Some("""
+      WITH tk AS (SELECT lang,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+                  FROM documents),
+      g AS (SELECT lang, count(*) AS n_docs, sum(nt) AS tokens
+            FROM tk GROUP BY 1),
+      t AS (SELECT sum(tokens) AS b, count(*) AS k FROM g)
+      SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(tokens AS BIGINT) AS tokens,
+             CAST(CASE WHEN tokens > 0
+               THEN least(4, (b // k + tokens - 1) // tokens)
+               ELSE 0 END AS BIGINT) AS repeat_factor,
+             CAST(CASE WHEN tokens > 0
+               THEN least(4, (b // k + tokens - 1) // tokens) * tokens
+               ELSE 0 END AS BIGINT) AS achieved
+      FROM g, t ORDER BY lang""")) { (s, dir) =>
+      graft.operators.Sample.epochSchedule(
+          t(s, dir, "documents").withColumn("nt",
+            size(graft.operators.TextOps.tokens(col("text"))).cast("long")),
+          "lang", "nt", cap = 4)
+        .orderBy("lang")
+    },
+
     // Benchmark decontamination: shingle-overlap fraction of each training
     // doc against the benchmark split's shingle vocabulary.
     QueryDef("x6_decontam", Some("""

@@ -245,4 +245,25 @@ class SampleSpec extends SparkSpec {
     // 48*4/11 = 17 (capped at 16 for p), 48*3/11 = 13.
     assert(out == Map("p" -> 16, "q" -> 17, "r" -> 13))
   }
+
+  test("epochSchedule: equal-share targets, ceil repeats, cap binds") {
+    // tokens: a=100 (2 docs), b=10, c=1 -> B=111, k=3, target=37.
+    // repeats: a ceil(37/100)=1, b ceil(37/10)=4 (== cap), c 37 -> cap 4.
+    val rows = Seq(("a", 60L), ("a", 40L), ("b", 10L), ("c", 1L))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sample.epochSchedule(d, "s", "nt", cap = 4)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    val got = run(rows.toDF("s", "nt"))
+    assert(got == Set(("a", 2L, 100L, 1L, 100L), ("b", 1L, 10L, 4L, 40L),
+      ("c", 1L, 1L, 4L, 4L)))
+    assert(got == run(rows.toDF("s", "nt").repartition(5)))
+  }
+
+  test("epochSchedule: zero-token stratum gets factor 0, not a crash") {
+    val rows = Seq(("a", 50L), ("e", 0L), ("e", 0L))
+    val got = Sample.epochSchedule(rows.toDF("s", "nt"), "s", "nt", cap = 3)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // B=50, k=2, target=25: a -> ceil(25/50)=1; e -> 0.
+    assert(got == Set(("a", 1L, 50L, 1L, 50L), ("e", 2L, 0L, 0L, 0L)))
+  }
 }

@@ -170,4 +170,18 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(String, Long, Option[Long], Option[Long], Option[Double])].head()
     assert(out._3 == Some(0L) && out._5 == Some(0.0))
   }
+
+  test("seasonalIndex: hand-computed ratios; zero-sum key is null") {
+    // k: slot 1 holds {1, 2} (mean 1.5), slot 2 holds {6} (mean 6);
+    // overall mean 3 -> idx 0.5 and 2.0. z: all zeros -> null idx.
+    val rows = Seq(("k", 1L, 1.0), ("k", 1L, 2.0), ("k", 2L, 6.0),
+      ("z", 1L, 0.0), ("z", 2L, 0.0))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.seasonalIndex(d, Seq("k"), col("slot"), "v", grid = 1L)
+        .as[(String, Long, Long, Option[Double])].collect().toSet
+    val got = run(rows.toDF("k", "slot", "v"))
+    assert(got == Set(("k", 1L, 2L, Some(0.5)), ("k", 2L, 1L, Some(2.0)),
+      ("z", 1L, 1L, None), ("z", 2L, 1L, None)))
+    assert(got == run(rows.toDF("k", "slot", "v").repartition(7)))
+  }
 }
