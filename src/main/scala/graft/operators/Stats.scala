@@ -1025,4 +1025,33 @@ object Stats {
       .select(col("__p.col_a").as("col_a"), col("__p.col_b").as("col_b"),
         col("n"), col("__p.corr").as("corr"))
   }
+
+  /** Categorical DIVERSITY per key — how concentrated is a mixture?
+    * Two standard measures that, unlike Shannon entropy, have EXACT
+    * rational forms (no libm log in the gate):
+    * {{{ gini     = 1 − Σpᵢ² = (n² − Σcᵢ²) / n²        (Gini impurity)
+    *     eff_cats = 1 / Σpᵢ² = n² / Σcᵢ²       (inverse Simpson index,
+    *                "effective number of categories") }}}
+    * A corpus 99% one source scores gini ≈ 0 / eff_cats ≈ 1 no matter
+    * how many nominal sources exist — the number a mixture designer
+    * actually wants when "12 sources" is really "1.3 sources". Exact
+    * DECIMAL(38,0) count moments, one IEEE division per measure.
+    *
+    * Scale posture: one (key, category) count aggregate, one key-level
+    * rollup of the count table — category tables are vocabulary-sized,
+    * the data shuffles once.
+    */
+  def diversity(df: DataFrame, keys: Seq[String],
+                catCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.groupBy((keys :+ catCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val agg = cells.groupBy(keys.map(col): _*)
+      .agg(sum("__c").as("n"), count(lit(1)).as("n_cats"),
+        sum(dec(col("__c")) * dec(col("__c"))).as("__ss"))
+    val n2 = dec(col("n")) * dec(col("n"))
+    agg.select((keys.map(col) :+ col("n") :+ col("n_cats") :+
+      ((n2 - col("__ss")).cast("double") / n2.cast("double")).as("gini") :+
+      (n2.cast("double") / col("__ss").cast("double")).as("eff_cats")): _*)
+  }
 }

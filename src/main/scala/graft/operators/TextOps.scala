@@ -625,4 +625,42 @@ object TextOps {
         sum(coalesce(col("__new"), lit(0L))).over(wRun))
       .select("blk", "slice", "cum_docs", "cum_tokens", "vocab")
   }
+
+  /** RAKE-style keyword scoring (Rose et al. 2010): candidate phrases
+    * are the maximal stopword-free token runs, and a word's score is
+    * its DEGREE (Σ length of the phrases it appears in — how much
+    * multi-word context it attracts) over its FREQUENCY — the classic
+    * unsupervised keyword extractor, here corpus-wide. Words that live
+    * in long phrases ("distributed hash join") outrank equally-frequent
+    * words that stand alone, which is exactly the signal tf-idf misses.
+    * deg and freq are exact longs; score is their one IEEE division.
+    *
+    * Scale posture: one token explode, one per-doc running-sum window
+    * (phrase segmentation = cumulative stopword count), one
+    * (doc, phrase) length aggregate joined back on its own key, one
+    * word-level rollup — every stage keyed, nothing quadratic, the
+    * stopword set is a literal in the plan.
+    *
+    * Output: (w, freq, deg, score) per distinct non-stopword token.
+    */
+  def rakeScores(df: DataFrame, idCol: String, textCol: String,
+                 stopwords: Seq[String]): DataFrame = {
+    require(stopwords.nonEmpty, "rake needs a stopword set")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("__id"),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "w")))
+    val seg = tok.withColumn("__stop",
+        when(col("w").isin(stopwords: _*) || col("w") === "", 1L)
+          .otherwise(0L))
+      .withColumn("__phrase", sum("__stop").over(
+        Window.partitionBy("__id").orderBy("__pos")))
+    val content = seg.filter(col("__stop") === 0)
+    val ph = content.groupBy("__id", "__phrase")
+      .agg(count(lit(1)).as("__plen"))
+    content.join(ph, Seq("__id", "__phrase"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("__plen").as("deg"))
+      .withColumn("score",
+        col("deg").cast("double") / col("freq").cast("double"))
+  }
 }

@@ -4204,6 +4204,59 @@ object Extensions extends QueryModule {
         .orderBy("col_a", "col_b")
     },
 
+    // Mixture diversity (Stats.diversity): per-language Gini impurity
+    // and inverse-Simpson "effective number of sources" — the exact
+    // rational concentration measures (entropy's log has no
+    // cross-engine-exact form; 1 − Σp² and 1/Σp² do).
+    QueryDef("x9_diversity", Some("""
+      WITH c AS (SELECT lang, source, count(*) AS c FROM documents
+                 GROUP BY 1, 2),
+      a AS (SELECT lang, sum(c) AS n, count(*) AS n_cats,
+              sum(CAST(c AS HUGEINT) * c) AS ss
+            FROM c GROUP BY 1)
+      SELECT lang, CAST(n AS BIGINT) AS n, CAST(n_cats AS BIGINT) AS n_cats,
+             CAST(CAST(n AS HUGEINT) * n - ss AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS gini,
+             CAST(CAST(n AS HUGEINT) * n AS DOUBLE)
+               / CAST(ss AS DOUBLE) AS eff_cats
+      FROM a ORDER BY lang""")) { (s, dir) =>
+      graft.operators.Stats.diversity(t(s, dir, "documents"),
+          Seq("lang"), "source")
+        .orderBy("lang")
+    },
+
+    // RAKE keyword scores (TextOps.rakeScores): stopword-delimited
+    // phrase runs, word degree = Σ phrase length over occurrences,
+    // score = degree/frequency — words living in long phrases outrank
+    // equally-frequent loners. Exact integer deg/freq, one division.
+    QueryDef("x5_rake", Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      tok AS (SELECT doc_id, i AS pos, toks[i + 1] AS w
+              FROM d, LATERAL (SELECT unnest(range(0, len(toks))) AS i) ii),
+      m AS (SELECT doc_id, pos, w,
+              CASE WHEN w IN ('the', 'a', 'and', 'of', 'to') OR w = ''
+                   THEN 1 ELSE 0 END AS stop
+            FROM tok),
+      seg AS (SELECT doc_id, pos, w, stop,
+                sum(stop) OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS phrase_id
+              FROM m),
+      ph AS (SELECT doc_id, phrase_id, count(*) AS plen
+             FROM seg WHERE stop = 0 GROUP BY 1, 2),
+      wp AS (SELECT s.w, p.plen
+             FROM seg s JOIN ph p USING (doc_id, phrase_id)
+             WHERE s.stop = 0),
+      sc AS (SELECT w, count(*) AS freq, sum(plen) AS deg FROM wp
+             GROUP BY 1)
+      SELECT w, CAST(freq AS BIGINT) AS freq, CAST(deg AS BIGINT) AS deg,
+             CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score
+      FROM sc ORDER BY deg DESC, w""")) { (s, dir) =>
+      graft.operators.TextOps.rakeScores(t(s, dir, "documents"),
+          "doc_id", "text", Seq("the", "a", "and", "of", "to"))
+        .orderBy(desc("deg"), col("w"))
+    },
+
     // Column-level reconciliation (Integrity.reconcileColumns): the
     // after side deletes every 13th order, inserts shifted copies of
     // every 17th, bumps totalprice on every 7th and flips priority on

@@ -533,6 +533,22 @@ class StatsSpec extends SparkSpec {
     assert(out.size == 6) // k(k-1)/2 pairs, no diagonal, no duplicates
   }
 
+  test("diversity: uniform is maximal, constant is zero; exact ratios") {
+    // u: 4 cats × 2 each -> gini = 1 - 4·(1/4)² = 0.75, eff = 4.
+    // c: one cat -> gini 0, eff 1. s: {3,1} -> gini = (16-10)/16,
+    // eff = 16/10.
+    val rows = (1 to 8).map(i => ("u", s"c${i % 4}")) ++
+      (1 to 5).map(_ => ("c", "only")) ++
+      Seq(("s", "a"), ("s", "a"), ("s", "a"), ("s", "b"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.diversity(d, Seq("k"), "cat")
+        .as[(String, Long, Long, Double, Double)].collect().toSet
+    val got = run(rows.toDF("k", "cat"))
+    assert(got == Set(("u", 8L, 4L, 0.75, 4.0), ("c", 5L, 1L, 0.0, 1.0),
+      ("s", 4L, 2L, 6.0 / 16.0, 16.0 / 10.0)))
+    assert(got == run(rows.toDF("k", "cat").repartition(6)))
+  }
+
   test("corrMatrix: repartition-invariant on grids") {
     val rows = Seq((1.0, 0.11), (2.0, 0.07), (3.0, 0.93), (4.0, 0.42))
     def run(d: org.apache.spark.sql.DataFrame) =

@@ -404,4 +404,22 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(re == once)
   }
+
+  test("rakeScores: degree rewards phrase length; stopwords segment") {
+    // doc 1: "deep learning | rocks" (split by 'the'): deep/learning in
+    // a 2-phrase, rocks alone. doc 2: "deep learning models" one
+    // 3-phrase. deep: freq 2, deg 2+3=5. learning: same. models: 1/3.
+    // rocks: 1/1. Stopword 'the' never appears in output.
+    val docs = Seq((1L, "deep learning the rocks"),
+      (2L, "deep learning models")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.rakeScores(d, "doc_id", "text", Seq("the"))
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val got = run(docs)
+    assert(got == Map(
+      "deep" -> ((2L, 5L, 2.5)), "learning" -> ((2L, 5L, 2.5)),
+      "models" -> ((1L, 3L, 3.0)), "rocks" -> ((1L, 1L, 1.0))))
+    assert(got == run(docs.repartition(3)))
+  }
 }
