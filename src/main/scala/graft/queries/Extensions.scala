@@ -4251,7 +4251,7 @@ object Extensions extends QueryModule {
              GROUP BY 1)
       SELECT w, CAST(freq AS BIGINT) AS freq, CAST(deg AS BIGINT) AS deg,
              CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score
-      FROM sc ORDER BY deg DESC, w""")) { (s, dir) =>
+      FROM sc ORDER BY deg DESC, w"""), bench = true) { (s, dir) =>
       graft.operators.TextOps.rakeScores(t(s, dir, "documents"),
           "doc_id", "text", Seq("the", "a", "and", "of", "to"))
         .orderBy(desc("deg"), col("w"))
