@@ -148,4 +148,29 @@ object Integrity {
         col("__only_a").as("n_only_after"),
         col("__r.n_mismatch").as("n_mismatch"))
   }
+
+  /** Referential-integrity audit of ONE child→parent relationship: how
+    * many child rows point at a parent key that does not exist (the
+    * partial-load / out-of-order-ingest detector every warehouse
+    * load-validation step runs), plus how many carry a null key (not
+    * an orphan — a different defect, reported separately). One row out.
+    *
+    * Scale posture: parent keys are projected and deduped before the
+    * join (the probe side carries keys only, never parent payload);
+    * one left join + one single-row aggregate with map-side partials.
+    * Compose over relationships by unioning the one-row reports.
+    */
+  def fkOrphans(child: DataFrame, childKey: String, parent: DataFrame,
+                parentKey: String, rel: String): DataFrame = {
+    val p = parent.select(col(parentKey).as("__pk")).distinct()
+      .withColumn("__hit", lit(true))
+    child.select(col(childKey).as("__ck"))
+      .join(p, col("__ck") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("__ck").isNull, 1L).otherwise(0L)).as("n_null_key"),
+        sum(when(col("__ck").isNotNull && col("__hit").isNull, 1L)
+          .otherwise(0L)).as("n_orphan"))
+      .select(lit(rel).as("rel"), col("n_child"), col("n_null_key"),
+        col("n_orphan"))
+  }
 }

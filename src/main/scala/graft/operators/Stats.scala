@@ -1054,4 +1054,41 @@ object Stats {
       ((n2 - col("__ss")).cast("double") / n2.cast("double")).as("gini") :+
       (n2.cast("double") / col("__ss").cast("double")).as("eff_cats")): _*)
   }
+
+  /** Benford first-significant-digit screen — the classic
+    * fabricated-or-truncated-numbers detector for a numeric column:
+    * naturally-grown multiplicative quantities follow
+    * P(d) = log₁₀(1 + 1/d); uniform or hand-made numbers don't. Emits
+    * the observed digit profile against that law. The expectations are
+    * compile-time DOUBLE LITERALS (17 significant digits round-trip to
+    * the exact same IEEE double in any engine), NOT runtime log calls —
+    * libm log is not correctly rounded and would break the gate; the
+    * observed fraction and deviation are single IEEE ops on exact
+    * counts. Rows below 1 are excluded (no first significant digit on
+    * this integer-part formulation).
+    *
+    * Scale posture: one scan, one 9-row digit aggregate with map-side
+    * partials, total row broadcast back.
+    *
+    * Output: (digit, cnt, frac, expected, dev) for digits '1'..'9'.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val expectedLit = typedLit(Map(
+      "1" -> 0.3010299956639812, "2" -> 0.17609125905568124,
+      "3" -> 0.12493873660829992, "4" -> 0.09691001300805642,
+      "5" -> 0.07918124604762482, "6" -> 0.06694678963061322,
+      "7" -> 0.05799194697768673, "8" -> 0.05115252244738129,
+      "9" -> 0.04575749056067514))
+    val counts = df.filter(col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"),
+        1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("__n"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("frac", col("cnt").cast("double") /
+        col("__n").cast("double"))
+      .withColumn("expected", expectedLit(col("digit")))
+      .withColumn("dev", col("frac") - col("expected"))
+      .drop("__n")
+  }
 }

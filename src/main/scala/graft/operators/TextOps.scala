@@ -663,4 +663,31 @@ object TextOps {
       .withColumn("score",
         col("deg").cast("double") / col("freq").cast("double"))
   }
+
+  /** Zipf rank–frequency profile of the corpus vocabulary: the top-k
+    * tokens with their frequency rank and the product cnt·rank, which
+    * Zipf's law predicts is roughly constant — the one-glance check of
+    * whether a corpus has natural-language token statistics (boilerplate
+    * floods, template spam and synthetic filler all bend the curve).
+    * Companion to the Heaps-law vocabulary-growth gate: Heaps watches
+    * vocabulary vs corpus size, this watches the frequency head. Rank
+    * ties break lexicographically so the profile is total-ordered and
+    * engine-reproducible; cnt·rank is exact long arithmetic.
+    *
+    * Scale posture: one token-count aggregate; the rank window orders
+    * the VOCABULARY table (not the corpus), and only the head survives.
+    */
+  def zipfProfile(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("cnt"), col("w"))))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("w"), col("cnt"),
+        (col("cnt") * col("rank")).as("cr"))
+  }
 }

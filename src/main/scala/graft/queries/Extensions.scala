@@ -4225,6 +4225,38 @@ object Extensions extends QueryModule {
         .orderBy("lang")
     },
 
+    // Benford first-digit screen (Stats.benford): observed digit
+    // profile of order totals vs log10(1+1/d). Expectations are
+    // 17-digit double literals in BOTH engines (libm log is not
+    // correctly rounded and would not gate); frac and dev are single
+    // IEEE ops on exact counts.
+    QueryDef("x9_benford", Some("""
+      WITH b AS (SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS digit
+                 FROM orders WHERE o_totalprice >= 1),
+      c AS (SELECT digit, count(*) AS cnt FROM b GROUP BY 1),
+      t AS (SELECT sum(cnt) AS n FROM c),
+      e AS (SELECT digit, cnt,
+              CASE digit
+                WHEN '1' THEN CAST('0.3010299956639812' AS DOUBLE)
+                WHEN '2' THEN CAST('0.17609125905568124' AS DOUBLE)
+                WHEN '3' THEN CAST('0.12493873660829992' AS DOUBLE)
+                WHEN '4' THEN CAST('0.09691001300805642' AS DOUBLE)
+                WHEN '5' THEN CAST('0.07918124604762482' AS DOUBLE)
+                WHEN '6' THEN CAST('0.06694678963061322' AS DOUBLE)
+                WHEN '7' THEN CAST('0.05799194697768673' AS DOUBLE)
+                WHEN '8' THEN CAST('0.05115252244738129' AS DOUBLE)
+                WHEN '9' THEN CAST('0.04575749056067514' AS DOUBLE)
+              END AS expected
+            FROM c)
+      SELECT digit, CAST(cnt AS BIGINT) AS cnt,
+             CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS frac, expected,
+             CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) - expected AS dev
+      FROM e, t ORDER BY digit""")) { (s, dir) =>
+      graft.operators.Stats.benford(t(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")
+    },
+
     // RAKE keyword scores (TextOps.rakeScores): stopword-delimited
     // phrase runs, word degree = Σ phrase length over occurrences,
     // score = degree/frequency — words living in long phrases outrank
@@ -4255,6 +4287,26 @@ object Extensions extends QueryModule {
       graft.operators.TextOps.rakeScores(t(s, dir, "documents"),
           "doc_id", "text", Seq("the", "a", "and", "of", "to"))
         .orderBy(desc("deg"), col("w"))
+    },
+
+    // Zipf rank-frequency head (TextOps.zipfProfile): top-20 tokens
+    // with rank and the cnt·rank product Zipf's law holds ~constant —
+    // the natural-language-statistics sanity check next to the Heaps
+    // vocabulary-growth gate. Rank ties break lexicographically; the
+    // rank window orders the vocabulary table, never the corpus.
+    QueryDef("x5_zipf", Some("""
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+      c AS (SELECT w, count(*) AS cnt FROM t WHERE w <> '' GROUP BY 1),
+      r AS (SELECT w, cnt,
+              row_number() OVER (ORDER BY cnt DESC, w) AS rank
+            FROM c)
+      SELECT rank, w, CAST(cnt AS BIGINT) AS cnt,
+             CAST(cnt * rank AS BIGINT) AS cr
+      FROM r WHERE rank <= 20 ORDER BY rank""")) { (s, dir) =>
+      graft.operators.TextOps.zipfProfile(t(s, dir, "documents"),
+          "text", topK = 20)
+        .orderBy("rank")
     },
 
     // Column-level reconciliation (Integrity.reconcileColumns): the
@@ -4316,6 +4368,51 @@ object Extensions extends QueryModule {
           .withColumn("k", col("k") + 100000000L))
       graft.operators.Integrity.reconcileColumns(base, after, Seq("k"))
         .orderBy("col_name")
+    },
+
+    // Referential-integrity audit (Integrity.fkOrphans): orphan and
+    // null-key counts for three child→parent relationships — the two
+    // real ones hold (0 orphans is the PASS a load validation wants),
+    // the third audits against a deliberately partial parent (every
+    // 13th order dropped) and pins the nonzero orphan count.
+    QueryDef("x10_fk", Some("""
+      WITH pk AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+      ck AS (SELECT DISTINCT c_custkey AS k FROM customer),
+      pp AS (SELECT DISTINCT o_orderkey AS k FROM orders
+             WHERE o_orderkey % 13 <> 0),
+      u AS (
+        SELECT 'lineitem->orders' AS rel, count(*) AS n_child,
+               sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                 AS n_null_key,
+               sum(CASE WHEN l.l_orderkey IS NOT NULL AND pk.k IS NULL
+                   THEN 1 ELSE 0 END) AS n_orphan
+        FROM lineitem l LEFT JOIN pk ON l.l_orderkey = pk.k
+        UNION ALL
+        SELECT 'lineitem->orders_partial', count(*),
+               sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END),
+               sum(CASE WHEN l.l_orderkey IS NOT NULL AND pp.k IS NULL
+                   THEN 1 ELSE 0 END)
+        FROM lineitem l LEFT JOIN pp ON l.l_orderkey = pp.k
+        UNION ALL
+        SELECT 'orders->customer', count(*),
+               sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END),
+               sum(CASE WHEN o.o_custkey IS NOT NULL AND ck.k IS NULL
+                   THEN 1 ELSE 0 END)
+        FROM orders o LEFT JOIN ck ON o.o_custkey = ck.k)
+      SELECT rel, CAST(n_child AS BIGINT) AS n_child,
+             CAST(n_null_key AS BIGINT) AS n_null_key,
+             CAST(n_orphan AS BIGINT) AS n_orphan
+      FROM u ORDER BY rel""")) { (s, dir) =>
+      import graft.operators.Integrity.fkOrphans
+      val li = t(s, dir, "lineitem")
+      val ords = t(s, dir, "orders")
+      fkOrphans(li, "l_orderkey", ords, "o_orderkey", "lineitem->orders")
+        .unionByName(fkOrphans(li, "l_orderkey",
+          ords.filter(col("o_orderkey") % 13 =!= 0), "o_orderkey",
+          "lineitem->orders_partial"))
+        .unionByName(fkOrphans(ords, "o_custkey",
+          t(s, dir, "customer"), "c_custkey", "orders->customer"))
+        .orderBy("rel")
     },
 
     // MERGE with schema evolution (Snapshot.upsertEvolve): the update

@@ -81,4 +81,19 @@ class IntegritySpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect()
     assert(out.toSet == Set(("s", 2L, 0L, 0L, 0L), ("v", 2L, 0L, 0L, 0L)))
   }
+
+  test("fkOrphans: orphans vs null keys counted separately") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Integrity.fkOrphans(child, "fk", parent, "pk", "c->p")
+      .as[(String, Long, Long, Long)].head()
+    // 5 child rows; one null key; one (9) orphan; duplicates of 1 both hit.
+    assert(out == (("c->p", 5L, 1L, 1L)))
+    // Duplicate parent keys must not multiply child rows.
+    val dupParent = Seq(1L, 1L, 2L, 3L, 3L).toDF("pk")
+    val out2 = Integrity.fkOrphans(child, "fk", dupParent, "pk", "c->p")
+      .as[(String, Long, Long, Long)].head()
+    assert(out2 == (("c->p", 5L, 1L, 1L)))
+  }
 }

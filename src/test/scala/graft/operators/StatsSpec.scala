@@ -549,6 +549,19 @@ class StatsSpec extends SparkSpec {
     assert(got == run(rows.toDF("k", "cat").repartition(6)))
   }
 
+  test("benford: digits from the integer part, sub-1 rows excluded") {
+    // 120.5 -> '1', 19 -> '1', 2.3 -> '2', 0.4 excluded, 900 -> '9'.
+    val df = Seq(120.5, 19.0, 2.3, 0.4, 900.0).toDF("v")
+    val out = Stats.benford(df, "v")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("1")._2 == 2L && out("2")._2 == 1L && out("9")._2 == 1L)
+    assert(out("1")._3 == 0.5)
+    assert(out("1")._4 == 0.3010299956639812)
+    assert(out("1")._5 == 0.5 - 0.3010299956639812)
+    assert(!out.contains("0") && out.size == 3)
+  }
+
   test("corrMatrix: repartition-invariant on grids") {
     val rows = Seq((1.0, 0.11), (2.0, 0.07), (3.0, 0.93), (4.0, 0.42))
     def run(d: org.apache.spark.sql.DataFrame) =

@@ -422,4 +422,15 @@ class TextOpsSpec extends SparkSpec {
       "models" -> ((1L, 3L, 3.0)), "rocks" -> ((1L, 1L, 1.0))))
     assert(got == run(docs.repartition(3)))
   }
+
+  test("zipfProfile: frequency ranks with lexicographic ties; head only") {
+    val docs = Seq((1L, "b b b a a c d"), (2L, "a c")).toDF("id", "text")
+    // counts: a=3, b=3, c=2, d=1 -> ranks: a(1), b(2), c(3), d cut at k=3.
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.zipfProfile(d, "text", topK = 3)
+        .as[(Int, String, Long, Long)].collect().toSet
+    val got = run(docs)
+    assert(got == Set((1, "a", 3L, 3L), (2, "b", 3L, 6L), (3, "c", 2L, 6L)))
+    assert(got == run(docs.repartition(4)))
+  }
 }
