@@ -89,4 +89,68 @@ object AsOf {
     joined.select(left.columns.toIndexedSeq.map(col) ++
       rightCols.map(c => when(keep, col(c)).otherwise(lit(null)).as(c)): _*)
   }
+
+  /** NEAREST-in-time as-of join: attach the right row whose timestamp is
+    * closest to the left's in EITHER direction, ties to the past —
+    * pandas' merge_asof(direction='nearest'), the sensor-alignment /
+    * label-attachment semantic the single-direction forms can't give.
+    *
+    * One union, ONE shuffle (both windows share the per-key partition;
+    * Catalyst plans one exchange + two sorts): the backward candidate is
+    * [[joinAsOf]]'s cumulative `last`, the forward candidate a mirrored
+    * `first` over [current, following) whose ordering puts right rows
+    * AFTER left rows at equal timestamps (so both directions stay
+    * inclusive). The winner is chosen per row by exact integer gap
+    * comparison, and the whole matched row travels as one struct — the
+    * two candidates never mix columns.
+    *
+    * Timestamps must be NUMERIC (epoch millis) — integer gaps are what
+    * make the tie rule exact; callers with timestamp columns pass
+    * `unix_millis` projections. Tie semantics within equal right
+    * timestamps follow the directional forms: last-in-`rightOrder` wins
+    * backward, first wins forward.
+    *
+    * Output: left columns + rightCols of the winner + `asof_dir`
+    * ('b'/'f', null when the key group has no right rows).
+    */
+  def joinAsOfNearest(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      rightOrder: Seq[String] = Nil): DataFrame = {
+    val l = left
+      .withColumn("__ats", col(leftTs).cast("long"))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).cast("long").as("__ats"),
+          struct(col(rightTs).cast("long").as("__rts") +:
+            rightCols.map(col): _*).as("__rv")) ++
+        rightOrder.map(c => col(c).as(s"__ro_$c")): _*)
+      .withColumn("__side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val W = org.apache.spark.sql.expressions.Window
+    val wB = W.partitionBy(keys.map(col): _*)
+      .orderBy((col("__ats") +: col("__side") +:
+        rightOrder.map(c => col(s"__ro_$c").asc_nulls_last)): _*)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wF = W.partitionBy(keys.map(col): _*)
+      .orderBy((col("__ats") +: col("__side").desc +:
+        rightOrder.map(c => col(s"__ro_$c").asc_nulls_last)): _*)
+      .rowsBetween(0, W.unboundedFollowing)
+    val b = col("__b")
+    val f = col("__f")
+    val gapB = col("__ats") - b.getField("__rts")
+    val gapF = f.getField("__rts") - col("__ats")
+    val pickB = f.isNull || (b.isNotNull && gapB <= gapF)
+    val chosen = when(b.isNull, f).when(pickB, b).otherwise(f)
+    val dir = when(b.isNull && f.isNull, lit(null))
+      .when(b.isNull, "f").when(pickB, "b").otherwise("f")
+    u.withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__rv"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+      .withColumn("__c", chosen)
+      .withColumn("asof_dir", dir)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        rightCols.map(c => col(s"__c.$c").as(c)) :+ col("asof_dir"): _*)
+  }
 }

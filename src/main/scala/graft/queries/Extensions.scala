@@ -1266,6 +1266,52 @@ object Extensions extends QueryModule {
         .orderBy("user_id", "event_id")
     },
 
+    // Nearest as-of (AsOf.joinAsOfNearest): each click attaches the
+    // purchase CLOSEST in time in either direction, ties to the past —
+    // merge_asof(direction='nearest'). One union + one per-user window
+    // shuffle (two sorts); exact integer-millisecond gap comparison.
+    // The oracle composes DuckDB's two directional ASOF joins and
+    // replays the same tie rule.
+    QueryDef("a4_asof_nearest", Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, epoch_ms(ts) AS pms, value
+            FROM events WHERE event_type = 'purchase'),
+      b AS (SELECT e.user_id, e.event_id, e.ms, p.pms AS bms,
+                   p.value AS bval
+            FROM e ASOF LEFT JOIN p
+              ON e.user_id = p.user_id AND e.ms >= p.pms),
+      f AS (SELECT e.user_id, e.event_id, p.pms AS fms, p.value AS fval
+            FROM e ASOF LEFT JOIN p
+              ON e.user_id = p.user_id AND e.ms <= p.pms)
+      SELECT b.user_id, b.event_id, b.ms,
+        CASE WHEN fms IS NULL THEN bms WHEN bms IS NULL THEN fms
+             WHEN b.ms - bms <= fms - b.ms THEN bms ELSE fms END
+          AS near_ms,
+        CASE WHEN fms IS NULL THEN bval WHEN bms IS NULL THEN fval
+             WHEN b.ms - bms <= fms - b.ms THEN bval ELSE fval END
+          AS near_value,
+        CASE WHEN bms IS NULL AND fms IS NULL THEN NULL
+             WHEN fms IS NULL THEN 'b' WHEN bms IS NULL THEN 'f'
+             WHEN b.ms - bms <= fms - b.ms THEN 'b' ELSE 'f' END
+          AS asof_dir
+      FROM b JOIN f USING (user_id, event_id)
+      ORDER BY user_id, event_id""")) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_millis(col("ts")).as("pms"),
+          unix_millis(col("ts")).as("near_ms"),
+          col("value").as("near_value"))
+      AsOf.joinAsOfNearest(clicks, purchases, Seq("user_id"),
+          "ms", "pms", Seq("near_ms", "near_value"))
+        .select(col("user_id"), col("event_id"), col("ms"),
+          col("near_ms"), col("near_value"), col("asof_dir"))
+        .orderBy("user_id", "event_id")
+    },
+
     // KLL-style quantile sketch (approx_percentile): like the HLL gate,
     // sketch internals are engine-specific → rows-only; the exact
     // order-statistic companion is q6_quantiles.

@@ -101,4 +101,33 @@ class AsOfSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one keyed exchange:\n$plan")
     assert(!plan.contains("NestedLoop"), "must not plan a range nested loop")
   }
+
+  test("joinAsOfNearest: closest side wins, tie to the past, edges null") {
+    val left = Seq(("k", 9L, 1L), ("k", 14L, 2L), ("k", 15L, 3L),
+      ("k", 16L, 4L), ("k", 25L, 5L), ("z", 10L, 6L))
+      .toDF("k", "ms", "lid")
+    val right = Seq(("k", 10L, "p10"), ("k", 20L, "p20"))
+      .toDF("k", "pms", "tag")
+    val out = AsOf.joinAsOfNearest(left, right, Seq("k"), "ms", "pms",
+        Seq("tag"))
+      .select("lid", "tag", "asof_dir")
+      .as[(Long, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some("p10"), Some("f")))) // before all -> forward
+    assert(out(2L) == ((Some("p10"), Some("b")))) // 4 back vs 6 fwd
+    assert(out(3L) == ((Some("p10"), Some("b")))) // 5 == 5 tie -> past
+    assert(out(4L) == ((Some("p20"), Some("f")))) // 6 back vs 4 fwd
+    assert(out(5L) == ((Some("p20"), Some("b")))) // after all -> backward
+    assert(out(6L) == ((None, None)))             // no rights in group
+  }
+
+  test("joinAsOfNearest: stays a single keyed exchange") {
+    val left = Seq(("k", 5L)).toDF("k", "ms")
+    val right = Seq(("k", 3L, 1.0)).toDF("k", "pms", "v")
+    val plan = AsOf.joinAsOfNearest(left, right, Seq("k"), "ms", "pms",
+        Seq("v")).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one keyed exchange:\n$plan")
+    assert(!plan.contains("NestedLoop"))
+  }
 }
