@@ -765,6 +765,31 @@ object Graph {
     * @return (id, scc, scc_size) — scc is the min node id of the
     *         component, one row per node appearing in `edges`
     */
+  /** Degree distribution of an edge list — the first structure report
+    * run on any new graph (is it hub-heavy? how long is the tail? does
+    * it look power-law?): for every observed out-degree, how many nodes
+    * have it, plus each bucket's share of all edge endpoints. Pass both
+    * edge directions for undirected degree. Exact integers + one IEEE
+    * division per bucket; the histogram is degree-vocabulary-sized.
+    *
+    * Scale posture: one (src) count aggregate over the edge list, one
+    * (degree) count aggregate over the node-sized degree table, one-row
+    * total broadcast back — two keyed shuffles, nothing quadratic.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("__d"))
+    val hist = deg.groupBy(col("__d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum(col("degree").cast("decimal(38,0)") *
+      col("n_nodes").cast("decimal(38,0)")).as("__m"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("degree"), col("n_nodes"),
+        ((col("degree").cast("decimal(38,0)") *
+          col("n_nodes").cast("decimal(38,0)")).cast("double") /
+          col("__m").cast("double")).as("endpoint_share"))
+  }
+
   def sccBounded(edges: DataFrame, maxNodes: Int): DataFrame = {
     require(maxNodes >= 2, "maxNodes must be >= 2")
     val e = edges.select(col("src").cast("long").as("src"),

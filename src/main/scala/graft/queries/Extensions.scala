@@ -4208,6 +4208,35 @@ object Extensions extends QueryModule {
         .orderBy("id")
     },
 
+    // Degree distribution (Graph.degreeHistogram) of the undirected
+    // supplier co-purchase graph: nodes per degree + each bucket's
+    // share of edge endpoints — the hub-heaviness profile read before
+    // choosing skew strategies for the graph family.
+    QueryDef("x8_degree_hist", Some("""
+      WITH pr AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      eg AS (SELECT src, dst FROM pr
+             UNION ALL SELECT dst, src FROM pr),
+      deg AS (SELECT src, count(*) AS d FROM eg GROUP BY src),
+      h AS (SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY 1),
+      t AS (SELECT sum(CAST(degree AS HUGEINT) * n_nodes) AS m FROM h)
+      SELECT degree, CAST(n_nodes AS BIGINT) AS n_nodes,
+             CAST(CAST(degree AS HUGEINT) * n_nodes AS DOUBLE)
+               / CAST(m AS DOUBLE) AS endpoint_share
+      FROM h, t ORDER BY degree""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val a = li.select(col("l_orderkey").as("o"), col("l_suppkey").as("src"))
+      val b = li.select(col("l_orderkey").as("o"), col("l_suppkey").as("dst"))
+      val pr = a.join(b, Seq("o")).filter(col("src") < col("dst"))
+        .select("src", "dst").distinct()
+      val eg = pr.unionByName(
+        pr.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.degreeHistogram(eg)
+        .orderBy("degree")
+    },
+
     // Pairwise correlation matrix (Stats.corrMatrix): quantity /
     // extendedprice / discount moments on floor grids, all accumulated
     // in ONE pass, each Pearson coefficient one fixed-shape IEEE

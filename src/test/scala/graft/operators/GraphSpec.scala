@@ -417,6 +417,18 @@ class GraphSpec extends SparkSpec {
       4L -> ((4L, 2L)), 5L -> ((4L, 2L)), 6L -> ((6L, 1L))))
   }
 
+  test("degreeHistogram: star graph — hub degree n, leaves degree 1") {
+    // Undirected star 0-{1,2,3}: hub degree 3, three leaves degree 1.
+    // Endpoint mass m = 6: degree 1 share 3/6, degree 3 share 3/6.
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Graph.degreeHistogram(d).as[(Long, Long, Double)].collect().toSet
+    val got = run(e)
+    assert(got == Set((1L, 3L, 0.5), (3L, 1L, 0.5)))
+    assert(got == run(e.repartition(5)))
+  }
+
   test("sccBounded: long cycle needs every doubling round; order-invariant") {
     // A single directed 8-cycle: one SCC of size 8 (diameter 7 forces
     // the full ceil(log2 n) doubling schedule to matter).
