@@ -677,6 +677,40 @@ object TextOps {
     * Scale posture: one token-count aggregate; the rank window orders
     * the VOCABULARY table (not the corpus), and only the head survives.
     */
+  /** T5-style SPAN-CORRUPTION mask statistics: deterministic span
+    * starts (first md5 nibble of "docId:pos" = '0' → 1/16 start rate),
+    * each start masking `spanLen` consecutive tokens (overlapping
+    * spans merge) — the denoising-objective preparation step, with the
+    * per-document coverage report a data pipeline validates BEFORE
+    * feeding the masked corpus to training. Hash-seeded, so the mask
+    * is a pure function of (doc, position): re-runs, repartitions and
+    * engines agree bit-for-bit — which a RNG-driven masker cannot do.
+    *
+    * Scale posture: one token explode, one per-doc rolling-max window
+    * (span membership = any start within the trailing spanLen window),
+    * one per-doc aggregate. Output: (id, n_tokens, n_spans, n_masked,
+    * mask_frac); n_spans counts starts (merged overlaps keep both).
+    */
+  def spanMaskStats(df: DataFrame, idCol: String, textCol: String,
+                    spanLen: Int = 3): DataFrame = {
+    require(spanLen >= 1, "spanLen must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val start = when(substring(md5(concat(col("id").cast("string"),
+      lit(":"), col("pos").cast("string"))), 1, 1) === "0", 1L)
+      .otherwise(0L)
+    val wSpan = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(-(spanLen - 1), 0)
+    tok.withColumn("__s", start)
+      .withColumn("__mk", max("__s").over(wSpan))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("__s").as("n_spans"),
+        sum("__mk").as("n_masked"))
+      .withColumn("mask_frac",
+        col("n_masked").cast("double") / col("n_tokens").cast("double"))
+  }
+
   def zipfProfile(df: DataFrame, textCol: String, topK: Int): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
     import org.apache.spark.sql.expressions.Window

@@ -4384,6 +4384,35 @@ object Extensions extends QueryModule {
         .orderBy("rank")
     },
 
+    // Span-corruption mask stats (TextOps.spanMaskStats): hash-seeded
+    // T5-style span starts (md5 nibble, 1/16 rate) each masking 3
+    // tokens, overlaps merged by a rolling-max window — the coverage
+    // report validated before a denoising objective consumes the mask.
+    QueryDef("x6_span_mask", Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      tok AS (SELECT doc_id, i AS pos
+              FROM d, LATERAL (SELECT unnest(range(0, len(toks))) AS i) ii),
+      m AS (SELECT doc_id, pos,
+              CASE WHEN substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+                     CAST(pos AS VARCHAR))), 1, 1) = '0'
+                   THEN 1 ELSE 0 END AS s
+            FROM tok),
+      w AS (SELECT doc_id, s,
+              max(s) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mk
+            FROM m)
+      SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(s) AS BIGINT) AS n_spans,
+             CAST(sum(mk) AS BIGINT) AS n_masked,
+             CAST(sum(mk) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mask_frac
+      FROM w GROUP BY 1 ORDER BY id""")) { (s, dir) =>
+      graft.operators.TextOps.spanMaskStats(t(s, dir, "documents"),
+          "doc_id", "text", spanLen = 3)
+        .orderBy("id")
+    },
+
     // Column-level reconciliation (Integrity.reconcileColumns): the
     // after side deletes every 13th order, inserts shifted copies of
     // every 17th, bumps totalprice on every 7th and flips priority on

@@ -423,6 +423,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got == run(docs.repartition(3)))
   }
 
+  test("spanMaskStats: merged spans, exact trailing-window coverage") {
+    // Mask is a pure function of (id, pos): compute the expected span
+    // starts the same way and replay the merge by hand.
+    val text = (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val starts = (0 until 40).filter { pos =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$pos".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.startsWith("0")
+    }
+    val masked = (0 until 40).count(p =>
+      starts.exists(st => st <= p && p < st + 3))
+    val out = TextOps.spanMaskStats(docs, "doc_id", "text", spanLen = 3)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(out._2 == 40L && out._3 == starts.length.toLong &&
+      out._4 == masked.toLong)
+    assert(out._5 == masked.toDouble / 40.0)
+    val re = TextOps.spanMaskStats(docs.repartition(3), "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(re == out)
+  }
+
   test("zipfProfile: frequency ranks with lexicographic ties; head only") {
     val docs = Seq((1L, "b b b a a c d"), (2L, "a c")).toDF("id", "text")
     // counts: a=3, b=3, c=2, d=1 -> ranks: a(1), b(2), c(3), d cut at k=3.
