@@ -243,6 +243,24 @@ object Sample {
       .drop("__rn", "__take")
   }
 
+  /** K-FOLD cross-validation assignment: a deterministic fold id from
+    * the row's md5 first nibble — the same hash family as [[hashSplit]],
+    * so fold membership is a pure function of the id (stable across
+    * runs, engines and repartitioning, and UNBIASED because k divides
+    * the 16 nibble values evenly — the reason k is constrained rather
+    * than taking an arbitrary modulus of a biased prefix). Evaluation
+    * harnesses filter `fold = i` for the held-out slice and
+    * `fold <> i` for its training complement; no state is stored.
+    * Zero shuffles — the fold id is a codegen projection.
+    */
+  def kfold(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2 && 16 % k == 0,
+      "k must divide 16 (even hex-nibble fold derivation)")
+    df.withColumn("fold",
+      expr(s"(locate(substring(md5(cast($idCol as string)), 1, 1), " +
+        s"'0123456789abcdef') - 1) div ${16 / k}").cast("int"))
+  }
+
   /** EPOCH (repeat-factor) schedule per domain — the other half of
     * mixture design: when a target mix wants MORE of a domain than it
     * holds, the loader re-reads it; this computes how many times. Each

@@ -697,6 +697,30 @@ object Maintenance extends QueryModule {
         .orderBy("lang")
     },
 
+    // K-fold assignment (Sample.kfold): md5-nibble folds (k=4 — even
+    // 4-nibble bands, unbiased by construction), summarized per fold.
+    // The cross-validation slice derivation, zero shuffles to assign.
+    QueryDef("x7_kfold", Some("""
+      WITH f AS (SELECT doc_id, lang,
+               CAST((strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) // 4
+                 AS INTEGER) AS fold,
+               len(string_split(text, ' ')) AS nt
+             FROM documents)
+      SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM f GROUP BY 1 ORDER BY fold""")) { (s, dir) =>
+      graft.operators.Sample.kfold(
+          t(s, dir, "documents").withColumn("nt",
+            size(graft.operators.TextOps.tokens(col("text"))).cast("long")),
+          "doc_id", k = 4)
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("fold")
+    },
+
     // Benchmark decontamination: shingle-overlap fraction of each training
     // doc against the benchmark split's shingle vocabulary.
     QueryDef("x6_decontam", Some("""

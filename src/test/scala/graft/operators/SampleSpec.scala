@@ -259,6 +259,19 @@ class SampleSpec extends SparkSpec {
     assert(got == run(rows.toDF("s", "nt").repartition(5)))
   }
 
+  test("kfold: nibble-derived folds match a hand md5; k must divide 16") {
+    val df = (1L to 64L).toDF("id")
+    val out = Sample.kfold(df, "id", 4).select("id", "fold")
+      .as[(Long, Int)].collect().toMap
+    def nib(id: Long): Int = "0123456789abcdef".indexOf(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0))
+    (1L to 64L).foreach(id => assert(out(id) == nib(id) / 4))
+    assert(out.values.toSet.subsetOf(Set(0, 1, 2, 3)))
+    intercept[IllegalArgumentException](Sample.kfold(df, "id", 3))
+  }
+
   test("epochSchedule: zero-token stratum gets factor 0, not a crash") {
     val rows = Seq(("a", 50L), ("e", 0L), ("e", 0L))
     val got = Sample.epochSchedule(rows.toDF("s", "nt"), "s", "nt", cap = 3)
