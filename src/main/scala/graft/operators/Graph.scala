@@ -765,6 +765,55 @@ object Graph {
     * @return (id, scc, scc_size) — scc is the min node id of the
     *         component, one row per node appearing in `edges`
     */
+  /** K-TRUSS peeling — the edge-level cohesion filter one notch
+    * stronger than [[kCorePeel]]'s node degrees: keep an edge only if
+    * it closes at least k−2 triangles with surviving edges, iterated
+    * `rounds` times (fixed rounds, like kCorePeel, so the gate is a
+    * deterministic recurrence the oracle can unroll — full-convergence
+    * peeling wraps this the way resolveClusters wraps its rounds).
+    * Trusses drop the loosely-attached edges cliques-ish communities
+    * hang onto, which degree-based coring cannot see.
+    *
+    * Per round: one wedge join on the canonical u<v edge list (each
+    * triangle a<b<c found exactly once), each triangle credited to its
+    * three edges by a union + count, and edges below support k−2
+    * dropped. Scale posture: the wedge join is the standard keyed
+    * shuffle triangle enumeration (fan-out bounded by degree — same
+    * shape as the gated triangle count); support aggregation is
+    * map-side partial; the edge list persists per round, exactly one
+    * live copy.
+    *
+    * @return surviving edges with their last-round support
+    *         (u, v, sup) — sup counted against the PREVIOUS round's
+    *         survivors, the value the final filter tested
+    */
+  def kTrussPeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 3, "truss needs k >= 3")
+    require(rounds >= 1, "needs at least one round")
+    var e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") < col("v")).distinct().persist()
+    e.count()
+    var result: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"),
+          col("e2.v").as("c"))
+      val sup = tri.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
+        .unionAll(tri.select(col("a").as("u"), col("c").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      val next = sup.filter(col("sup") >= k - 2).persist()
+      next.count()
+      e.unpersist()
+      result = next
+      e = next
+    }
+    result.select("u", "v", "sup")
+  }
+
   /** Degree distribution of an edge list — the first structure report
     * run on any new graph (is it hub-heavy? how long is the tail? does
     * it look power-law?): for every observed out-degree, how many nodes

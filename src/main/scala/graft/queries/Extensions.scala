@@ -4208,6 +4208,36 @@ object Extensions extends QueryModule {
         .orderBy("id")
     },
 
+    // K-truss peeling (Graph.kTrussPeel): 10-truss over the part
+    // co-purchase graph, two fixed peel rounds — each edge must close
+    // >= 8 triangles with surviving edges. The oracle unrolls the same
+    // recurrence (triangle enumeration on the canonical u<v list, each
+    // triangle credited to its three edges).
+    QueryDef("x8_ktruss", Some(s"""
+      WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey),
+      ${(1 to 2).map { r =>
+        s"""t$r AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             FROM e${r - 1} e1 JOIN e${r - 1} e2 ON e2.u = e1.v
+             JOIN e${r - 1} e3 ON e3.u = e1.u AND e3.v = e2.v),
+      s$r AS (SELECT u, v, count(*) AS sup FROM (
+                SELECT a AS u, b AS v FROM t$r
+                UNION ALL SELECT b AS u, c AS v FROM t$r
+                UNION ALL SELECT a AS u, c AS v FROM t$r) GROUP BY u, v),
+      e$r AS (SELECT u, v, sup FROM s$r WHERE sup >= 8)"""
+      }.mkString(",\n      ")}
+      SELECT u, v, CAST(sup AS BIGINT) AS sup
+      FROM e2 ORDER BY u, v""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.operators.Graph.kTrussPeel(pairs, k = 10L, rounds = 2)
+        .orderBy("u", "v")
+    },
+
     // Degree distribution (Graph.degreeHistogram) of the undirected
     // supplier co-purchase graph: nodes per degree + each bucket's
     // share of edge endpoints — the hub-heaviness profile read before

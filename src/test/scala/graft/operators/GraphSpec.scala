@@ -417,6 +417,23 @@ class GraphSpec extends SparkSpec {
       4L -> ((4L, 2L)), 5L -> ((4L, 2L)), 6L -> ((6L, 1L))))
   }
 
+  test("kTrussPeel: 4-clique survives a 3-truss, pendant triangle goes") {
+    // K4 on {1,2,3,4}: every edge closes 2 triangles. A pendant
+    // triangle {4,5,6} has support 1 per edge, and edge 6-7 closes
+    // none. k=4 (support >= 2) keeps exactly the K4; a second round
+    // re-proves it on the reduced graph.
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val e = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)))
+      .toDF("src", "dst")
+    def run(d: org.apache.spark.sql.DataFrame, rounds: Int) =
+      Graph.kTrussPeel(d, k = 4L, rounds = rounds)
+        .as[(Long, Long, Long)].collect().toSet
+    val expect = k4.map { case (a, b) => (a, b, 2L) }.toSet
+    assert(run(e, 1) == expect)
+    assert(run(e, 2) == expect)
+    assert(run(e.repartition(5), 2) == expect)
+  }
+
   test("degreeHistogram: star graph — hub degree n, leaves degree 1") {
     // Undirected star 0-{1,2,3}: hub degree 3, three leaves degree 1.
     // Endpoint mass m = 6: degree 1 share 3/6, degree 3 share 3/6.
