@@ -120,12 +120,16 @@ object AsOf {
     val l = left
       .withColumn("__ats", col(leftTs).cast("long"))
       .withColumn("__side", lit(1))
-    val r = right.select(
-      keys.map(col) ++
-        Seq(col(rightTs).cast("long").as("__ats"),
-          struct(col(rightTs).cast("long").as("__rts") +:
-            rightCols.map(col): _*).as("__rv")) ++
-        rightOrder.map(c => col(c).as(s"__ro_$c")): _*)
+    val r = right
+      // A null right timestamp is not "infinitely old" — it would sort
+      // first and win every backward window; it is no match at all.
+      .filter(col(rightTs).isNotNull)
+      .select(
+        keys.map(col) ++
+          Seq(col(rightTs).cast("long").as("__ats"),
+            struct(col(rightTs).cast("long").as("__rts") +:
+              rightCols.map(col): _*).as("__rv")) ++
+          rightOrder.map(c => col(c).as(s"__ro_$c")): _*)
       .withColumn("__side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val W = org.apache.spark.sql.expressions.Window

@@ -738,33 +738,6 @@ object Graph {
           .as("pa"))
   }
 
-  /** Strongly connected components of a DIRECTED graph with a BOUNDED
-    * node vocabulary — the cyclic-structure primitive the undirected
-    * [[Dedup.resolveClusters]] min-label components cannot express
-    * (mutual reachability, not mere connectivity). Intended for
-    * CONDENSED entity graphs whose node set is bounded by contract —
-    * country/market trade graphs, category co-occurrence, event-type
-    * state machines — where the 100 TB-scale work is aggregating the
-    * edge stream down to the entity graph (a distinct-project the
-    * caller does with one shuffle) and the closure itself is tiny.
-    * NOT for document- or user-scale graphs: transitive closure holds
-    * Θ(n·reach) rows, which is why the parameter is named `maxNodes`
-    * and enforced in the contract, not discovered at runtime.
-    *
-    * Algorithm: path-doubling transitive closure — reach⁰ = E ∪ id,
-    * reachᵏ⁺¹ = reachᵏ ∪ (reachᵏ ∘ reachᵏ) — so ⌈log₂ maxNodes⌉
-    * rounds cover every path (simple paths have < maxNodes hops);
-    * then v's component label is min{w : v→*w ∧ w→*v}, well-defined
-    * because the identity pairs make every node mutually reach itself.
-    * Min-label output is deterministic under any partitioning. Each
-    * round is one equijoin + distinct on tables capped by the closure
-    * size; nothing driver-side but the (data-independent) loop counter.
-    *
-    * @param edges    directed (src, dst) id columns
-    * @param maxNodes contract bound on |V| (sets the doubling rounds)
-    * @return (id, scc, scc_size) — scc is the min node id of the
-    *         component, one row per node appearing in `edges`
-    */
   /** K-TRUSS peeling — the edge-level cohesion filter one notch
     * stronger than [[kCorePeel]]'s node degrees: keep an edge only if
     * it closes at least k−2 triangles with surviving edges, iterated
@@ -776,12 +749,15 @@ object Graph {
     *
     * Per round: one wedge join on the canonical u<v edge list (each
     * triangle a<b<c found exactly once), each triangle credited to its
-    * three edges by a union + count, and edges below support k−2
-    * dropped. Scale posture: the wedge join is the standard keyed
+    * three edges through ONE explode (the join subtree is evaluated
+    * once, not re-run per crediting branch), and edges below support
+    * k−2 dropped. Scale posture: the wedge join is the standard keyed
     * shuffle triangle enumeration (fan-out bounded by degree — same
     * shape as the gated triangle count); support aggregation is
     * map-side partial; the edge list persists per round, exactly one
-    * live copy.
+    * live copy. Input edges may arrive in either orientation (and with
+    * both directions present) — they are canonicalized, self-loops
+    * dropped.
     *
     * @return surviving edges with their last-round support
     *         (u, v, sup) — sup counted against the PREVIOUS round's
@@ -790,7 +766,8 @@ object Graph {
   def kTrussPeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(k >= 3, "truss needs k >= 3")
     require(rounds >= 1, "needs at least one round")
-    var e = edges.select(col("src").as("u"), col("dst").as("v"))
+    var e = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") < col("v")).distinct().persist()
     e.count()
     var result: DataFrame = null
@@ -801,10 +778,12 @@ object Graph {
           col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
         .select(col("e1.u").as("a"), col("e1.v").as("b"),
           col("e2.v").as("c"))
-      val sup = tri.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
-        .unionAll(tri.select(col("a").as("u"), col("c").as("v")))
-        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+      val sup = tri.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("c").as("v")),
+          struct(col("a").as("u"), col("c").as("v")))).as("__e"))
+        .groupBy(col("__e.u").as("u"), col("__e.v").as("v"))
+        .agg(count(lit(1)).as("sup"))
       val next = sup.filter(col("sup") >= k - 2).persist()
       next.count()
       e.unpersist()
@@ -839,6 +818,33 @@ object Graph {
           col("__m").cast("double")).as("endpoint_share"))
   }
 
+  /** Strongly connected components of a DIRECTED graph with a BOUNDED
+    * node vocabulary — the cyclic-structure primitive the undirected
+    * [[Dedup.resolveClusters]] min-label components cannot express
+    * (mutual reachability, not mere connectivity). Intended for
+    * CONDENSED entity graphs whose node set is bounded by contract —
+    * country/market trade graphs, category co-occurrence, event-type
+    * state machines — where the 100 TB-scale work is aggregating the
+    * edge stream down to the entity graph (a distinct-project the
+    * caller does with one shuffle) and the closure itself is tiny.
+    * NOT for document- or user-scale graphs: transitive closure holds
+    * Θ(n·reach) rows, which is why the parameter is named `maxNodes`
+    * and enforced in the contract, not discovered at runtime.
+    *
+    * Algorithm: path-doubling transitive closure — reach⁰ = E ∪ id,
+    * reachᵏ⁺¹ = reachᵏ ∪ (reachᵏ ∘ reachᵏ) — so ⌈log₂ maxNodes⌉
+    * rounds cover every path (simple paths have < maxNodes hops);
+    * then v's component label is min{w : v→*w ∧ w→*v}, well-defined
+    * because the identity pairs make every node mutually reach itself.
+    * Min-label output is deterministic under any partitioning. Each
+    * round is one equijoin + distinct on tables capped by the closure
+    * size; nothing driver-side but the (data-independent) loop counter.
+    *
+    * @param edges    directed (src, dst) id columns
+    * @param maxNodes contract bound on |V| (sets the doubling rounds)
+    * @return (id, scc, scc_size) — scc is the min node id of the
+    *         component, one row per node appearing in `edges`
+    */
   def sccBounded(edges: DataFrame, maxNodes: Int): DataFrame = {
     require(maxNodes >= 2, "maxNodes must be >= 2")
     val e = edges.select(col("src").cast("long").as("src"),

@@ -130,8 +130,11 @@ object Integrity {
     val on = keys.map(k => col(s"__b_$k") <=> col(s"__a_$k")).reduce(_ && _)
     val inB = col("__b_present").isNotNull
     val inA = col("__a_present").isNotNull
+    // coalesce: sum() over the zero-row join (two empty snapshots) is
+    // null, and a null count would fail a downstream `n_mismatch == 0`
+    // PASS check — the empty reconciliation is a clean zero report.
     val one = (c: org.apache.spark.sql.Column) =>
-      sum(when(c, 1L).otherwise(0L))
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
     val aggCols = Seq(one(inB && inA).as("__both"),
       one(inB && !inA).as("__only_b"),
       one(!inB && inA).as("__only_a")) ++
@@ -167,9 +170,10 @@ object Integrity {
     child.select(col(childKey).as("__ck"))
       .join(p, col("__ck") === col("__pk"), "left")
       .agg(count(lit(1)).as("n_child"),
-        sum(when(col("__ck").isNull, 1L).otherwise(0L)).as("n_null_key"),
-        sum(when(col("__ck").isNotNull && col("__hit").isNull, 1L)
-          .otherwise(0L)).as("n_orphan"))
+        coalesce(sum(when(col("__ck").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_null_key"),
+        coalesce(sum(when(col("__ck").isNotNull && col("__hit").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_orphan"))
       .select(lit(rel).as("rel"), col("n_child"), col("n_null_key"),
         col("n_orphan"))
   }

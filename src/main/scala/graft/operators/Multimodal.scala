@@ -250,9 +250,14 @@ object Multimodal {
                 frameCol: String = "frame"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col(noCol))
+    // row_number (not __prev.isNull) detects the first frame: lag()
+    // also returns null when the PREVIOUS PAYLOAD is null, and two
+    // consecutive null payloads must collapse under the null-safe
+    // equality, not re-key.
     frames.withColumn("__prev", lag(col(frameCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
       .withColumn("is_key",
-        col("__prev").isNull || !(col("__prev") <=> col(frameCol)))
-      .drop("__prev")
+        col("__rn") === 1 || !(col("__prev") <=> col(frameCol)))
+      .drop("__prev", "__rn")
   }
 }

@@ -664,19 +664,6 @@ object TextOps {
         col("deg").cast("double") / col("freq").cast("double"))
   }
 
-  /** Zipf rank–frequency profile of the corpus vocabulary: the top-k
-    * tokens with their frequency rank and the product cnt·rank, which
-    * Zipf's law predicts is roughly constant — the one-glance check of
-    * whether a corpus has natural-language token statistics (boilerplate
-    * floods, template spam and synthetic filler all bend the curve).
-    * Companion to the Heaps-law vocabulary-growth gate: Heaps watches
-    * vocabulary vs corpus size, this watches the frequency head. Rank
-    * ties break lexicographically so the profile is total-ordered and
-    * engine-reproducible; cnt·rank is exact long arithmetic.
-    *
-    * Scale posture: one token-count aggregate; the rank window orders
-    * the VOCABULARY table (not the corpus), and only the head survives.
-    */
   /** T5-style SPAN-CORRUPTION mask statistics: deterministic span
     * starts (first md5 nibble of "docId:pos" = '0' → 1/16 start rate),
     * each start masking `spanLen` consecutive tokens (overlapping
@@ -711,6 +698,19 @@ object TextOps {
         col("n_masked").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Zipf rank–frequency profile of the corpus vocabulary: the top-k
+    * tokens with their frequency rank and the product cnt·rank, which
+    * Zipf's law predicts is roughly constant — the one-glance check of
+    * whether a corpus has natural-language token statistics (boilerplate
+    * floods, template spam and synthetic filler all bend the curve).
+    * Companion to the Heaps-law vocabulary-growth gate: Heaps watches
+    * vocabulary vs corpus size, this watches the frequency head. Rank
+    * ties break lexicographically so the profile is total-ordered and
+    * engine-reproducible; cnt·rank is exact long arithmetic.
+    *
+    * Scale posture: one token-count aggregate; the rank window orders
+    * the VOCABULARY table (not the corpus), and only the head survives.
+    */
   def zipfProfile(df: DataFrame, textCol: String, topK: Int): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
     import org.apache.spark.sql.expressions.Window

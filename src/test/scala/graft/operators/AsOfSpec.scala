@@ -121,6 +121,16 @@ class AsOfSpec extends SparkSpec {
     assert(out(6L) == ((None, None)))             // no rights in group
   }
 
+  test("joinAsOfNearest: null right timestamps are no match, not -inf") {
+    val left = Seq(("k", 5L)).toDF("k", "ms")
+    val right = Seq(("k", Option.empty[Long], "ghost")).toDF("k", "pms", "tag")
+    val out = AsOf.joinAsOfNearest(left, right, Seq("k"), "ms", "pms",
+        Seq("tag"))
+      .select("tag", "asof_dir").as[(Option[String], Option[String])]
+      .head()
+    assert(out == ((None, None)))
+  }
+
   test("joinAsOfNearest: stays a single keyed exchange") {
     val left = Seq(("k", 5L)).toDF("k", "ms")
     val right = Seq(("k", 3L, 1.0)).toDF("k", "pms", "v")

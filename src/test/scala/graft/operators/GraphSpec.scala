@@ -432,6 +432,11 @@ class GraphSpec extends SparkSpec {
     assert(run(e, 1) == expect)
     assert(run(e, 2) == expect)
     assert(run(e.repartition(5), 2) == expect)
+    // Arbitrary orientation (and both directions present) canonicalizes
+    // instead of dropping the reversed rows.
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    assert(run(rev, 1) == expect)
+    assert(run(e.unionAll(rev), 1) == expect)
   }
 
   test("degreeHistogram: star graph — hub degree n, leaves degree 1") {

@@ -96,4 +96,15 @@ class IntegritySpec extends SparkSpec {
       .as[(String, Long, Long, Long)].head()
     assert(out2 == (("c->p", 5L, 1L, 1L)))
   }
+
+  test("empty inputs report zeros, not null counts") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "s")
+    val rec = Integrity.reconcileColumns(empty, empty, Seq("k"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(rec == Set(("s", 0L, 0L, 0L, 0L)))
+    val fk = Integrity.fkOrphans(empty, "k",
+        Seq.empty[Long].toDF("pk"), "pk", "e->e")
+      .as[(String, Long, Long, Long)].head()
+    assert(fk == (("e->e", 0L, 0L, 0L)))
+  }
 }

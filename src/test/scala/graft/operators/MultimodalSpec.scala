@@ -159,5 +159,13 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Set((1L, 0, true), (1L, 1, false), (1L, 2, true),
       (1L, 3, false), (1L, 4, true), (2L, 0, true)))
     assert(got == run(f.repartition(5)))
+    // Null payloads: two consecutive nulls collapse (null-safe equality),
+    // a null after bytes keys — first-frame detection must not rely on
+    // lag() returning null.
+    val withNulls = Seq((3L, 0, None), (3L, 1, None),
+      (3L, 2, Some("X".getBytes("UTF-8"))))
+      .toDF("id", "frame_no", "frame")
+    assert(run(withNulls) ==
+      Set((3L, 0, true), (3L, 1, false), (3L, 2, true)))
   }
 }
