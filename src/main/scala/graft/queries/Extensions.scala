@@ -609,6 +609,60 @@ object Extensions extends QueryModule {
         .orderBy("lang")
     },
 
+    // Cluster-leakage-safe split: hashSplit ∘ resolveClusters — the
+    // split hash runs on the NEAR-DUP CLUSTER id, not the doc id, so a
+    // document can never share a cluster with a test example of its own
+    // near-duplicate (the eval-contamination bug doc-level splits
+    // have). The gate pins the property itself: n_cross = near-dup
+    // pairs straddling splits, provably 0 by construction.
+    QueryDef("x7_cluster_split", Some(s"""
+      WITH RECURSIVE $shCte,
+      pr AS (
+        SELECT da, db
+        FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        WHERE CAST(ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - ni AS DOUBLE)
+              >= CAST(0.8 AS DOUBLE)),
+      eg AS (SELECT da AS src, db AS dst FROM pr
+             UNION ALL SELECT db, da FROM pr),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, rc.r FROM eg e JOIN reach rc ON e.dst = rc.id),
+      cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      s AS (SELECT id, cluster,
+              CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 2) < 'cc'
+                   THEN 'train' ELSE 'test' END AS split
+            FROM cl),
+      st AS (SELECT split, count(*) AS n_docs,
+               count(DISTINCT cluster) AS n_clusters
+             FROM s GROUP BY 1),
+      x AS (SELECT count(*) AS n_cross
+            FROM pr JOIN s a ON a.id = pr.da JOIN s b ON b.id = pr.db
+            WHERE a.split <> b.split)
+      SELECT split, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(n_clusters AS BIGINT) AS n_clusters,
+             CAST(n_cross AS BIGINT) AS n_cross
+      FROM st, x ORDER BY split""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      val labels = Dedup.resolveClusters(docs, "doc_id", pairs)
+        .withColumnRenamed("id", "doc_id")
+      val lab = docs.select("doc_id").join(labels, "doc_id")
+        .withColumn("split", graft.operators.Sample.hashSplit(
+          "cluster", Seq(("cc", "train")), "test"))
+      val stats = lab.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("cluster").as("n_clusters"))
+      val sp = lab.select(col("doc_id"), col("split"))
+      val cross = pairs
+        .join(sp.select(col("doc_id").as("da"), col("split").as("sa")), "da")
+        .join(sp.select(col("doc_id").as("db"), col("split").as("sb")), "db")
+        .filter(col("sa") =!= col("sb"))
+        .agg(count(lit(1)).as("n_cross"))
+      stats.crossJoin(broadcast(cross)).orderBy("split")
+    },
+
     // Cluster resolution keeping the BEST member (here: most tokens, min-id
     // tiebreak) instead of the min-id canonical — the pick real curation
     // makes. Same recursive-CTE cluster map as x2_dedup_resolve, plus an
