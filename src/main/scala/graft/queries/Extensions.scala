@@ -790,6 +790,37 @@ object Extensions extends QueryModule {
         .orderBy("qid", "rnk")
     },
 
+    // Metadata-FILTERED vector search: top-k among only the corpus
+    // vectors passing a label predicate — the vector-database filter
+    // clause. The predicate composes BEFORE scoring (a plain Catalyst
+    // filter that pushes into the corpus scan), so the filtered search
+    // costs less than the unfiltered one rather than post-filtering a
+    // larger candidate list and under-filling k.
+    QueryDef("x3_filtered_knn", Some("""
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id >= 10 AND label % 3 = 0),
+      sc AS (SELECT qid, nid,
+               list_dot_product(qv,cv)
+                 / sqrt(list_dot_product(qv,qv) * list_dot_product(cv,cv))
+                 AS sim
+             FROM q, c),
+      r AS (SELECT qid, nid, sim,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+                AS rnk
+            FROM sc)
+      SELECT qid, rnk, nid, sim FROM r WHERE rnk <= 3
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.knnBruteForce(
+          e.filter(col("vec_id") >= 10 && col("label") % 3 === 0),
+          e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
     QueryDef("x3_ann_buckets", Some("""
       WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
                  FROM embeddings WHERE vec_id < 4),
