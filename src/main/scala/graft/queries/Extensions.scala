@@ -3145,18 +3145,25 @@ object Extensions extends QueryModule {
     // summed as DECIMAL(38,0) — commutative, so the checksum is invariant
     // to partitioning/row order/engine, the "did the 100 TB copy arrive
     // intact" one-row handshake. Oracle replays the digest arithmetic
-    // with DuckDB's hex-cast.
+    // with DuckDB's hex-cast. Gate output renders the wide-decimal sums
+    // as STRINGS (SURVEY §5.2 output-type contract: DECIMAL(p>18) gate
+    // columns trip the driver's hash canonicalization); the operator
+    // keeps exact DECIMAL(38,0) internals.
     QueryDef("x10_checksum", Some("""
       WITH d AS (SELECT md5(concat_ws('|',
           coalesce(CAST(doc_id AS VARCHAR), chr(1)),
           coalesce(lang, chr(1)),
           coalesce(text, chr(1)))) AS h FROM documents)
       SELECT CAST(count(*) AS BIGINT) AS n,
-        sum(CAST(CAST('0x'||substr(h,1,15) AS BIGINT) AS HUGEINT)) AS ck_lo,
-        sum(CAST(CAST('0x'||substr(h,17,15) AS BIGINT) AS HUGEINT)) AS ck_hi
+        CAST(sum(CAST(CAST('0x'||substr(h,1,15) AS BIGINT) AS HUGEINT))
+          AS VARCHAR) AS ck_lo,
+        CAST(sum(CAST(CAST('0x'||substr(h,17,15) AS BIGINT) AS HUGEINT))
+          AS VARCHAR) AS ck_hi
       FROM d""")) { (s, dir) =>
       Integrity.fingerprint(t(s, dir, "documents"),
-        Seq("doc_id", "lang", "text"))
+          Seq("doc_id", "lang", "text"))
+        .select(col("n"), col("ck_lo").cast("string").as("ck_lo"),
+          col("ck_hi").cast("string").as("ck_hi"))
     },
 
     // Per-group fingerprints (Integrity.fingerprintBy): bisect WHERE two
@@ -3166,11 +3173,17 @@ object Extensions extends QueryModule {
           coalesce(CAST(doc_id AS VARCHAR), chr(1)),
           coalesce(text, chr(1)))) AS h FROM documents)
       SELECT lang, CAST(count(*) AS BIGINT) AS n,
-        sum(CAST(CAST('0x'||substr(h,1,15) AS BIGINT) AS HUGEINT)) AS ck_lo,
-        sum(CAST(CAST('0x'||substr(h,17,15) AS BIGINT) AS HUGEINT)) AS ck_hi
+        CAST(sum(CAST(CAST('0x'||substr(h,1,15) AS BIGINT) AS HUGEINT))
+          AS VARCHAR) AS ck_lo,
+        CAST(sum(CAST(CAST('0x'||substr(h,17,15) AS BIGINT) AS HUGEINT))
+          AS VARCHAR) AS ck_hi
       FROM d GROUP BY lang ORDER BY lang""")) { (s, dir) =>
       Integrity.fingerprintBy(t(s, dir, "documents"),
-        Seq("lang"), Seq("doc_id", "text")).orderBy("lang")
+          Seq("lang"), Seq("doc_id", "text"))
+        .select(col("lang"), col("n"),
+          col("ck_lo").cast("string").as("ck_lo"),
+          col("ck_hi").cast("string").as("ck_hi"))
+        .orderBy("lang")
     },
 
     QueryDef("x10_assoc", Some("""
@@ -3676,7 +3689,8 @@ object Extensions extends QueryModule {
                ON pr.src = sc.u AND pr.dst = sc.v
              WHERE pr.src IS NULL)
       SELECT ne.u, ne.v, ne.cn, ne.ra,
-             CAST(CAST(du.d AS DECIMAL(38,0)) * dv.d AS DECIMAL(38,0)) AS pa
+             CAST(CAST(CAST(du.d AS DECIMAL(38,0)) * dv.d AS DECIMAL(38,0))
+               AS VARCHAR) AS pa
       FROM ne JOIN deg du ON du.id = ne.u
               JOIN deg dv ON dv.id = ne.v
       ORDER BY u, v""")) { (s, dir) =>
@@ -3686,7 +3700,11 @@ object Extensions extends QueryModule {
         .filter(col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .distinct()
+      // pa (degree product) stays DECIMAL(38,0) inside the operator —
+      // hub degrees overflow BIGINT at scale — but the GATE renders it
+      // as a string (SURVEY §5.2 output-type contract).
       graft.operators.Graph.linkPredict(pairs, minCommon = 10)
+        .withColumn("pa", col("pa").cast("string"))
         .orderBy("u", "v")
     },
 
@@ -3753,7 +3771,7 @@ object Extensions extends QueryModule {
                JOIN (SELECT lb, sum(c) AS cb FROM cells GROUP BY 1) b
                  ON a.la = b.lb)
       SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
-             CAST(chance_num AS DECIMAL(38,0)) AS chance_num,
+             CAST(CAST(chance_num AS HUGEINT) AS VARCHAR) AS chance_num,
              CASE WHEN n * n <> chance_num
                THEN CAST(n * agree - chance_num AS DOUBLE)
                   / CAST(n * n - chance_num AS DOUBLE) END AS kappa
@@ -3761,7 +3779,11 @@ object Extensions extends QueryModule {
       val pred = spread(t(s, dir, "documents"))
         .select(col("lang"),
           TextOps.langId(TextOps.tokens(col("text"))).as("predicted"))
+      // chance_num (marginal product sum) stays DECIMAL(38,0) inside the
+      // operator — it overflows BIGINT past ~3e9 rows — but the GATE
+      // renders it as a string (SURVEY §5.2 output-type contract).
       graft.operators.Stats.cohenKappa(pred, "lang", "predicted")
+        .withColumn("chance_num", col("chance_num").cast("string"))
         .orderBy("n")
     },
 

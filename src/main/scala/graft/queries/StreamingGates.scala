@@ -475,8 +475,10 @@ object StreamingGates extends QueryModule {
           coalesce(CAST(event_id AS VARCHAR), chr(1)),
           coalesce(event_type, chr(1)))) AS h FROM events)
       SELECT CAST(count(*) AS BIGINT) AS n,
-        sum(CAST(CAST('0x'||substr(h,1,15) AS BIGINT) AS HUGEINT)) AS ck_lo,
-        sum(CAST(CAST('0x'||substr(h,17,15) AS BIGINT) AS HUGEINT)) AS ck_hi
+        CAST(sum(CAST(CAST('0x'||substr(h,1,15) AS BIGINT) AS HUGEINT))
+          AS VARCHAR) AS ck_lo,
+        CAST(sum(CAST(CAST('0x'||substr(h,17,15) AS BIGINT) AS HUGEINT))
+          AS VARCHAR) AS ck_hi
       FROM d""")) { (s, dir) =>
       import graft.operators.Integrity
       val in = Scratch.fresh("ckm-src")
@@ -490,7 +492,12 @@ object StreamingGates extends QueryModule {
         .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // Gate projection renders the DECIMAL(38,0) checksum sums as
+      // strings (SURVEY §5.2 output-type contract); snapshot internals
+      // stay exact decimals.
       s.read.parquet(Streams.latestSnapshot(s, snap)
-        .getOrElse(sys.error("fingerprintSink wrote no snapshot")))
+          .getOrElse(sys.error("fingerprintSink wrote no snapshot")))
+        .select(col("n"), col("ck_lo").cast("string").as("ck_lo"),
+          col("ck_hi").cast("string").as("ck_hi"))
     })
 }
