@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through unprefixed: sbt's default logger wraps
+// every stdout line in "[info] ", which breaks line-oriented parsers of
+// Bench's one-line JSON (the driver's BENCH parse saw "[info] {...}" and
+// recorded parsed=null in rounds 4-5).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

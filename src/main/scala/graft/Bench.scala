@@ -25,13 +25,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Local-iteration filter (driver sets no filter → full set): comma
-    // list of name prefixes, e.g. SPARK_GRAFT_BENCH_ONLY=x2_,x3_ivfpq
-    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+    // list of name prefixes, e.g. SPARK_GRAFT_BENCH_ONLY=x2_,x3_ivfpq.
+    // SPARK_GRAFT_BENCH_EXTRA adds registered non-headline gates by exact
+    // name (e.g. x3_dbscan for the sf1 artifact run) without widening the
+    // driver's default per-round set.
+    val extra = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
+      .map(_.split(',').toSeq.filter(SparkEntry.queries.contains))
+      .getOrElse(Seq.empty)
+    val headline = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(pfx) =>
         val ps = pfx.split(',').toSeq
-        SparkEntry.benchNames.filter(n => ps.exists(n.startsWith)).sorted
-      case None => SparkEntry.benchNames.sorted
+        SparkEntry.benchNames.filter(n => ps.exists(n.startsWith))
+      case None => SparkEntry.benchNames
     }
+    val names = (headline ++ extra).distinct.sorted
     val qs = SparkEntry.queries
 
     def once(name: String): Double = {

@@ -756,17 +756,24 @@ object Dedup {
     // docs are trivially their own cluster and rejoin as singletons at the
     // end. Labels stay closed over subgraph ids (mins of subgraph ids), so
     // the pointer-jump self-join below loses nothing.
-    // localCheckpoint truncates lineage, but its persisted RDD blocks are
+    // Checkpointing truncates lineage, but its persisted RDD blocks are
     // NOT freed by catalog.clearCache — without cleanup every round leaks a
     // label-table copy into the BlockManager for the life of the session,
     // and the leaked storage measurably starves later memory-sensitive
     // stages (observed: queries running after this operator in one session
     // slowed 2.5-7x). Keep exactly one live checkpoint: unpersist the
     // superseded round's blocks as soon as the next round is materialized.
+    // FreshCheckpoint (NOT Dataset.localCheckpoint) is load-bearing here:
+    // localCheckpoint inherits the origin plan's Catalyst statistics, and
+    // the pointer-jump self-join SQUARES sizeInBytes every round — by
+    // round ~20 planning runs Toom-Cook multiplies on megabit BigIntegers
+    // and the per-round cost doubles (probe-measured 0.5 s → 78 s on the
+    // sf1 DBSCAN gate). FreshCheckpoint rebuilds the Dataset with default
+    // stats: constant-size planning at any round count.
     var liveCkpt: scala.collection.Set[Int] = Set.empty[Int]
     def checkpointed(d: DataFrame): DataFrame = {
       val before = sc.getPersistentRDDs.keySet
-      val out = d.localCheckpoint()
+      val out = org.apache.spark.sql.graft.FreshCheckpoint(d)
       val added = sc.getPersistentRDDs.keySet.toSet -- before
       liveCkpt.foreach(i =>
         sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))

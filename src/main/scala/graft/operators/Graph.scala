@@ -350,11 +350,16 @@ object Graph {
     // sum): left lazy, the plan tree would double per iteration — pin each
     // round with an eager localCheckpoint, keeping exactly one live
     // checkpoint (the resolveClusters leak discipline).
+    // FreshCheckpoint, not Dataset.localCheckpoint: the latter carries the
+    // origin plan's statistics into each round's LogicalRDD, and a loop
+    // that reads its own checkpoint twice per iteration grows the stat
+    // multiplicatively — see FreshCheckpoint's scaladoc for the measured
+    // pointer-jump blowup this prevents.
     val sc = edges.sparkSession.sparkContext
     var liveCkpt: scala.collection.Set[Int] = Set.empty[Int]
     def checkpointed(d: DataFrame): DataFrame = {
       val before = sc.getPersistentRDDs.keySet
-      val out = d.localCheckpoint()
+      val out = org.apache.spark.sql.graft.FreshCheckpoint(d)
       val added = sc.getPersistentRDDs.keySet.toSet -- before
       liveCkpt.foreach(i =>
         sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))

@@ -700,6 +700,94 @@ object Stats {
           .as("acf")): _*)
   }
 
+  /** Exact lag-k CROSS-correlation between two gridded series per key —
+    * the lead/lag dependence question ([[autocorrInt]]'s two-series
+    * sibling): does today's view volume predict tomorrow's purchases?
+    * Pairs (x_t, y_{t+lag}) within each key's ordered stream, then
+    * Pearson over the paired rows with every sum an exact integer on the
+    * grid (DECIMAL(38,0)) and ONE fixed-shape IEEE expression (two
+    * correctly-rounded sqrts, one division) at the end — so the
+    * statistic hash-gates.
+    *
+    * Scale posture: one keyed window (the single exchange), one same-key
+    * aggregate with map-side partials, one row per key out.
+    *
+    * Output per key: (keys..., n_pairs, xcf).
+    */
+  def crossCorrInt(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                   xCol: String, yCol: String, lag: Int,
+                   grid: Long): DataFrame = {
+    require(lag >= 1, "lag must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = df
+      .withColumn("__x", floor(col(xCol) * lit(grid.toDouble)).cast("long"))
+      .withColumn("__y0", floor(col(yCol) * lit(grid.toDouble)).cast("long"))
+      .withColumn("__y", lead(col("__y0"), lag).over(w))
+      .filter(col("__y").isNotNull)
+    g.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("__x"))).as("sx"),
+        sum(dec(col("__y"))).as("sy"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("sxx"),
+        sum(dec(col("__y")) * dec(col("__y"))).as("syy"),
+        sum(dec(col("__x")) * dec(col("__y"))).as("sxy"))
+      .select((keys.map(col) :+ col("n_pairs") :+
+        when(
+          (dec(col("n_pairs")) * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (dec(col("n_pairs")) * col("syy") - col("sy") * col("sy")) > 0,
+          (dec(col("n_pairs")) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((dec(col("n_pairs")) * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((dec(col("n_pairs")) * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("xcf")): _*)
+  }
+
+  /** CUSUM mean-shift changepoint per key — WHERE in an ordered stream
+    * the level changed (ingest-rate regime shifts, quality drift onset):
+    * t* = argmax_t |N·S_t − t·S_N| with S_t the running sum on the
+    * integer grid. Scaling the textbook |S_t − t·μ| by N keeps every
+    * compared value an EXACT integer (DECIMAL(38,0)) — argmax and ties
+    * (earliest t wins) are deterministic cross-engine, no FP anywhere
+    * but the one normalized-deviation division in the report.
+    *
+    * Scale posture: one keyed window exchange shared by the running sum,
+    * position, and totals; the argmax resolves in the same-key aggregate
+    * via min(struct(-dev, t)) — no second pass. One row per key.
+    *
+    * Output per key: (keys..., n, t_star, dev — the max |N·S_t − t·S_N|
+    * normalized by N·|S_N| into [0, ~1], 0 when the total is 0).
+    */
+  def cusumChangepoint(df: DataFrame, keys: Seq[String],
+                       orderCols: Seq[String], valueCol: String,
+                       grid: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = df
+      .withColumn("__x", floor(col(valueCol) * lit(grid.toDouble)).cast("long"))
+      .withColumn("__t", row_number().over(wOrd).cast("long"))
+      .withColumn("__st", sum(dec(col("__x"))).over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__sn", sum(dec(col("__x"))).over(wAll))
+      .withColumn("__dev",
+        abs(dec(col("__n")) * col("__st") - dec(col("__t")) * col("__sn")))
+    g.groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n"),
+        min(struct((-col("__dev")).as("nd"), col("__t").as("t"))).as("__m"),
+        max(abs(col("__sn"))).as("__asn"))
+      .select((keys.map(col) :+ col("n") :+ col("__m.t").as("t_star") :+
+        when(col("__asn") > 0,
+          (-col("__m.nd")).cast("double") /
+            (dec(col("n")) * col("__asn")).cast("double"))
+          .otherwise(lit(0.0)).as("dev")): _*)
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two label columns
     * (annotator vs annotator, model vs gold). Kappa is RATIONAL in the
     * confusion counts: with n rows, a = Σ diagonal, and
@@ -827,10 +915,13 @@ object Stats {
       val mis = margins.filter(col("y") * col("m") <= 0).select("doc")
       val delta = fy.join(mis, Seq("doc"), "left_semi")
         .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("dw"))
-      w = w.join(delta, Seq("bucket"), "left")
-        .select(col("bucket"),
-          (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
-        .localCheckpoint()
+      // FreshCheckpoint: w feeds both the margin join and its own update
+      // each round, so localCheckpoint's inherited statistics would grow
+      // multiplicatively with rounds (see FreshCheckpoint's scaladoc).
+      w = org.apache.spark.sql.graft.FreshCheckpoint(
+        w.join(delta, Seq("bucket"), "left")
+          .select(col("bucket"),
+            (col("w") + coalesce(col("dw"), lit(0L))).as("w")))
       w.withColumn("rnd", lit(r.toLong))
     }
     perRound.reduce(_ unionByName _).select("rnd", "bucket", "w")
@@ -1090,5 +1181,153 @@ object Stats {
       .withColumn("expected", expectedLit(col("digit")))
       .withColumn("dev", col("frac") - col("expected"))
       .drop("__n")
+  }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) between two label groups over an
+    * integer-gridded value — the distribution-free "are these two corpora
+    * drawn from the same distribution" test that t-tests can't answer for
+    * skewed quality/length scores. Rank statistics normally can't gate
+    * (global ranks of near-unique doubles = data-sized sort + engine tie
+    * noise); on a grid the data reduces to a per-value (ca, cb) histogram
+    * and average ranks for a tie group are (2·cum_before + c + 1)/2 —
+    * HALVES, so 2×rank-sum is an exact integer and the statistic
+    * hash-gates (the [[aucOnGrid]] discipline; U is in fact AUC·n₁·n₂).
+    *
+    * The normal-approximation z uses the standard tie correction
+    * σ² = n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1))): every term is an exact
+    * integer ratio carried in DECIMAL(38,0) to two IEEE ops (one sqrt,
+    * one division) of fixed shape — bit-stable cross-engine.
+    *
+    * Scale posture: one grid-sized histogram aggregate with map-side
+    * partials, a grid-sized cumulative window, a one-row reduce — the
+    * scan is the only data-sized pass.
+    *
+    * Output: one row (n_a, n_b, r_a2 = 2·Σranks(a), u_a, z).
+    */
+  def mannWhitneyU(df: DataFrame, labelCol: String, aLabel: String,
+                   bLabel: String, binCol: String): DataFrame = {
+    val d = df.filter(col(labelCol).isin(aLabel, bLabel))
+      .select(col(binCol).as("v"),
+        (col(labelCol) === aLabel).cast("long").as("a"))
+    val hist = d.groupBy("v")
+      .agg(sum("a").as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cum = hist
+      .withColumn("t", col("ca") + col("cb"))
+      .withColumn("cb4", sum(col("t")).over(w) - col("t"))
+    // 2·avgRank of the tie group at v = 2·cum_before + t + 1 (integer).
+    // r_a2 ~ n_a·N at the top — past LongType at ~3e9 rows, so it
+    // accumulates as DECIMAL(38,0) (gates render it per the §5.2
+    // output-type contract).
+    val agg = cum.agg(
+      sum("ca").as("n_a"), sum("cb").as("n_b"),
+      sum(dec(col("ca")) * (lit(2L) * dec(col("cb4")) + dec(col("t")) + 1))
+        .as("r_a2"),
+      sum(dec(col("t")) * dec(col("t")) * dec(col("t")) - dec(col("t")))
+        .as("ties"))
+    agg.select(col("n_a"), col("n_b"), col("r_a2"),
+        ((col("r_a2") - dec(col("n_a")) * (dec(col("n_a")) + 1))
+          .cast("double") / 2.0).as("u_a"),
+        col("ties"), (col("n_a") + col("n_b")).as("nn"))
+      .select(col("n_a"), col("n_b"), col("r_a2"), col("u_a"),
+        when(col("n_a") > 0 && col("n_b") > 0 && col("nn") > 1,
+          (col("u_a") - (dec(col("n_a")) * dec(col("n_b")))
+            .cast("double") / 2.0) /
+            sqrt((dec(col("n_a")) * dec(col("n_b"))).cast("double") / 12.0 *
+              ((col("nn") + 1L).cast("double") -
+                col("ties").cast("double") /
+                  (dec(col("nn")) * dec(col("nn") - 1L)).cast("double"))))
+          .as("z"))
+  }
+
+  /** Spearman rank correlation over two integer-gridded columns — the
+    * monotone-association statistic (does quality rise with length?)
+    * that Pearson on raw values misses under nonlinearity. Average ranks
+    * on a grid are halves (see [[mannWhitneyU]]), so DOUBLED ranks are
+    * exact integers: each column reduces to a grid-sized value→2·avgRank
+    * map joined back to the pooled (x, y) histogram, and rho is Pearson
+    * over exact DECIMAL(38,0) sums of 2·rank products — one fixed-shape
+    * IEEE expression at the end, so the statistic hash-gates.
+    *
+    * Scale posture: one (x, y) histogram aggregate (grid² at worst, not
+    * data), two grid-sized rank windows, grid-sized joins back, one-row
+    * reduce. Rank maps are value-count tables — never data-sized.
+    *
+    * Output: one row (n, rho).
+    */
+  def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val hist = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c"))
+    def rankMap(vc: String) = {
+      val h = hist.groupBy(col(vc).as("v")).agg(sum("c").as("t"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      h.withColumn("cb", sum("t").over(w) - col("t"))
+        .select(col("v"), (lit(2L) * col("cb") + col("t") + 1L).as("r2"))
+    }
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val joined = hist
+      .join(rankMap(xCol).withColumnRenamed("r2", "rx2"),
+        col("x") === col("v")).drop("v")
+      .join(rankMap(yCol).withColumnRenamed("r2", "ry2"),
+        col("y") === col("v")).drop("v")
+    val a = joined.agg(sum("c").as("n"),
+      sum(dec(col("c")) * dec(col("rx2"))).as("sx"),
+      sum(dec(col("c")) * dec(col("ry2"))).as("sy"),
+      sum(dec(col("c")) * dec(col("rx2")) * dec(col("rx2"))).as("sxx"),
+      sum(dec(col("c")) * dec(col("ry2")) * dec(col("ry2"))).as("syy"),
+      sum(dec(col("c")) * dec(col("rx2")) * dec(col("ry2"))).as("sxy"))
+    a.select(col("n"),
+      when(
+        (dec(col("n")) * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (dec(col("n")) * col("syy") - col("sy") * col("sy")) > 0,
+        (dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+            sqrt((dec(col("n")) * col("syy") - col("sy") * col("sy"))
+              .cast("double")))).as("rho"))
+  }
+
+  /** Gini coefficient of an integer-valued measure, per group — the
+    * concentration summary (token-budget inequality across sources,
+    * degree concentration across hubs) behind every "is this corpus
+    * dominated by a few documents" question. On sorted values,
+    * G = (2·Σᵢ i·xᵢ − (N+1)·Σx)/(N·Σx); grouping positions by distinct
+    * value v (count c, cumulative-before cb) gives
+    * Σ i·xᵢ = Σ_v v·(c·cb + c(c+1)/2) — exact integers in DECIMAL(38,0)
+    * down to ONE final IEEE division, so the coefficient hash-gates.
+    *
+    * Scale posture: per-group value histogram with map-side partials
+    * (distinct-value-sized), per-group cumulative window over the
+    * histogram, one row per group out. No data-sized sort — the grid
+    * trade again.
+    *
+    * Output per group: (group..., n, total, gini).
+    */
+  def gini(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val k = keys.map(col)
+    val hist = df.groupBy(k :+ col(valueCol).as("v"): _*)
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    hist.withColumn("cb", sum("c").over(w) - col("c"))
+      .groupBy(k: _*)
+      .agg(sum("c").as("n"),
+        sum(dec(col("v")) * dec(col("c"))).as("total"),
+        sum(dec(col("v")) * (dec(col("c")) * dec(col("cb")) +
+          dec(col("c")) * dec(col("c") + 1L) / 2)).as("s"))
+      .select(k :+ col("n") :+ col("total").cast("long").as("total") :+
+        when(col("total") > 0 && col("n") > 0,
+          (lit(2).cast("decimal(38,0)") * col("s") -
+            dec(col("n") + 1L) * col("total")).cast("double") /
+            (dec(col("n")) * col("total")).cast("double")).as("gini"): _*)
   }
 }

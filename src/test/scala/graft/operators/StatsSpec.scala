@@ -570,4 +570,106 @@ class StatsSpec extends SparkSpec {
     assert(run(rows.toDF("x", "y")) ==
       run(rows.toDF("x", "y").repartition(11)))
   }
+
+  test("mannWhitneyU: hand-computed ranks with ties") {
+    // a: {1, 2, 2}, b: {2, 3}. Pooled sorted: 1(r1), 2,2,2 (avg r3),
+    // 3(r5). R_a = 1 + 3 + 3 = 7 → r_a2 = 14; U_a = 7 − 3·4/2 = 1.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("g", "v")
+    val r = Stats.mannWhitneyU(df, "g", "a", "b", "v")
+      .select(col("n_a"), col("n_b"), col("r_a2").cast("long"), col("u_a"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(r == ((3L, 2L, 14L, 1.0)))
+  }
+
+  test("mannWhitneyU: no ties, all of a below b — U_a = 0, z negative") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val r = Stats.mannWhitneyU(df, "g", "a", "b", "v")
+      .select(col("u_a"), col("z")).as[(Double, Option[Double])].head()
+    assert(r._1 == 0.0 && r._2.exists(_ < 0))
+  }
+
+  test("spearmanRho: perfect monotone = 1, reversed = -1, and " +
+    "partition-invariant") {
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("x", "y")
+    val down = Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L)).toDF("x", "y")
+    val rUp = Stats.spearmanRho(up, "x", "y")
+      .as[(Long, Option[Double])].head()
+    val rDown = Stats.spearmanRho(down, "x", "y")
+      .as[(Long, Option[Double])].head()
+    // sqrt(d)·sqrt(d) is one ulp off d in IEEE — the statistic is
+    // deterministic (same fixed expression both engines), not exactly ±1.
+    assert(rUp._2.exists(r => math.abs(r - 1.0) < 1e-12) &&
+      rDown._2.exists(r => math.abs(r + 1.0) < 1e-12))
+    val rRep = Stats.spearmanRho(up.repartition(7), "x", "y")
+      .as[(Long, Option[Double])].head()
+    assert(rUp == rRep)
+  }
+
+  test("spearmanRho: constant column has no defined rho") {
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    assert(Stats.spearmanRho(df, "x", "y")
+      .as[(Long, Option[Double])].head()._2.isEmpty)
+  }
+
+  test("gini: perfect equality = 0; hand-computed unequal case") {
+    val eq = Seq(("g", 5L), ("g", 5L), ("g", 5L), ("g", 5L)).toDF("k", "v")
+    val g0 = Stats.gini(eq, Seq("k"), "v")
+      .as[(String, Long, Long, Option[Double])].head()
+    assert(g0._4.contains(0.0))
+    // {1, 3}: S = 1·1 + 2·3 = 7, T = 4, n = 2 →
+    // G = (14 − 3·4)/(2·4) = 0.25.
+    val un = Seq(("g", 1L), ("g", 3L)).toDF("k", "v")
+    val g1 = Stats.gini(un, Seq("k"), "v")
+      .as[(String, Long, Long, Option[Double])].head()
+    assert(g1 == (("g", 2L, 4L, Some(0.25))))
+  }
+
+  test("crossCorrInt: y lags x by one step — lag-1 xcf is exactly +1 " +
+    "shape, lag on the wrong side decorrelates") {
+    // x ramps 1..6; y is x shifted: y_{t+1} = x_t → pairing (x_t, y_{t+1})
+    // reconstructs (x_t, x_t): perfect positive correlation.
+    val rows = Seq((1, 1.0, 9.0), (2, 2.0, 1.0), (3, 3.0, 2.0),
+      (4, 4.0, 3.0), (5, 5.0, 4.0), (6, 6.0, 5.0))
+    val df = rows.toDF("t", "x", "y")
+    val r = Stats.crossCorrInt(df, Seq.empty, Seq("t"), "x", "y",
+        lag = 1, grid = 1L)
+      .as[(Long, Option[Double])].head()
+    assert(r._1 == 5L && r._2.exists(v => math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("crossCorrInt: constant series has no defined xcf") {
+    val df = Seq((1, 2.0, 5.0), (2, 2.0, 6.0), (3, 2.0, 7.0))
+      .toDF("t", "x", "y")
+    assert(Stats.crossCorrInt(df, Seq.empty, Seq("t"), "x", "y", 1, 1L)
+      .as[(Long, Option[Double])].head()._2.isEmpty)
+  }
+
+  test("cusumChangepoint: finds the level-shift position") {
+    // 0,0,0,0,10,10,10,10 → max |N·S_t − t·S_N| at the boundary t=4.
+    val df = (1 to 8).map(t => ("k", t, if (t <= 4) 0.0 else 10.0))
+      .toDF("k", "t", "v")
+    val r = Stats.cusumChangepoint(df, Seq("k"), Seq("t"), "v", 1L)
+      .as[(String, Long, Long, Double)].head()
+    assert(r._2 == 8L && r._3 == 4L && r._4 > 0.4)
+  }
+
+  test("cusumChangepoint: constant stream reports zero deviation at t=1 " +
+    "and a partition-invariant result") {
+    val df = (1 to 9).map(t => ("k", t, 3.0)).toDF("k", "t", "v")
+    val run = (d: org.apache.spark.sql.DataFrame) =>
+      Stats.cusumChangepoint(d, Seq("k"), Seq("t"), "v", 1L)
+        .as[(String, Long, Long, Double)].head()
+    val a = run(df)
+    assert(a._3 == 1L && a._4 == 0.0 && a == run(df.repartition(5)))
+  }
+
+  test("gini: partition-invariant on a skewed group") {
+    val rows = (1L to 200L).map(i => ("k", i * i))
+    val a = Stats.gini(rows.toDF("k", "v"), Seq("k"), "v")
+      .as[(String, Long, Long, Option[Double])].head()
+    val b = Stats.gini(rows.toDF("k", "v").repartition(13), Seq("k"), "v")
+      .as[(String, Long, Long, Option[Double])].head()
+    assert(a == b && a._4.exists(g => g > 0.4 && g < 0.7))
+  }
 }

@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "x5_quality", "x7_split", "x9_skew", "x9_kanon", "x9_profile",
     "x9_ks", "x10_assoc", "x3_gram",
     "x8_linkpred", "ts8_autocorr", "x2_sorted_nbr", "x5_heaps",
-    "x4_shard", "x9_residuals")
+    "x4_shard", "x9_residuals",
+    "x9_mannwhitney", "x9_spearman", "x9_gini")
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
