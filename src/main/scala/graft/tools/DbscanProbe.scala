@@ -67,13 +67,14 @@ object DbscanProbe {
     // Round-instrumented replica of Dedup.resolveClusters' loop.
     timed("resolve-instrumented") {
       val sc = spark.sparkContext
-      val edges = corePairs.select(explode(array(
+      val edges0 = corePairs.select(explode(array(
           struct(col("da").as("src"), col("db").as("dst")),
           struct(col("db").as("src"), col("da").as("dst")),
           struct(col("da").as("src"), col("da").as("dst")),
           struct(col("db").as("src"), col("db").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .persist(lvl)
+      val edges = (if (sys.env.contains("PROBE_PREPART"))
+        edges0.repartition(col("dst")) else edges0).persist(lvl)
       val blockingUnpersist = sys.env.contains("PROBE_BLOCKING")
       var liveCkpt: scala.collection.Set[Int] = Set.empty[Int]
       def checkpointed(d: org.apache.spark.sql.DataFrame) = {
@@ -103,11 +104,17 @@ object DbscanProbe {
         val propSum = timed(s"r$round-sum")(labelSum(prop))
         if (propSum.compareTo(prevSum) == 0) { changed = 0L; labels = prop }
         else {
-          val jdf = prop.as("a")
+          val jump1 = prop.as("a")
             .join(prop.select(col("id").as("cluster"),
               col("cluster").as("cc")).as("b"), "cluster")
             .select(col("id"), col("cc").as("cluster"))
-          timed(s"r$round-jumpcount")(jdf.count())
+          val jdf =
+            if (sys.env.contains("PROBE_JUMP2"))
+              jump1.as("a")
+                .join(prop.select(col("id").as("cluster"),
+                  col("cluster").as("cc")).as("b"), "cluster")
+                .select(col("id"), col("cc").as("cluster"))
+            else jump1
           val next = timed(s"r$round-jump")(checkpointed(jdf))
           println(s"rSTATS $round parts=${next.rdd.getNumPartitions} " +
             s"persisted=${sc.getPersistentRDDs.size} " +
