@@ -1293,6 +1293,65 @@ object Stats {
               .cast("double")))).as("rho"))
   }
 
+  /** Kendall tau-b over two BOUNDED integer grids — the concordance
+    * member of the rank family ([[spearmanRho]] measures monotone fit;
+    * tau-b counts pairwise order agreement, robust to a few extreme
+    * rows). The data reduces to the (x, y) cell histogram; concordant /
+    * discordant mass is a cell-PAIR sum (x₁<x₂ matched against y order)
+    * with tie corrections from the marginals:
+    * {{{ tau_b = (C − D) / (√(n₀−n₁)·√(n₀−n₂)) }}}
+    * — every term an exact DECIMAL(38,0) integer, one fixed-shape IEEE
+    * expression at the end, so the statistic hash-gates.
+    *
+    * Scale posture: one grid-sized histogram aggregate with map-side
+    * partials, then a CELL-pair loop join — |X|·|Y| cells squared, so
+    * the caller must keep both grids bounded (tens, not thousands; the
+    * contract is explicit where [[spearmanRho]] tolerates any grid).
+    * Nothing data-sized past the first aggregate.
+    *
+    * Output: one row (n, conc, disc, tau) — conc/disc are
+    * DECIMAL(38,0) pair masses (~n², past BIGINT at scale; gates render
+    * them per the §5.2 output-type contract).
+    */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c")).persist()
+    val a = cells.select(col("x").as("x1"), col("y").as("y1"),
+      col("c").as("c1"))
+    val b = cells.select(col("x").as("x2"), col("y").as("y2"),
+      col("c").as("c2"))
+    val pairs = a.join(b, col("x1") < col("x2"))
+      .agg(
+        coalesce(sum(when(col("y1") < col("y2"),
+          dec(col("c1")) * dec(col("c2")))), lit(0).cast("decimal(38,0)"))
+          .as("conc"),
+        coalesce(sum(when(col("y1") > col("y2"),
+          dec(col("c1")) * dec(col("c2")))), lit(0).cast("decimal(38,0)"))
+          .as("disc"))
+    val n = cells.agg(sum("c").as("n"))
+    val tx = cells.groupBy("x").agg(sum("c").as("t"))
+      .agg(coalesce(sum(dec(col("t")) * (dec(col("t")) - 1)),
+        lit(0).cast("decimal(38,0)")).as("tx2"))
+    val ty = cells.groupBy("y").agg(sum("c").as("t"))
+      .agg(coalesce(sum(dec(col("t")) * (dec(col("t")) - 1)),
+        lit(0).cast("decimal(38,0)")).as("ty2"))
+    // n₀, n₁, n₂ doubled (×2) keeps everything integer: n0_2 = n(n−1),
+    // tie sums Σt(t−1) — the √ product divides the 2s back out.
+    n.crossJoin(broadcast(pairs)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("n"), col("conc"), col("disc"),
+        when(
+          (dec(col("n")) * (dec(col("n")) - 1) - col("tx2")) > 0 &&
+            (dec(col("n")) * (dec(col("n")) - 1) - col("ty2")) > 0,
+          (lit(2).cast("decimal(38,0)") * (col("conc") - col("disc")))
+            .cast("double") /
+            (sqrt((dec(col("n")) * (dec(col("n")) - 1) - col("tx2"))
+              .cast("double")) *
+              sqrt((dec(col("n")) * (dec(col("n")) - 1) - col("ty2"))
+                .cast("double")))).as("tau"))
+  }
+
   /** Gini coefficient of an integer-valued measure, per group — the
     * concentration summary (token-budget inequality across sources,
     * degree concentration across hubs) behind every "is this corpus
@@ -1329,5 +1388,60 @@ object Stats {
           (lit(2).cast("decimal(38,0)") * col("s") -
             dec(col("n") + 1L) * col("total")).cast("double") /
             (dec(col("n")) * col("total")).cast("double")).as("gini"): _*)
+  }
+
+  /** Total χ² of association + Cramér's V between two categorical /
+    * gridded columns — the one-number "are these features independent"
+    * summary next to [[contingencyResiduals]] (which localizes WHICH
+    * cells deviate but never sums them: a float sum over data-ordered
+    * cells is not reproducible cross-engine). The total here is made
+    * deterministic by the lattice trade the 1/100-resolution gates
+    * already use: each cell's term (n·O − rt·ct)²/(n·rt·ct) is a FIXED
+    * double tree over exact DECIMAL(38,0) integers (bit-identical per
+    * cell on any engine), quantized to the 10⁻⁶ lattice via
+    * floor(term·10⁶) — floor, not round, because only floor is
+    * rounding-mode-identical everywhere — and summed as exact integers.
+    * The reported χ² is the lattice value: within 10⁻⁶·cells of the
+    * real statistic, and hash-gateable.
+    *
+    * Scale posture: one (a,b) cell aggregate with map-side partials;
+    * marginals are re-aggregations of the CELL table (grid-sized, not
+    * data-sized) broadcast back; the quantized sum has map-side
+    * partials too. Overflow envelope: per-cell term ≤ n, so
+    * floor(term·10⁶) holds in LONG to n ≈ 9·10¹²; the sum and the
+    * n·rt·ct denominator live in DECIMAL(38,0) (~10³⁸, n to ~10¹²
+    * with both marginals data-sized).
+    *
+    * Output: one row (n, dof, chi2, v) — v = √(χ²/(n·(min(r,k)−1))),
+    * null when the table is degenerate (single row or column).
+    */
+  def chiSquareAssoc(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c")).persist()
+    val rowT = cells.groupBy("a").agg(sum("c").as("rt"))
+    val colT = cells.groupBy("b").agg(sum("c").as("ct"))
+    val tot = cells.agg(sum("c").as("n"))
+    val dims = rowT.agg(count(lit(1)).as("r"))
+      .crossJoin(colT.agg(count(lit(1)).as("k")))
+    val q = cells.join(broadcast(rowT), "a").join(broadcast(colT), "b")
+      .crossJoin(broadcast(tot))
+      .select(
+        (dec(col("n")) * dec(col("c")) - dec(col("rt")) * dec(col("ct")))
+          .cast("double").as("dev"),
+        (dec(col("n")) * dec(col("rt")) * dec(col("ct"))).cast("double")
+          .as("den"))
+      .select(floor(col("dev") * col("dev") / col("den") * lit(1e6))
+        .as("t6"))
+      .agg(coalesce(sum(dec(col("t6"))), lit(0).cast("decimal(38,0)"))
+        .as("q6"))
+    tot.crossJoin(broadcast(q)).crossJoin(broadcast(dims))
+      .select(col("n").cast("long").as("n"),
+        ((col("r") - 1) * (col("k") - 1)).cast("long").as("dof"),
+        (col("q6").cast("double") / lit(1e6)).as("chi2"),
+        when(col("n") > 0 && least(col("r"), col("k")) > 1,
+          sqrt((col("q6").cast("double") / lit(1e6)) /
+            (dec(col("n")) * dec(least(col("r"), col("k")) - 1))
+              .cast("double"))).as("v"))
   }
 }

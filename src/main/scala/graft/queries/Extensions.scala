@@ -4456,6 +4456,88 @@ object Extensions extends QueryModule {
         .orderBy("n")
     },
 
+    // Kendall tau-b (Stats.kendallTauB): pairwise order concordance of
+    // quantity vs discount on bounded grids (50 × 11 cells) — the
+    // concordance member of the rank family next to x9_spearman. Cell
+    // histogram → cell-PAIR sums, tie-corrected, all exact integers to
+    // one fixed-shape IEEE expression; conc/disc pair masses render as
+    // strings per the §5.2 contract (~n² at scale).
+    QueryDef("x9_kendall", Some("""
+      WITH b AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+                   CAST(floor(l_discount * 100) AS BIGINT) AS y
+                 FROM lineitem),
+      h AS (SELECT x, y, count(*) AS c FROM b GROUP BY 1, 2),
+      p AS (SELECT
+              coalesce(sum(CASE WHEN a.y < bb.y
+                THEN CAST(a.c AS HUGEINT) * bb.c END), 0) AS conc,
+              coalesce(sum(CASE WHEN a.y > bb.y
+                THEN CAST(a.c AS HUGEINT) * bb.c END), 0) AS disc
+            FROM h a JOIN h bb ON a.x < bb.x),
+      n AS (SELECT sum(c) AS n FROM h),
+      tx AS (SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0) AS tx2
+             FROM (SELECT sum(c) AS t FROM h GROUP BY x)),
+      ty AS (SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0) AS ty2
+             FROM (SELECT sum(c) AS t FROM h GROUP BY y))
+      SELECT CAST(n AS BIGINT) AS n,
+        CAST(conc AS VARCHAR) AS conc, CAST(disc AS VARCHAR) AS disc,
+        CASE WHEN CAST(n AS HUGEINT) * (n - 1) - tx2 > 0
+              AND CAST(n AS HUGEINT) * (n - 1) - ty2 > 0 THEN
+          CAST(2 * (conc - disc) AS DOUBLE)
+          / (sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - tx2 AS DOUBLE))
+             * sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - ty2 AS DOUBLE)))
+        END AS tau
+      FROM n, p, tx, ty ORDER BY n""")) { (s, dir) =>
+      graft.operators.Stats.kendallTauB(
+          t(s, dir, "lineitem").select(
+            floor(col("l_quantity")).cast("long").as("x"),
+            floor(col("l_discount") * 100).cast("long").as("y")),
+          "x", "y")
+        .select(col("n"), col("conc").cast("string").as("conc"),
+          col("disc").cast("string").as("disc"), col("tau"))
+        .orderBy("n")
+    },
+
+    // Total χ² + Cramér's V (Stats.chiSquareAssoc): one-number
+    // independence test between the quantity and discount grids — the
+    // summed sibling of x9_residuals (which localizes deviating cells
+    // but cannot sum them reproducibly). Per-cell terms are fixed
+    // double trees over exact DECIMAL/HUGEINT integers, quantized to
+    // the 10⁻⁶ lattice via floor (the only rounding mode identical
+    // everywhere) and summed exactly, so the total hash-gates.
+    QueryDef("x9_chisq", Some("""
+      WITH base AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS a,
+                      CAST(floor(l_discount * 100) AS BIGINT) AS b
+                    FROM lineitem),
+      h AS (SELECT a, b, count(*) AS c FROM base GROUP BY 1, 2),
+      rt AS (SELECT a, sum(c) AS rt FROM h GROUP BY a),
+      ct AS (SELECT b, sum(c) AS ct FROM h GROUP BY b),
+      n AS (SELECT sum(c) AS n FROM h),
+      d AS (SELECT (SELECT count(*) FROM rt) AS r,
+                   (SELECT count(*) FROM ct) AS k),
+      t AS (SELECT CAST(CAST(n.n AS HUGEINT) * h.c - rt.rt * ct.ct
+                        AS DOUBLE) AS dev,
+                   CAST(CAST(n.n AS HUGEINT) * rt.rt * ct.ct
+                        AS DOUBLE) AS den
+            FROM h JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN n),
+      q AS (SELECT coalesce(sum(CAST(floor(dev * dev / den * 1e6)
+                                     AS HUGEINT)), 0) AS q6 FROM t)
+      SELECT CAST(n.n AS BIGINT) AS n,
+        CAST((d.r - 1) * (d.k - 1) AS BIGINT) AS dof,
+        CAST(q.q6 AS DOUBLE) / 1e6 AS chi2,
+        CASE WHEN n.n > 0 AND least(d.r, d.k) > 1 THEN
+          sqrt((CAST(q.q6 AS DOUBLE) / 1e6)
+               / CAST(CAST(n.n AS HUGEINT) * (least(d.r, d.k) - 1)
+                      AS DOUBLE))
+        END AS v
+      FROM n, q, d ORDER BY n""")) { (s, dir) =>
+      graft.operators.Stats.chiSquareAssoc(
+          t(s, dir, "lineitem").select(
+            floor(col("l_quantity")).cast("long").as("a"),
+            floor(col("l_discount") * 100).cast("long").as("b")),
+          "a", "b")
+        .orderBy("n")
+    },
+
     // Gini coefficient (Stats.gini): document-length concentration per
     // language — the "is this corpus dominated by a few documents"
     // summary. Exact positional sums over the per-value histogram, one

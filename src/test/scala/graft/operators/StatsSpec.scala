@@ -664,6 +664,67 @@ class StatsSpec extends SparkSpec {
     assert(a._3 == 1L && a._4 == 0.0 && a == run(df.repartition(5)))
   }
 
+  test("kendallTauB: hand-computed concordance with ties") {
+    // (1,1),(2,2),(3,3),(3,1): x-pairs with x1<x2: (1,2)(1,3)(1,3')(2,3)
+    // (2,3'): conc = (1,2),(1,3),(2,3) = 3; disc = (2,3') = 1; (1,3')
+    // ties on y. n=4, n(n-1)=12, tx2 = 2 (x=3 twice), ty2 = 2 (y=1
+    // twice). tau = 2*(3-1)/ (sqrt(10)*sqrt(10)) = 0.4.
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (3L, 1L)).toDF("x", "y")
+    val r = Stats.kendallTauB(df, "x", "y")
+      .select(col("n"), col("conc").cast("long"), col("disc").cast("long"),
+        col("tau"))
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(r._1 == 4L && r._2 == 3L && r._3 == 1L)
+    assert(r._4.exists(t => math.abs(t - 0.4) < 1e-12))
+  }
+
+  test("kendallTauB: perfectly reversed order = -1; constant y undefined") {
+    val rev = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    val t1 = Stats.kendallTauB(rev, "x", "y")
+      .select(col("tau")).as[Option[Double]].head()
+    assert(t1.exists(t => math.abs(t + 1.0) < 1e-12))
+    val const = Seq((1L, 5L), (2L, 5L)).toDF("x", "y")
+    assert(Stats.kendallTauB(const, "x", "y")
+      .select(col("tau")).as[Option[Double]].head().isEmpty)
+  }
+
+  test("chiSquareAssoc: hand-computed 2x2 within lattice tolerance") {
+    // Cells (0,0):10 (0,1):20 (1,0):20 (1,1):10 — n=60, all marginals
+    // 30, expected 15 per cell, exact chi2 = 4*25/15 = 100/15; each
+    // term floor-quantized at 1e-6 so the total sits within 4e-6 below.
+    val rows = Seq.fill(10)((0L, 0L)) ++ Seq.fill(20)((0L, 1L)) ++
+      Seq.fill(20)((1L, 0L)) ++ Seq.fill(10)((1L, 1L))
+    val r = Stats.chiSquareAssoc(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Option[Double])].head()
+    val exact = 100.0 / 15.0
+    assert(r._1 == 60L && r._2 == 1L)
+    assert(r._3 <= exact && r._3 > exact - 4e-6)
+    assert(r._4.exists(v => math.abs(v - math.sqrt(r._3 / 60.0)) < 1e-12))
+  }
+
+  test("chiSquareAssoc: independent table ~0; degenerate table null V") {
+    // Perfectly proportional cells: chi2 exactly 0 (dev = 0 per cell).
+    val ind = Seq.fill(6)((0L, 0L)) ++ Seq.fill(3)((0L, 1L)) ++
+      Seq.fill(4)((1L, 0L)) ++ Seq.fill(2)((1L, 1L))
+    val r = Stats.chiSquareAssoc(ind.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(r._3 == 0.0 && r._4.exists(_ == 0.0))
+    val degen = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("a", "b")
+    val d = Stats.chiSquareAssoc(degen, "a", "b")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(d._2 == 0L && d._4.isEmpty)
+  }
+
+  test("chiSquareAssoc: partition-invariant") {
+    val rows = (1L to 500L).map(i => (i % 7, (i * i) % 5))
+    val a = Stats.chiSquareAssoc(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Option[Double])].head()
+    val b = Stats.chiSquareAssoc(rows.toDF("a", "b").repartition(17),
+        "a", "b")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(a == b && a._1 == 500L)
+  }
+
   test("gini: partition-invariant on a skewed group") {
     val rows = (1L to 200L).map(i => ("k", i * i))
     val a = Stats.gini(rows.toDF("k", "v"), Seq("k"), "v")
