@@ -764,42 +764,67 @@ object Graph {
     * Trusses drop the loosely-attached edges cliques-ish communities
     * hang onto, which degree-based coring cannot see.
     *
-    * Per round: one wedge join on the canonical u<v edge list (each
-    * triangle a<b<c found exactly once), each triangle credited to its
-    * three edges through ONE explode (the join subtree is evaluated
-    * once, not re-run per crediting branch), and edges below support
-    * k−2 dropped. Scale posture: the wedge join is the standard keyed
-    * shuffle triangle enumeration (fan-out bounded by degree — same
-    * shape as the gated triangle count); support aggregation is
-    * map-side partial; the edge list persists per round, exactly one
-    * live copy. Input edges may arrive in either orientation (and with
-    * both directions present) — they are canonicalized, self-loops
-    * dropped.
+    * Per round: one wedge join on the DEGREE-ORIENTED edge list (each
+    * triangle found exactly once as an ordered (deg, id) triple), each
+    * triangle credited to its three edges through ONE explode (the
+    * join subtree is evaluated once, not re-run per crediting branch),
+    * and edges below support k−2 dropped. Scale posture: orientation
+    * by (degree, id) rather than raw id is the compact-forward trick —
+    * a hub's forward fan-out collapses to its HIGHER-degree neighbors
+    * (O(√m) of them) instead of the ~deg/2 an id-order leaves it, so
+    * the wedge candidate space is m^{3/2}-bounded with the constant
+    * the literature's enumeration achieves, on exactly the skewed
+    * co-occurrence graphs trusses are run on. The order is computed
+    * ONCE from the input graph's degrees (any fixed total order
+    * enumerates each triangle exactly once; support counts are
+    * order-independent, so peeling semantics are unchanged) and the
+    * loop peels in oriented (s, t) space — no per-round re-orientation
+    * joins. Support aggregation is map-side partial; the edge list
+    * persists per round, exactly one live copy. Input edges may arrive
+    * in either orientation (and with both directions present) — they
+    * are canonicalized, self-loops dropped.
     *
     * @return surviving edges with their last-round support
-    *         (u, v, sup) — sup counted against the PREVIOUS round's
-    *         survivors, the value the final filter tested
+    *         (u, v, sup) — u < v canonical; sup counted against the
+    *         PREVIOUS round's survivors, the value the final filter
+    *         tested
     */
   def kTrussPeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(k >= 3, "truss needs k >= 3")
     require(rounds >= 1, "needs at least one round")
-    var e = edges.select(least(col("src"), col("dst")).as("u"),
+    val simple = edges.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") < col("v")).distinct().persist()
+      .filter(col("u") < col("v")).distinct()
+    val deg = simple.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    // Orient each edge toward the (degree, id)-larger endpoint. The
+    // degree table is node-sized (two keyed joins, once, outside the
+    // loop); ties break on id so the order is total.
+    var e = simple
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t")))
+          .as("__o"))
+      .select(col("__o.s").as("s"), col("__o.t").as("t"))
+      .persist()
     e.count()
     var result: DataFrame = null
     for (_ <- 1 to rounds) {
       val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e2"), col("e1.t") === col("e2.s"))
         .join(e.as("e3"),
-          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
-        .select(col("e1.u").as("a"), col("e1.v").as("b"),
-          col("e2.v").as("c"))
+          col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+        .select(col("e1.s").as("a"), col("e1.t").as("b"),
+          col("e2.t").as("c"))
       val sup = tri.select(explode(array(
-          struct(col("a").as("u"), col("b").as("v")),
-          struct(col("b").as("u"), col("c").as("v")),
-          struct(col("a").as("u"), col("c").as("v")))).as("__e"))
-        .groupBy(col("__e.u").as("u"), col("__e.v").as("v"))
+          struct(col("a").as("s"), col("b").as("t")),
+          struct(col("b").as("s"), col("c").as("t")),
+          struct(col("a").as("s"), col("c").as("t")))).as("__e"))
+        .groupBy(col("__e.s").as("s"), col("__e.t").as("t"))
         .agg(count(lit(1)).as("sup"))
       val next = sup.filter(col("sup") >= k - 2).persist()
       next.count()
@@ -807,7 +832,8 @@ object Graph {
       result = next
       e = next
     }
-    result.select("u", "v", "sup")
+    result.select(least(col("s"), col("t")).as("u"),
+      greatest(col("s"), col("t")).as("v"), col("sup"))
   }
 
   /** Degree distribution of an edge list — the first structure report
