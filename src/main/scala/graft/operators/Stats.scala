@@ -1390,6 +1390,67 @@ object Stats {
             (dec(col("n")) * col("total")).cast("double")).as("gini"): _*)
   }
 
+  /** Kruskal–Wallis H over a BOUNDED integer grid — the k-group
+    * generalization of [[mannWhitneyU]] (quality-score distributions
+    * across k sources, token-length across k languages): do any of the
+    * groups stochastically dominate? Doubled tie-averaged ranks are
+    * exact integers (the [[mannWhitneyU]] identity 2·avgRank = 2·cumBefore
+    * + t + 1), so each group's rank sum R2_g is an exact DECIMAL(38,0);
+    * the cross-GROUP sum Σ 3·R2_g²/(n_g·N·(N+1)) is the one float
+    * reduction, and it is made deterministic the [[chiSquareAssoc]] way:
+    * each group's term is a fixed double tree over exact integers,
+    * floor-quantized to the 10⁻⁶ lattice and summed exactly. The
+    * tie-corrected H = (lattice − 3(N+1)) / (1 − Σ(t³−t)/(N³−N)) is one
+    * fixed-shape IEEE expression, so it hash-gates.
+    *
+    * Scale posture: one (group, v) histogram with map-side partials
+    * (k·grid cells, not data), one grid-sized tie window, k-row group
+    * aggregate, one-row reduce. Overflow envelope: per-group quantized
+    * term ≤ 12·n_g so the long floor holds to n_g ≈ 7·10¹¹;
+    * n_g·N·(N+1) in DECIMAL(38,0) holds to N ≈ 10¹².
+    *
+    * Output: one row (n, k, h) — h null when degenerate (k < 2, or all
+    * values in one tie group).
+    */
+  def kruskalWallisH(df: DataFrame, groupCol: String,
+                     binCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val hist = df.groupBy(col(groupCol).as("g"), col(binCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tv = hist.groupBy("v").agg(sum("c").as("t"))
+      .withColumn("cb", sum("t").over(w) - col("t"))
+    val perG = hist.join(tv, "v")
+      .groupBy("g")
+      .agg(sum("c").as("n_g"),
+        sum(dec(col("c")) *
+          (lit(2L) * dec(col("cb")) + dec(col("t")) + 1)).as("r2"))
+    val tot = tv.agg(sum("t").as("n"),
+      sum(dec(col("t")) * dec(col("t")) * dec(col("t")) - dec(col("t")))
+        .as("ties"))
+    val k = perG.agg(count(lit(1)).as("k"))
+    val q = perG.crossJoin(broadcast(tot))
+      .select(floor(lit(3.0) * col("r2").cast("double") *
+        col("r2").cast("double") /
+        (dec(col("n_g")) * dec(col("n")) * (dec(col("n")) + 1))
+          .cast("double") * lit(1e6)).as("h6"))
+      .agg(coalesce(sum(dec(col("h6"))), lit(0).cast("decimal(38,0)"))
+        .as("q6"))
+    tot.crossJoin(broadcast(q)).crossJoin(broadcast(k))
+      .select(col("n").cast("long").as("n"), col("k").cast("long").as("k"),
+        when(col("n") > 1 && col("k") > 1 &&
+          col("ties") <
+            dec(col("n")) * dec(col("n")) * dec(col("n")) - dec(col("n")),
+          ((col("q6").cast("double") / lit(1e6)) -
+            (lit(3).cast("decimal(38,0)") * (dec(col("n")) + 1))
+              .cast("double")) /
+            (lit(1.0) - col("ties").cast("double") /
+              (dec(col("n")) * dec(col("n")) * dec(col("n")) - dec(col("n")))
+                .cast("double"))).as("h"))
+  }
+
   /** Total χ² of association + Cramér's V between two categorical /
     * gridded columns — the one-number "are these features independent"
     * summary next to [[contingencyResiduals]] (which localizes WHICH

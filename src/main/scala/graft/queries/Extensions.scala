@@ -4497,6 +4497,48 @@ object Extensions extends QueryModule {
         .orderBy("n")
     },
 
+    // Kruskal-Wallis H (Stats.kruskalWallisH): does the quantity
+    // distribution differ across return-status groups? — the k-group
+    // rank test next to x9_mannwhitney. Doubled tie-averaged ranks are
+    // exact integers; the one cross-group float sum is floor-quantized
+    // to the 1e-6 lattice per the x9_chisq technique, so the
+    // tie-corrected H hash-gates.
+    QueryDef("x9_kruskal", Some("""
+      WITH base AS (SELECT l_returnflag AS g,
+                      CAST(floor(l_quantity) AS BIGINT) AS v
+                    FROM lineitem),
+      h AS (SELECT g, v, count(*) AS c FROM base GROUP BY 1, 2),
+      tv AS (SELECT v, sum(c) AS t,
+               sum(sum(c)) OVER (ORDER BY v) - sum(c) AS cb
+             FROM h GROUP BY v),
+      pg AS (SELECT g, sum(c) AS n_g,
+               sum(CAST(c AS HUGEINT) * (2 * cb + t + 1)) AS r2
+             FROM h JOIN tv USING (v) GROUP BY g),
+      n AS (SELECT sum(t) AS n,
+              sum(CAST(t AS HUGEINT) * t * t - t) AS ties FROM tv),
+      k AS (SELECT count(*) AS k FROM pg),
+      q AS (SELECT coalesce(sum(CAST(floor(3.0 * CAST(r2 AS DOUBLE)
+                * CAST(r2 AS DOUBLE)
+                / CAST(CAST(n_g AS HUGEINT) * n.n * (n.n + 1) AS DOUBLE)
+                * 1e6) AS HUGEINT)), 0) AS q6
+            FROM pg, n)
+      SELECT CAST(n.n AS BIGINT) AS n, CAST(k.k AS BIGINT) AS k,
+        CASE WHEN n.n > 1 AND k.k > 1
+              AND n.ties < CAST(n.n AS HUGEINT) * n.n * n.n - n.n THEN
+          ((CAST(q.q6 AS DOUBLE) / 1e6)
+           - CAST(3 * (CAST(n.n AS HUGEINT) + 1) AS DOUBLE))
+          / (1.0 - CAST(n.ties AS DOUBLE)
+             / CAST(CAST(n.n AS HUGEINT) * n.n * n.n - n.n AS DOUBLE))
+        END AS h
+      FROM n, q, k ORDER BY n""")) { (s, dir) =>
+      graft.operators.Stats.kruskalWallisH(
+          t(s, dir, "lineitem").select(
+            col("l_returnflag").as("g"),
+            floor(col("l_quantity")).cast("long").as("v")),
+          "g", "v")
+        .orderBy("n")
+    },
+
     // Total χ² + Cramér's V (Stats.chiSquareAssoc): one-number
     // independence test between the quantity and discount grids — the
     // summed sibling of x9_residuals (which localizes deviating cells

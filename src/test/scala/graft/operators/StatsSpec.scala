@@ -688,6 +688,43 @@ class StatsSpec extends SparkSpec {
       .select(col("tau")).as[Option[Double]].head().isEmpty)
   }
 
+  test("kruskalWallisH: hand-computed two-group no-tie case") {
+    // A=[1,2], B=[3,4]: ranks 1..4, R_A=3, R_B=7.
+    // H = 12/(4*5)*(9/2 + 49/2) - 3*5 = 2.4, no tie correction.
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L)).toDF("g", "v")
+    val r = Stats.kruskalWallisH(df, "g", "v")
+      .as[(Long, Long, Option[Double])].head()
+    assert(r._1 == 4L && r._2 == 2L)
+    assert(r._3.exists(h => math.abs(h - 2.4) < 3e-6))
+  }
+
+  test("kruskalWallisH: tie-corrected case and degenerate nulls") {
+    // A=[1,1], B=[1,2]: v=1 t=3 rank2=4, v=2 t=1 rank2=8.
+    // R2_A=8, R2_B=12; H_raw = (192+432)/40 - 15 = 0.6;
+    // ties=24, C = 1 - 24/60 = 0.6; H = 1.0 (matches scipy.kruskal).
+    val tied = Seq(("A", 1L), ("A", 1L), ("B", 1L), ("B", 2L)).toDF("g", "v")
+    val r = Stats.kruskalWallisH(tied, "g", "v")
+      .as[(Long, Long, Option[Double])].head()
+    assert(r._3.exists(h => math.abs(h - 1.0) < 1e-5))
+    // one group -> null; all values one tie group -> null
+    val oneG = Seq(("A", 1L), ("A", 2L)).toDF("g", "v")
+    assert(Stats.kruskalWallisH(oneG, "g", "v")
+      .as[(Long, Long, Option[Double])].head()._3.isEmpty)
+    val allTie = Seq(("A", 5L), ("B", 5L), ("B", 5L)).toDF("g", "v")
+    assert(Stats.kruskalWallisH(allTie, "g", "v")
+      .as[(Long, Long, Option[Double])].head()._3.isEmpty)
+  }
+
+  test("kruskalWallisH: partition-invariant") {
+    val rows = (1L to 600L).map(i => ("g" + (i % 4), (i * i) % 23))
+    val a = Stats.kruskalWallisH(rows.toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Option[Double])].head()
+    val b = Stats.kruskalWallisH(rows.toDF("g", "v").repartition(19),
+        "g", "v")
+      .as[(Long, Long, Option[Double])].head()
+    assert(a == b && a._1 == 600L && a._2 == 4L)
+  }
+
   test("chiSquareAssoc: hand-computed 2x2 within lattice tolerance") {
     // Cells (0,0):10 (0,1):20 (1,0):20 (1,1):10 — n=60, all marginals
     // 30, expected 15 per cell, exact chi2 = 4*25/15 = 100/15; each
