@@ -1390,6 +1390,94 @@ object Stats {
             (dec(col("n")) * col("total")).cast("double")).as("gini"): _*)
   }
 
+  /** Jonckheere–Terpstra trend test over a BOUNDED integer grid with
+    * ORDERED groups — the directional sibling of [[kruskalWallisH]]
+    * (H asks "do any groups differ"; JT asks "do values INCREASE along
+    * the group order" — quality along source tiers, length along dedup
+    * aggressiveness). JT is the sum of pairwise Mann-Whitney counts
+    * over ordered group pairs; doubled (ties count once, ascending
+    * pairs twice) it is an exact integer cell-pair sum over the
+    * (group, v) histogram:
+    * {{{ JT2 = Σ_{g1≺g2} Σ_cells c1·c2·(2·[v1<v2] + [v1=v2]) }}}
+    * Mean2 = (N² − Σn_g²)/2 is an exact integer, and the tie-corrected
+    * variance is the standard three-term closed form — every sum an
+    * exact DECIMAL(38,0) over value-tie and group-size marginals — so
+    * z = (JT2 − mean2) / (2·√var) is ONE fixed-shape IEEE expression
+    * (a fixed tree of three rational terms — deterministic because the
+    * shape is fixed, never a data-ordered float reduction) and the
+    * statistic hash-gates.
+    *
+    * Scale posture: one histogram aggregate with map-side partials,
+    * then a CELL-pair join — (k·|grid|)² candidates, so the caller
+    * keeps both bounded (the [[kendallTauB]] contract). Marginals are
+    * grid- and k-sized re-aggregations. Nothing data-sized past the
+    * first aggregate. JT2 ~ N²/2 passes BIGINT at corpus scale — gates
+    * render it as a string per the §5.2 output-type contract.
+    *
+    * Groups order by their natural column order (lexicographic for
+    * strings) — the trend direction under test.
+    *
+    * Output: one row (n, k, jt2, z) — z null when degenerate (k < 2 or
+    * zero variance).
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+                         binCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.groupBy(col(groupCol).as("g"), col(binCol).as("v"))
+      .agg(count(lit(1)).as("c")).persist()
+    val jt = cells.select(col("g").as("g1"), col("v").as("v1"),
+        col("c").as("c1"))
+      .join(cells.select(col("g").as("g2"), col("v").as("v2"),
+        col("c").as("c2")), col("g1") < col("g2"))
+      .agg(coalesce(sum(
+        when(col("v1") < col("v2"),
+          lit(2).cast("decimal(38,0)") * dec(col("c1")) * dec(col("c2")))
+          .when(col("v1") === col("v2"), dec(col("c1")) * dec(col("c2")))
+          .otherwise(lit(0).cast("decimal(38,0)"))),
+        lit(0).cast("decimal(38,0)")).as("jt2"))
+    // Value-tie marginals: t per distinct v pooled over groups.
+    val tm = cells.groupBy("v").agg(sum("c").as("t"))
+      .agg(sum(dec(col("t"))).as("n"),
+        sum(dec(col("t")) * (dec(col("t")) - 1)).as("t2"),
+        sum(dec(col("t")) * (dec(col("t")) - 1) * (dec(col("t")) - 2))
+          .as("t3"),
+        sum(dec(col("t")) * (dec(col("t")) - 1) *
+          (lit(2).cast("decimal(38,0)") * dec(col("t")) + 5)).as("t25"))
+    // Group-size marginals.
+    val gm = cells.groupBy("g").agg(sum("c").as("ng"))
+      .agg(count(lit(1)).as("k"),
+        sum(dec(col("ng")) * dec(col("ng"))).as("nsq"),
+        sum(dec(col("ng")) * (dec(col("ng")) - 1)).as("g2"),
+        sum(dec(col("ng")) * (dec(col("ng")) - 1) * (dec(col("ng")) - 2))
+          .as("g3"),
+        sum(dec(col("ng")) * (dec(col("ng")) - 1) *
+          (lit(2).cast("decimal(38,0)") * dec(col("ng")) + 5)).as("g25"))
+    tm.crossJoin(broadcast(jt)).crossJoin(broadcast(gm))
+      .select(col("n").cast("long").as("n"), col("k").cast("long").as("k"),
+        col("jt2").cast("string").as("jt2"),
+        // Degenerate-variance guard, decided in exact integers: var = 0
+        // iff only one (nonempty) group, or one tie group spans all N
+        // values (t2 = Σt(t−1) = N(N−1)); otherwise var > 0.
+        when(col("k") > 1 && col("n") > 2 &&
+          col("t2") < dec(col("n")) * (dec(col("n")) - 1),
+          (col("jt2") - (dec(col("n")) * dec(col("n")) - col("nsq")) / 2)
+            .cast("double") /
+            // B and C numerators multiply as DOUBLES (t3·g3 ~ N⁶
+            // overflows any decimal at corpus scale); the product of
+            // two exactly-rounded casts is one IEEE multiply —
+            // deterministic cross-engine, unlike a data-ordered sum.
+            (lit(2.0) * sqrt(
+              (dec(col("n")) * (dec(col("n")) - 1) *
+                (lit(2).cast("decimal(38,0)") * dec(col("n")) + 5)
+                - col("t25") - col("g25")).cast("double") / 72.0 +
+              col("t3").cast("double") * col("g3").cast("double") /
+                (lit(36).cast("decimal(38,0)") * dec(col("n")) *
+                  (dec(col("n")) - 1) * (dec(col("n")) - 2)).cast("double") +
+              col("t2").cast("double") * col("g2").cast("double") /
+                (lit(8).cast("decimal(38,0)") * dec(col("n")) *
+                  (dec(col("n")) - 1)).cast("double")))).as("z"))
+  }
+
   /** Kruskal–Wallis H over a BOUNDED integer grid — the k-group
     * generalization of [[mannWhitneyU]] (quality-score distributions
     * across k sources, token-length across k languages): do any of the

@@ -4497,6 +4497,60 @@ object Extensions extends QueryModule {
         .orderBy("n")
     },
 
+    // Jonckheere-Terpstra (Stats.jonckheereTerpstra): does quantity
+    // TREND along the lexicographic return-flag order — the directional
+    // k-group test next to x9_kruskal. Doubled JT is an exact-integer
+    // cell-pair sum; mean and the three-term tie-corrected variance are
+    // exact integer marginals down to ONE fixed-shape expression (the
+    // N^6-scale numerators multiply as doubles — one IEEE multiply, not
+    // a data-ordered sum), so z hash-gates. jt2 ~ N^2/2 renders as a
+    // string per the §5.2 contract.
+    QueryDef("x9_jonckheere", Some("""
+      WITH base AS (SELECT l_returnflag AS g,
+                      CAST(floor(l_quantity) AS BIGINT) AS v
+                    FROM lineitem),
+      h AS (SELECT g, v, count(*) AS c FROM base GROUP BY 1, 2),
+      jt AS (SELECT coalesce(sum(CASE
+               WHEN a.v < b.v THEN 2 * CAST(a.c AS HUGEINT) * b.c
+               WHEN a.v = b.v THEN CAST(a.c AS HUGEINT) * b.c
+               ELSE 0 END), 0) AS jt2
+             FROM h a JOIN h b ON a.g < b.g),
+      tm AS (SELECT sum(t) AS n,
+               sum(CAST(t AS HUGEINT) * (t - 1)) AS t2,
+               sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS t3,
+               sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS t25
+             FROM (SELECT sum(c) AS t FROM h GROUP BY v)),
+      gm AS (SELECT count(*) AS k,
+               sum(CAST(ng AS HUGEINT) * ng) AS nsq,
+               sum(CAST(ng AS HUGEINT) * (ng - 1)) AS g2,
+               sum(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2)) AS g3,
+               sum(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5)) AS g25
+             FROM (SELECT sum(c) AS ng FROM h GROUP BY g))
+      SELECT CAST(tm.n AS BIGINT) AS n, CAST(gm.k AS BIGINT) AS k,
+        CAST(jt.jt2 AS VARCHAR) AS jt2,
+        CASE WHEN gm.k > 1 AND tm.n > 2
+              AND tm.t2 < CAST(tm.n AS HUGEINT) * (tm.n - 1) THEN
+          CAST(jt.jt2 - (CAST(tm.n AS HUGEINT) * tm.n - gm.nsq) // 2
+               AS DOUBLE)
+          / (2.0 * sqrt(
+              CAST(CAST(tm.n AS HUGEINT) * (tm.n - 1) * (2 * tm.n + 5)
+                   - tm.t25 - gm.g25 AS DOUBLE) / 72.0
+              + CAST(tm.t3 AS DOUBLE) * CAST(gm.g3 AS DOUBLE)
+                / CAST(36 * CAST(tm.n AS HUGEINT) * (tm.n - 1)
+                       * (tm.n - 2) AS DOUBLE)
+              + CAST(tm.t2 AS DOUBLE) * CAST(gm.g2 AS DOUBLE)
+                / CAST(8 * CAST(tm.n AS HUGEINT) * (tm.n - 1)
+                       AS DOUBLE)))
+        END AS z
+      FROM tm, jt, gm ORDER BY n""")) { (s, dir) =>
+      graft.operators.Stats.jonckheereTerpstra(
+          t(s, dir, "lineitem").select(
+            col("l_returnflag").as("g"),
+            floor(col("l_quantity")).cast("long").as("v")),
+          "g", "v")
+        .orderBy("n")
+    },
+
     // Kruskal-Wallis H (Stats.kruskalWallisH): does the quantity
     // distribution differ across return-status groups? — the k-group
     // rank test next to x9_mannwhitney. Doubled tie-averaged ranks are

@@ -688,6 +688,47 @@ class StatsSpec extends SparkSpec {
       .select(col("tau")).as[Option[Double]].head().isEmpty)
   }
 
+  test("jonckheereTerpstra: hand-computed ascending and descending trend") {
+    // A=[1,2], B=[3,4]: all 4 cross pairs ascend -> JT2=8; mean2 =
+    // (16-8)/2 = 4; var = [4*3*13 - 2*(2*1*9)]/72 = 120/72; z =
+    // (8-4)/(2*sqrt(5/3)) = 2*sqrt(3/5).
+    val up = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L)).toDF("g", "v")
+    val r = Stats.jonckheereTerpstra(up, "g", "v")
+      .as[(Long, Long, String, Option[Double])].head()
+    assert(r._1 == 4L && r._2 == 2L && r._3 == "8")
+    assert(r._4.exists(z => math.abs(z - 2.0 * math.sqrt(3.0 / 5.0)) < 1e-12))
+    val down = Seq(("A", 3L), ("A", 4L), ("B", 1L), ("B", 2L)).toDF("g", "v")
+    val d = Stats.jonckheereTerpstra(down, "g", "v")
+      .as[(Long, Long, String, Option[Double])].head()
+    assert(d._3 == "0")
+    assert(d._4.exists(z => math.abs(z + 2.0 * math.sqrt(3.0 / 5.0)) < 1e-12))
+  }
+
+  test("jonckheereTerpstra: tie-corrected variance; degenerate nulls") {
+    // A=[1,1], B=[1,2]: JT2 = 2 ties + 2 ascending = 6; mean2 = 4;
+    // var = 54/72 + 0 + 24/96 = 1.0 exactly; z = 1.0.
+    val tied = Seq(("A", 1L), ("A", 1L), ("B", 1L), ("B", 2L)).toDF("g", "v")
+    val r = Stats.jonckheereTerpstra(tied, "g", "v")
+      .as[(Long, Long, String, Option[Double])].head()
+    assert(r._3 == "6" && r._4.exists(z => math.abs(z - 1.0) < 1e-12))
+    val oneG = Seq(("A", 1L), ("A", 2L), ("A", 3L)).toDF("g", "v")
+    assert(Stats.jonckheereTerpstra(oneG, "g", "v")
+      .as[(Long, Long, String, Option[Double])].head()._4.isEmpty)
+    val allTie = Seq(("A", 5L), ("B", 5L), ("C", 5L)).toDF("g", "v")
+    assert(Stats.jonckheereTerpstra(allTie, "g", "v")
+      .as[(Long, Long, String, Option[Double])].head()._4.isEmpty)
+  }
+
+  test("jonckheereTerpstra: partition-invariant") {
+    val rows = (1L to 600L).map(i => ("g" + (i % 3), (i * i * i) % 29))
+    val a = Stats.jonckheereTerpstra(rows.toDF("g", "v"), "g", "v")
+      .as[(Long, Long, String, Option[Double])].head()
+    val b = Stats.jonckheereTerpstra(rows.toDF("g", "v").repartition(23),
+        "g", "v")
+      .as[(Long, Long, String, Option[Double])].head()
+    assert(a == b && a._1 == 600L && a._2 == 3L)
+  }
+
   test("kruskalWallisH: hand-computed two-group no-tie case") {
     // A=[1,2], B=[3,4]: ranks 1..4, R_A=3, R_B=7.
     // H = 12/(4*5)*(9/2 + 49/2) - 3*5 = 2.4, no tie correction.
