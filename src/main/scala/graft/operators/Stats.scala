@@ -1390,6 +1390,42 @@ object Stats {
             (dec(col("n")) * col("total")).cast("double")).as("gini"): _*)
   }
 
+  /** Mood's median test over a BOUNDED integer grid — the robust
+    * k-group location test (outlier-immune where [[kruskalWallisH]]
+    * weighs whole distributions): split every row at the GRAND median
+    * and χ²-test the group × {above, not-above} contingency table.
+    * The grand median is the smallest grid value whose cumulative
+    * count reaches ⌈N/2⌉ — exact integers over the value histogram,
+    * so the split (and therefore the whole statistic) is deterministic
+    * cross-engine. The table test delegates to [[chiSquareAssoc]]'s
+    * lattice-deterministic total.
+    *
+    * Scale posture: one value histogram (grid-sized) + one grid-sized
+    * cumulative window to find the median, broadcast back as a scalar
+    * predicate; then chiSquareAssoc's cell aggregate over a k×2 table.
+    *
+    * Output: one row (median, n, dof, chi2, v).
+    */
+  def moodMedianTest(df: DataFrame, groupCol: String,
+                     binCol: String): DataFrame = {
+    val hist = df.groupBy(col(binCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val med = hist.withColumn("cum", sum("c").over(w))
+      .crossJoin(broadcast(hist.agg(sum("c").as("n"))))
+      .filter(col("cum") * 2 >= col("n"))
+      .agg(min("v").as("median"))
+    val flagged = df.crossJoin(broadcast(med))
+      .select(col(groupCol).as("g"),
+        (col(binCol) > col("median")).cast("long").as("above"),
+        col("median"))
+    chiSquareAssoc(flagged, "g", "above")
+      .crossJoin(broadcast(med))
+      .select(col("median"), col("n"), col("dof"), col("chi2"), col("v"))
+  }
+
   /** Jonckheere–Terpstra trend test over a BOUNDED integer grid with
     * ORDERED groups — the directional sibling of [[kruskalWallisH]]
     * (H asks "do any groups differ"; JT asks "do values INCREASE along

@@ -4497,6 +4497,51 @@ object Extensions extends QueryModule {
         .orderBy("n")
     },
 
+    // Mood's median test (Stats.moodMedianTest): robust k-group
+    // location test — exact-integer grand median from the value
+    // histogram, then the chiSquareAssoc lattice-deterministic χ² over
+    // the group × above-median table.
+    QueryDef("x9_mediantest", Some("""
+      WITH base AS (SELECT l_returnflag AS g,
+                      CAST(floor(l_quantity) AS BIGINT) AS v
+                    FROM lineitem),
+      vh AS (SELECT v, count(*) AS c FROM base GROUP BY v),
+      m AS (SELECT min(v) AS median FROM (
+              SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                     (SELECT sum(c) FROM vh) AS nn FROM vh)
+            WHERE cum * 2 >= nn),
+      fl AS (SELECT g, CASE WHEN base.v > m.median THEN 1 ELSE 0 END AS b
+             FROM base, m),
+      h AS (SELECT g, b, count(*) AS c FROM fl GROUP BY 1, 2),
+      rt AS (SELECT g, sum(c) AS rt FROM h GROUP BY g),
+      ct AS (SELECT b, sum(c) AS ct FROM h GROUP BY b),
+      n AS (SELECT sum(c) AS n FROM h),
+      d AS (SELECT (SELECT count(*) FROM rt) AS r,
+                   (SELECT count(*) FROM ct) AS k),
+      t AS (SELECT CAST(CAST(n.n AS HUGEINT) * h.c - rt.rt * ct.ct
+                        AS DOUBLE) AS dev,
+                   CAST(CAST(n.n AS HUGEINT) * rt.rt * ct.ct
+                        AS DOUBLE) AS den
+            FROM h JOIN rt USING (g) JOIN ct USING (b) CROSS JOIN n),
+      q AS (SELECT coalesce(sum(CAST(floor(dev * dev / den * 1e6)
+                                     AS HUGEINT)), 0) AS q6 FROM t)
+      SELECT m.median, CAST(n.n AS BIGINT) AS n,
+        CAST((d.r - 1) * (d.k - 1) AS BIGINT) AS dof,
+        CAST(q.q6 AS DOUBLE) / 1e6 AS chi2,
+        CASE WHEN n.n > 0 AND least(d.r, d.k) > 1 THEN
+          sqrt((CAST(q.q6 AS DOUBLE) / 1e6)
+               / CAST(CAST(n.n AS HUGEINT) * (least(d.r, d.k) - 1)
+                      AS DOUBLE))
+        END AS v
+      FROM m, n, q, d ORDER BY n""")) { (s, dir) =>
+      graft.operators.Stats.moodMedianTest(
+          t(s, dir, "lineitem").select(
+            col("l_returnflag").as("g"),
+            floor(col("l_quantity")).cast("long").as("v")),
+          "g", "v")
+        .orderBy("n")
+    },
+
     // Jonckheere-Terpstra (Stats.jonckheereTerpstra): does quantity
     // TREND along the lexicographic return-flag order — the directional
     // k-group test next to x9_kruskal. Doubled JT is an exact-integer

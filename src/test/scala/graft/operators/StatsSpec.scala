@@ -688,6 +688,20 @@ class StatsSpec extends SparkSpec {
       .select(col("tau")).as[Option[Double]].head().isEmpty)
   }
 
+  test("moodMedianTest: grand median split, chi2 via the 2x2 machinery") {
+    // Values 1..4 in A, 3..6 in B: pooled 1,2,3,3,4,4,5,6 -> N=8,
+    // cum(3)=4 >= 4 -> median 3. Above: A={4}:1, B={4,5,6}:3.
+    // Table A:(3,1) B:(1,3); n=8 rt=4,4 ct=4,4 -> exp 2 each;
+    // chi2 = 4*1/2 = 2 exactly (dev_num = 8*3-16 = 8, term = 64/128=.5).
+    val df = (Seq(1L, 2L, 3L, 4L).map(("A", _)) ++
+      Seq(3L, 4L, 5L, 6L).map(("B", _))).toDF("g", "v")
+    val r = Stats.moodMedianTest(df, "g", "v")
+      .as[(Long, Long, Long, Double, Option[Double])].head()
+    assert(r._1 == 3L && r._2 == 8L && r._3 == 1L)
+    assert(math.abs(r._4 - 2.0) < 3e-6)
+    assert(r._5.exists(v => math.abs(v - math.sqrt(r._4 / 8.0)) < 1e-12))
+  }
+
   test("jonckheereTerpstra: hand-computed ascending and descending trend") {
     // A=[1,2], B=[3,4]: all 4 cross pairs ascend -> JT2=8; mean2 =
     // (16-8)/2 = 4; var = [4*3*13 - 2*(2*1*9)]/72 = 120/72; z =
