@@ -67,23 +67,32 @@ object Graph {
     // PRE-PARTITIONED on src, the per-hop join key, so the cached
     // partitioning satisfies the edge-side Exchange in every round and
     // only the frontier shuffles.
-    val e = edges.select(col("src").cast("long").as("src"),
+    val retained = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(d: DataFrame): DataFrame = { retained += d.persist(lvl); d }
+    val e = pin(edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-      .repartition(col("src")).persist(lvl)
-    var dist = sources.select(col("id").cast("long").as("id"),
-      lit(0L).as("hop")).distinct().persist(lvl)
+      .repartition(col("src")))
+    var dist = pin(sources.select(col("id").cast("long").as("id"),
+      lit(0L).as("hop")).distinct())
     var frontier = dist
     for (h <- 1 to maxHops) {
-      val next = e.join(frontier.withColumnRenamed("id", "src")
+      val next = pin(e.join(frontier.withColumnRenamed("id", "src")
           .select("src"), "src")
         .select(col("dst").as("id")).distinct()
         .join(dist, Seq("id"), "left_anti")
-        .select(col("id"), lit(h.toLong).as("hop"))
-        .persist(lvl)
-      dist = dist.unionByName(next).persist(lvl)
+        .select(col("id"), lit(h.toLong).as("hop")))
+      dist = pin(dist.unionByName(next))
       frontier = next
     }
-    dist
+    // Materialize the (id, hop) result eagerly, then release EVERY block
+    // this call pinned — including the data-sized edge list — instead of
+    // leaking them into the BlockManager for the session (the
+    // resolveClusters leak discipline: leaked storage measurably starves
+    // later memory-sensitive stages). One live checkpoint (the result
+    // itself, node-sized) remains.
+    val out = org.apache.spark.sql.graft.FreshCheckpoint(dist)
+    retained.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Landmark hop distances: [[bfsHops]] run per landmark IN ONE SWEEP —
@@ -107,26 +116,30 @@ object Graph {
                    maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Same loop-invariant discipline as bfsHops: one edge shuffle total.
-    val e = edges.select(col("src").cast("long").as("src"),
+    // Same loop-invariant discipline as bfsHops: one edge shuffle total,
+    // and the same exit discipline — eager result checkpoint, every
+    // pinned block (edge list included) released before returning.
+    val retained = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(d: DataFrame): DataFrame = { retained += d.persist(lvl); d }
+    val e = pin(edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-      .repartition(col("src")).persist(lvl)
-    var dist = landmarks.select(col("id").cast("long").as("id"))
+      .repartition(col("src")))
+    var dist = pin(landmarks.select(col("id").cast("long").as("id"))
       .distinct()
-      .select(col("id"), col("id").as("lm"), lit(0L).as("hop"))
-      .persist(lvl)
+      .select(col("id"), col("id").as("lm"), lit(0L).as("hop")))
     var frontier = dist
     for (h <- 1 to maxHops) {
-      val next = e.join(frontier.withColumnRenamed("id", "src")
+      val next = pin(e.join(frontier.withColumnRenamed("id", "src")
           .select("src", "lm"), "src")
         .select(col("dst").as("id"), col("lm")).distinct()
         .join(dist.select("id", "lm"), Seq("id", "lm"), "left_anti")
-        .select(col("id"), col("lm"), lit(h.toLong).as("hop"))
-        .persist(lvl)
-      dist = dist.unionByName(next).persist(lvl)
+        .select(col("id"), col("lm"), lit(h.toLong).as("hop")))
+      dist = pin(dist.unionByName(next))
       frontier = next
     }
-    dist
+    val out = org.apache.spark.sql.graft.FreshCheckpoint(dist)
+    retained.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Bounded-radius closeness centrality against a landmark set: per
@@ -179,28 +192,31 @@ object Graph {
                  rounds: Int): DataFrame = {
     require(rounds >= 0, "rounds must be >= 0")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Same loop-invariant discipline as bfsHops: one edge shuffle total.
-    val e = edges.select(col("src").cast("long").as("src"),
+    // Same loop-invariant discipline as bfsHops: one edge shuffle total,
+    // eager result checkpoint, all pinned blocks released on exit.
+    val retained = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(d: DataFrame): DataFrame = { retained += d.persist(lvl); d }
+    val e = pin(edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .repartition(col("src")).persist(lvl)
-    var dist = sources.select(col("id").cast("long").as("id"),
-      lit(0L).as("dist")).distinct().persist(lvl)
+      .repartition(col("src")))
+    var dist = pin(sources.select(col("id").cast("long").as("id"),
+      lit(0L).as("dist")).distinct())
     var frontier = dist
     for (_ <- 1 to rounds) {
       val cand = e.join(frontier.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("dist") + col("w")).as("cand"))
-      val improved = cand.join(dist, Seq("id"), "left_outer")
+      val improved = pin(cand.join(dist, Seq("id"), "left_outer")
         .filter(col("dist").isNull || col("cand") < col("dist"))
-        .select(col("id"), col("cand").as("dist"))
-        .persist(lvl)
-      dist = dist.join(improved.select(col("id"), col("dist").as("nd")),
+        .select(col("id"), col("cand").as("dist")))
+      dist = pin(dist.join(improved.select(col("id"), col("dist").as("nd")),
           Seq("id"), "full_outer")
-        .select(col("id"), coalesce(col("nd"), col("dist")).as("dist"))
-        .persist(lvl)
+        .select(col("id"), coalesce(col("nd"), col("dist")).as("dist")))
       frontier = improved
     }
-    dist
+    val out = org.apache.spark.sql.graft.FreshCheckpoint(dist)
+    retained.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Hash-driven "random" walks — the DeepWalk/node2vec corpus primitive,

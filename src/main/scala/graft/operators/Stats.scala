@@ -11,6 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Materialize a GRID-sized cell histogram to a driver-local relation.
+    *
+    * The contingency/rank-test family re-reads its cell table three to
+    * five times (marginals, totals, pair joins). `persist()` would avoid
+    * the re-scan but pins grid-sized blocks in the BlockManager for the
+    * life of the session (the leak class resolveClusters documents:
+    * leaked storage measurably starves later memory-sensitive stages).
+    * Since every caller's cell table is grid-sized BY CONTRACT (bounded
+    * category/bin cardinality — tens to thousands of rows, never data),
+    * the right form is one data-sized aggregate collected once, with all
+    * downstream re-aggregations planned over a LocalRelation: zero cached
+    * blocks, zero repeat scans, and every join against it broadcasts
+    * trivially.
+    */
+  private def localGrid(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
   /** Two-pass equi-width histogram: pass 1 reduces to the global (min, max)
     * — one scalar row, broadcast back — pass 2 assigns each value its
     * bucket by pure arithmetic and counts per bucket.
@@ -805,8 +824,8 @@ object Stats {
     * marginals are degenerate (n² = c, e.g. both columns constant).
     */
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.groupBy(col(aCol).as("la"), col(bCol).as("lb"))
-      .agg(count(lit(1)).as("c")).persist()
+    val cells = localGrid(df.groupBy(col(aCol).as("la"), col(bCol).as("lb"))
+      .agg(count(lit(1)).as("c")))
     val n = cells.agg(sum("c").as("n"))
     val agree = cells.filter(col("la") === col("lb"))
       .agg(coalesce(sum("c"), lit(0L)).as("agree"))
@@ -855,8 +874,8 @@ object Stats {
   def contingencyResiduals(df: DataFrame, aCol: String,
                            bCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
-      .agg(count(lit(1)).as("observed")).persist()
+    val cells = localGrid(df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("observed")))
     val rowT = cells.groupBy("a").agg(sum("observed").as("row_tot"))
     val colT = cells.groupBy("b").agg(sum("observed").as("col_tot"))
     val tot = cells.agg(sum("observed").as("n"))
@@ -924,6 +943,11 @@ object Stats {
             (col("w") + coalesce(col("dw"), lit(0L))).as("w")))
       w.withColumn("rnd", lit(r.toLong))
     }
+    // Every round's weights are eagerly checkpointed above, so the
+    // data-sized labeled feature table is no longer referenced — release
+    // its blocks now rather than leaking them for the session (the
+    // resolveClusters discipline).
+    fy.unpersist(blocking = false)
     perRound.reduce(_ unionByName _).select("rnd", "bucket", "w")
   }
 
@@ -1233,7 +1257,14 @@ object Stats {
           .cast("double") / 2.0).as("u_a"),
         col("ties"), (col("n_a") + col("n_b")).as("nn"))
       .select(col("n_a"), col("n_b"), col("r_a2"), col("u_a"),
-        when(col("n_a") > 0 && col("n_b") > 0 && col("nn") > 1,
+        // Degeneracy guard decided in exact integers (the kruskalWallisH
+        // discipline): when EVERY value sits in one tie group, ties =
+        // Σ(t³−t) = nn³−nn and the tie-corrected σ is exactly 0 — Spark
+        // divides to NULL where DuckDB yields NaN, so the case must be
+        // excluded symbolically, not left to IEEE.
+        when(col("n_a") > 0 && col("n_b") > 0 && col("nn") > 1 &&
+          col("ties") <
+            dec(col("nn")) * dec(col("nn")) * dec(col("nn")) - dec(col("nn")),
           (col("u_a") - (dec(col("n_a")) * dec(col("n_b")))
             .cast("double") / 2.0) /
             sqrt((dec(col("n_a")) * dec(col("n_b"))).cast("double") / 12.0 *
@@ -1271,10 +1302,14 @@ object Stats {
         .select(col("v"), (lit(2L) * col("cb") + col("t") + 1L).as("r2"))
     }
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // Rank maps resolve against the RENAMED histogram columns (x, y) —
+    // never the caller's xCol/yCol names, which no longer exist on hist
+    // (and would silently rank the wrong column if the caller's names
+    // happened to be swapped x/y).
     val joined = hist
-      .join(rankMap(xCol).withColumnRenamed("r2", "rx2"),
+      .join(rankMap("x").withColumnRenamed("r2", "rx2"),
         col("x") === col("v")).drop("v")
-      .join(rankMap(yCol).withColumnRenamed("r2", "ry2"),
+      .join(rankMap("y").withColumnRenamed("r2", "ry2"),
         col("y") === col("v")).drop("v")
     val a = joined.agg(sum("c").as("n"),
       sum(dec(col("c")) * dec(col("rx2"))).as("sx"),
@@ -1315,8 +1350,8 @@ object Stats {
     */
   def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
-      .agg(count(lit(1)).as("c")).persist()
+    val cells = localGrid(df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c")))
     val a = cells.select(col("x").as("x1"), col("y").as("y1"),
       col("c").as("c1"))
     val b = cells.select(col("x").as("x2"), col("y").as("y2"),
@@ -1413,17 +1448,23 @@ object Stats {
     val w = org.apache.spark.sql.expressions.Window.orderBy("v")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val med = hist.withColumn("cum", sum("c").over(w))
+    // The median is ONE scalar — collect it once and inject it as a
+    // literal, instead of cross-joining the (data-sized-aggregate) plan
+    // into BOTH the flag pass and the final projection, which re-ran the
+    // whole value histogram twice.
+    val medRow = hist.withColumn("cum", sum("c").over(w))
       .crossJoin(broadcast(hist.agg(sum("c").as("n"))))
       .filter(col("cum") * 2 >= col("n"))
       .agg(min("v").as("median"))
-    val flagged = df.crossJoin(broadcast(med))
+      .head()
+    val medLit = (if (medRow.isNullAt(0)) lit(null) else lit(medRow.get(0)))
+      .cast(df.schema(binCol).dataType)
+    val flagged = df
       .select(col(groupCol).as("g"),
-        (col(binCol) > col("median")).cast("long").as("above"),
-        col("median"))
+        (col(binCol) > medLit).cast("long").as("above"))
     chiSquareAssoc(flagged, "g", "above")
-      .crossJoin(broadcast(med))
-      .select(col("median"), col("n"), col("dof"), col("chi2"), col("v"))
+      .select(medLit.as("median"), col("n"), col("dof"), col("chi2"),
+        col("v"))
   }
 
   /** Jonckheere–Terpstra trend test over a BOUNDED integer grid with
@@ -1459,8 +1500,8 @@ object Stats {
   def jonckheereTerpstra(df: DataFrame, groupCol: String,
                          binCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val cells = df.groupBy(col(groupCol).as("g"), col(binCol).as("v"))
-      .agg(count(lit(1)).as("c")).persist()
+    val cells = localGrid(df.groupBy(col(groupCol).as("g"), col(binCol).as("v"))
+      .agg(count(lit(1)).as("c")))
     val jt = cells.select(col("g").as("g1"), col("v").as("v1"),
         col("c").as("c1"))
       .join(cells.select(col("g").as("g2"), col("v").as("v2"),
@@ -1602,8 +1643,8 @@ object Stats {
     */
   def chiSquareAssoc(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
-      .agg(count(lit(1)).as("c")).persist()
+    val cells = localGrid(df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c")))
     val rowT = cells.groupBy("a").agg(sum("c").as("rt"))
     val colT = cells.groupBy("b").agg(sum("c").as("ct"))
     val tot = cells.agg(sum("c").as("n"))

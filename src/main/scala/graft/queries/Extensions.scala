@@ -4398,7 +4398,8 @@ object Extensions extends QueryModule {
       SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         CAST(r_a2 AS VARCHAR) AS r_a2,
         CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
-        CASE WHEN n_a > 0 AND n_b > 0 AND nn > 1 THEN
+        CASE WHEN n_a > 0 AND n_b > 0 AND nn > 1
+               AND ties < CAST(nn AS HUGEINT) * nn * nn - nn THEN
           (CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE) / 2.0
              - CAST(n_a * n_b AS DOUBLE) / 2.0)
           / sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
