@@ -5,15 +5,39 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main. Times the headline queries (SparkEntry.benchNames) on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
   *
-  * Methodology: one untimed warmup pass over the full set first (JVM JIT +
-  * codegen + parquet footer caches — otherwise whichever query runs first
-  * absorbs ~20 s of cold-start that has nothing to do with its plan), then
-  * each query timed in sorted-name order. Reported value = sum of timed
-  * headline runs.
+  * Methodology — each query is timed in ISOLATION, in its own forked JVM:
+  * rounds 5 and 6 both produced headline "regressions" that turned out to
+  * be suite-ordering artifacts (a +103% minhash ghost; k-truss recorded at
+  * 2.15× its isolated median), because 30 queries sharing one JVM share
+  * JIT/code-cache state, heap fragmentation, and whatever the previous
+  * query leaked. A fresh JVM per query is the only state a reader can
+  * reason about, and it is exactly how the isolated PLANS.md probes that
+  * exposed the ghosts were run.
+  *
+  * Per query the child JVM runs one untimed warmup (JVM JIT + codegen +
+  * parquet footer caches) then `SPARK_GRAFT_BENCH_RUNS` (default 3) timed
+  * runs with a full BlockManager scrub + GC between runs. The artifact
+  * records the MEDIAN (robust to a single JIT-deopt outlier, comparable
+  * to the isolated 5-run medians in PLANS.md) plus a per-query `variance`
+  * field — relative spread (max−min)/median over the timed runs — so a
+  * noisy line is visible IN the artifact instead of discovered a round
+  * later.
+  *
+  * `SPARK_GRAFT_BENCH_INPROC=1` keeps the old single-JVM path for quick
+  * local iteration; the artifact then says "isolation":"in-process" so
+  * the two modes can never be confused in a round comparison.
   */
 object Bench {
+
+  private val childRuns: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.length >= 2 && args(0) == "--child") childMain(args(1))
+    else parentMain()
+  }
+
+  private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.withDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +47,97 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
+  /** One run of one query, with post-run state scrub (operators may
+    * persist intermediates and leave localCheckpoint RDD blocks behind —
+    * clearCache misses the latter; leaked blocks starved later queries'
+    * memory-sensitive joins 2.5-7× in the r02 driver run).
+    */
+  private def once(spark: SparkSession, sfDir: String,
+                   name: String): Double = {
+    val t0 = System.nanoTime()
+    try SparkEntry.queries(name)(spark, sfDir).count()
+    finally {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      // Settle GC debt outside the timed window so one run's garbage
+      // doesn't surface as a collection pause inside the next timing.
+      System.gc()
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Child mode: warmup + N timed runs of ONE query in this fresh JVM;
+    * prints a marker line the parent parses. Exit 1 on failure.
+    */
+  private def childMain(name: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = buildSession()
+    try {
+      once(spark, sfDir, name) // warmup, untimed
+      val runs = (1 to childRuns).map(_ => once(spark, sfDir, name))
+      println("BENCHCHILD {\"name\":\"" + name + "\",\"runs\":[" +
+        runs.map(t => f"$t%.3f").mkString(",") + "]}")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        println("BENCHCHILD {\"name\":\"" + name + "\",\"error\":true}")
+        spark.stop()
+        sys.exit(1)
+    }
+    spark.stop()
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Relative spread (max−min)/median — 0.0 means the three runs agreed
+    * exactly; ~0.3+ flags a line whose value is weather, not plan.
+    */
+  private def spread(xs: Seq[Double]): Double = {
+    val m = median(xs)
+    if (m <= 0) 0.0 else (xs.max - xs.min) / m
+  }
+
+  /** Fork one child JVM for `name`, inheriting this JVM's flags
+    * (--add-opens, -Xmx, -D) and classpath, and parse its marker line.
+    * Returns the timed runs, or None on any failure.
+    */
+  private def forkOne(name: String): Option[Seq[Double]] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"),
+      "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", cp, "graft.Bench", "--child", name)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream)
+      .getLines().toList
+    val code = p.waitFor()
+    val marker = out.find(_.startsWith("BENCHCHILD "))
+    marker match {
+      case Some(line) if code == 0 && line.contains("\"runs\":[") =>
+        val runs = line.substring(line.indexOf("[") + 1, line.indexOf("]"))
+          .split(',').toSeq.filter(_.nonEmpty).map(_.toDouble)
+        if (runs.nonEmpty) Some(runs) else None
+      case _ => None
+    }
+  }
+
+  private def parentMain(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Local-iteration filter (driver sets no filter → full set): comma
     // list of name prefixes, e.g. SPARK_GRAFT_BENCH_ONLY=x2_,x3_ivfpq.
     // SPARK_GRAFT_BENCH_EXTRA adds registered non-headline gates by exact
@@ -39,54 +153,43 @@ object Bench {
       case None => SparkEntry.benchNames
     }
     val names = (headline ++ extra).distinct.sorted
-    val qs = SparkEntry.queries
+    val inProc = sys.env.get("SPARK_GRAFT_BENCH_INPROC").contains("1")
 
-    def once(name: String): Double = {
-      System.err.println(s"[bench] running $name")
-      val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+    val measured: Seq[(String, Option[Seq[Double]])] =
+      if (inProc) {
+        val spark = buildSession()
+        val r = names.map { n =>
+          System.err.println(s"[bench] running $n (in-process)")
+          n -> (try {
+            once(spark, sfDir, n) // per-query warmup
+            Some((1 to childRuns).map(_ => once(spark, sfDir, n)))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $n failed: ${e.getMessage}")
+            None
+          })
+        }
+        spark.stop()
+        r
+      } else names.map { n =>
+        System.err.println(s"[bench] forking $n")
+        n -> forkOne(n)
       }
-      finally {
-        // Operators may persist intermediates (clearCache) AND leave
-        // localCheckpoint RDD blocks behind (NOT covered by clearCache —
-        // they live in the BlockManager as plain persisted RDDs). Leaked
-        // blocks eat storage memory and starved the next query's
-        // memory-sensitive joins in the r02 driver run (x2_dedup_resolve's
-        // checkpoints inflated every query after it 2.5-7x). Blocking
-        // unpersist so the next timing starts from a clean BlockManager.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        // Settle GC debt outside the timed window so one query's garbage
-        // doesn't surface as a collection pause inside the next timing.
-        System.gc()
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
 
-    names.foreach(once) // warmup, untimed
-    // Steady-state timing: best of two passes per query. Single-pass numbers
-    // intermittently absorb JIT deopt/recompilation noise (observed 5-10x
-    // outliers on the same plan within one JVM).
-    val pass1 = names.map(n => n -> once(n)).toMap
-    val results = names.map { n =>
-      val t2 = once(n)
-      n -> (if (t2 < 0 || pass1(n) < 0) -1.0 else math.min(pass1(n), t2))
-    }
-
-    val qJson = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qJson = measured
+      .map { case (k, v) =>
+        "\"" + k + "\":" + f"${v.map(median).getOrElse(-1.0)}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val varJson = measured
+      .map { case (k, v) =>
+        "\"" + k + "\":" + f"${v.map(spread).getOrElse(-1.0)}%.3f" }
+      .mkString("{", ",", "}")
+    val total = measured.flatMap(_._2).map(median).sum
+    val failed = measured.collect { case (k, None) => "\"" + k + "\"" }
     val failedJson = failed.mkString("[", ",", "]")
     val sf = sfDir.split('/').last
+    val isolation = if (inProc) "in-process" else "jvm"
     println(
-      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson%s,"sf":"$sf"}""")
-    spark.stop()
+      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qJson,"variance":$varJson,"runs":$childRuns,"isolation":"$isolation","failed":$failedJson%s,"sf":"$sf"}""")
     // A crashed query must not silently *shrink* the reported total — fail
     // the whole bench run loudly (after printing, so the JSON still shows
     // which queries died).

@@ -780,25 +780,50 @@ object Graph {
     * Trusses drop the loosely-attached edges cliques-ish communities
     * hang onto, which degree-based coring cannot see.
     *
-    * Per round: one wedge join on the DEGREE-ORIENTED edge list (each
+    * Round 1: one wedge join on the DEGREE-ORIENTED edge list (each
     * triangle found exactly once as an ordered (deg, id) triple), each
     * triangle credited to its three edges through ONE explode (the
     * join subtree is evaluated once, not re-run per crediting branch),
-    * and edges below support k−2 dropped. Scale posture: orientation
-    * by (degree, id) rather than raw id is the compact-forward trick —
-    * a hub's forward fan-out collapses to its HIGHER-degree neighbors
-    * (O(√m) of them) instead of the ~deg/2 an id-order leaves it, so
-    * the wedge candidate space is m^{3/2}-bounded with the constant
-    * the literature's enumeration achieves, on exactly the skewed
+    * and edges below support k−2 dropped. Orientation by (degree, id)
+    * rather than raw id is the compact-forward trick — a hub's forward
+    * fan-out collapses to its HIGHER-degree neighbors (O(√m) of them)
+    * instead of the ~deg/2 an id-order leaves it, so the wedge
+    * candidate space is m^{3/2}-bounded with the constant the
+    * literature's enumeration achieves, on exactly the skewed
     * co-occurrence graphs trusses are run on. The order is computed
     * ONCE from the input graph's degrees (any fixed total order
     * enumerates each triangle exactly once; support counts are
     * order-independent, so peeling semantics are unchanged) and the
     * loop peels in oriented (s, t) space — no per-round re-orientation
-    * joins. Support aggregation is map-side partial; the edge list
-    * persists per round, exactly one live copy. Input edges may arrive
-    * in either orientation (and with both directions present) — they
-    * are canonicalized, self-loops dropped.
+    * joins.
+    *
+    * Rounds 2+: INCREMENTAL support maintenance. A peel round that
+    * removed edge set R only changes the support of edges sharing a
+    * triangle with R, so re-enumerating every surviving triangle each
+    * round (the naive recurrence) pays the full m^{3/2} even when R is
+    * a handful of edges. Instead, the triangles LOST this round are
+    * enumerated with R always on the driving side — three |R|-keyed
+    * two-join chains, one per position the removed edge can occupy in
+    * the oriented triple — deduped (a triangle with two removed edges
+    * is found twice but died once), and their per-edge counts
+    * subtracted from the carried support: sup_{r+1}(e) = sup_r(e) −
+    * |{triangles ∋ e with an edge in R_r}|, identical to full
+    * re-counting against the survivor set (what the oracle replays)
+    * because a triangle survives iff all three edges survive. When a
+    * round removes nothing the supports are a fixpoint and remaining
+    * rounds are no-ops — the loop exits early with the same result.
+    *
+    * Scale posture: the one full enumeration is the unavoidable floor;
+    * every later round costs |R|·(forward degree) joins — proportional
+    * to the CHANGE, not the graph, exactly the property that keeps
+    * deep peels viable at 100 TB where survivor sets dwarf per-round
+    * removals. All round state is FreshCheckpoint-pinned (constant-size
+    * planning at any round count); superseded checkpoints are released
+    * as soon as the next round materializes, and only the result's
+    * checkpoint outlives the call. Support aggregation is map-side
+    * partial. Input edges may arrive in either orientation (and with
+    * both directions present) — they are canonicalized, self-loops
+    * dropped.
     *
     * @return surviving edges with their last-round support
     *         (u, v, sup) — u < v canonical; sup counted against the
@@ -808,6 +833,14 @@ object Graph {
   def kTrussPeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(k >= 3, "truss needs k >= 3")
     require(rounds >= 1, "needs at least one round")
+    val sc = edges.sparkSession.sparkContext
+    def fresh(d: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = org.apache.spark.sql.graft.FreshCheckpoint(d)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def release(ids: Set[Int]): Unit = ids.foreach(i =>
+      sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
     val simple = edges.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") < col("v")).distinct()
@@ -816,7 +849,7 @@ object Graph {
     // Orient each edge toward the (degree, id)-larger endpoint. The
     // degree table is node-sized (two keyed joins, once, outside the
     // loop); ties break on id so the order is total.
-    var e = simple
+    val (e0, e0Ids) = fresh(simple
       .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
       .select(
@@ -825,30 +858,78 @@ object Graph {
           struct(col("u").as("s"), col("v").as("t")))
           .otherwise(struct(col("v").as("s"), col("u").as("t")))
           .as("__o"))
-      .select(col("__o.s").as("s"), col("__o.t").as("t"))
-      .persist()
-    e.count()
-    var result: DataFrame = null
-    for (_ <- 1 to rounds) {
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.t") === col("e2.s"))
-        .join(e.as("e3"),
+      .select(col("__o.s").as("s"), col("__o.t").as("t")))
+    // Ordered-triple enumeration with a caller-chosen relation in each
+    // of the three edge positions; inner-join order follows the
+    // syntactic order, so passing the small set first keeps the chain
+    // |small|-keyed.
+    def triples(p1: DataFrame, p2: DataFrame, p3: DataFrame): DataFrame =
+      p1.as("e1")
+        .join(p2.as("e2"), col("e1.t") === col("e2.s"))
+        .join(p3.as("e3"),
           col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
         .select(col("e1.s").as("a"), col("e1.t").as("b"),
           col("e2.t").as("c"))
-      val sup = tri.select(explode(array(
-          struct(col("a").as("s"), col("b").as("t")),
-          struct(col("b").as("s"), col("c").as("t")),
-          struct(col("a").as("s"), col("c").as("t")))).as("__e"))
-        .groupBy(col("__e.s").as("s"), col("__e.t").as("t"))
-        .agg(count(lit(1)).as("sup"))
-      val next = sup.filter(col("sup") >= k - 2).persist()
-      next.count()
-      e.unpersist()
-      result = next
-      e = next
+    // Round 1: full enumeration — the base support every edge carries.
+    val sup1 = triples(e0, e0, e0).select(explode(array(
+        struct(col("a").as("s"), col("b").as("t")),
+        struct(col("b").as("s"), col("c").as("t")),
+        struct(col("a").as("s"), col("c").as("t")))).as("__e"))
+      .groupBy(col("__e.s").as("s"), col("__e.t").as("t"))
+      .agg(count(lit(1)).as("sup"))
+    var (supCur, supIds) = fresh(sup1.filter(col("sup") >= k - 2))
+    var prevEdges = e0            // the set supCur was counted against
+    var prevIds = e0Ids
+    var round = 1
+    var fixed = false
+    while (round < rounds && !fixed) {
+      val (removed, rIds) = fresh(prevEdges.select("s", "t")
+        .join(supCur.select("s", "t"), Seq("s", "t"), "left_anti"))
+      if (removed.isEmpty) {
+        release(rIds)
+        fixed = true
+      } else {
+        // Removed edge in position (a,b), (b,c), (a,c) respectively —
+        // R drives each chain. Edges of a lost triangle that were
+        // THEMSELVES removed simply find no match in the support join.
+        val lost = triples(removed, prevEdges, prevEdges)
+          .unionByName(
+            removed.as("e2")
+              .join(prevEdges.as("e1"), col("e1.t") === col("e2.s"))
+              .join(prevEdges.as("e3"),
+                col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+              .select(col("e1.s").as("a"), col("e1.t").as("b"),
+                col("e2.t").as("c")))
+          .unionByName(
+            removed.as("e3")
+              .join(prevEdges.as("e1"), col("e1.s") === col("e3.s"))
+              .join(prevEdges.as("e2"),
+                col("e2.s") === col("e1.t") && col("e2.t") === col("e3.t"))
+              .select(col("e1.s").as("a"), col("e1.t").as("b"),
+                col("e2.t").as("c")))
+          .distinct()
+        val delta = lost.select(explode(array(
+            struct(col("a").as("s"), col("b").as("t")),
+            struct(col("b").as("s"), col("c").as("t")),
+            struct(col("a").as("s"), col("c").as("t")))).as("__e"))
+          .groupBy(col("__e.s").as("s"), col("__e.t").as("t"))
+          .agg(count(lit(1)).as("d"))
+        val (supNext, nextIds) = fresh(supCur
+          .join(delta, Seq("s", "t"), "left")
+          .select(col("s"), col("t"),
+            (col("sup") - coalesce(col("d"), lit(0L))).as("sup"))
+          .filter(col("sup") >= k - 2))
+        release(prevIds)
+        release(rIds)
+        prevEdges = supCur.select("s", "t")
+        prevIds = supIds
+        supCur = supNext
+        supIds = nextIds
+      }
+      round += 1
     }
-    result.select(least(col("s"), col("t")).as("u"),
+    if (prevIds != supIds) release(prevIds)
+    supCur.select(least(col("s"), col("t")).as("u"),
       greatest(col("s"), col("t")).as("v"), col("sup"))
   }
 
