@@ -777,15 +777,17 @@ object Dedup {
     // and the per-round cost doubles (probe-measured 0.5 s → 78 s on the
     // sf1 DBSCAN gate). FreshCheckpoint rebuilds the Dataset with default
     // stats: constant-size planning at any round count.
-    var liveCkpt: scala.collection.Set[Int] = Set.empty[Int]
+    // Release by EXACT handle (FreshCheckpoint.pinned), not by diffing the
+    // global persistent-RDD keyset: the diff captured any block persisted
+    // concurrently on the same context, and unpersisting someone else's
+    // in-use localCheckpoint block is an unrecoverable missing-block
+    // failure, not a recompute.
+    var liveCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     def checkpointed(d: DataFrame): DataFrame = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = org.apache.spark.sql.graft.FreshCheckpoint(d)
-      val added = sc.getPersistentRDDs.keySet.toSet -- before
-      liveCkpt.foreach(i =>
-        sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
-      liveCkpt = added
-      out
+      val p = org.apache.spark.sql.graft.FreshCheckpoint.pinned(d)
+      liveCkpt.foreach(_.unpersist(blocking = false))
+      liveCkpt = Some(p.rdd)
+      p.df
     }
     // Init = each endpoint's min over {itself, its neighbors} — ONE
     // aggregation (the self-loops put `itself` in the neighbor stream):

@@ -383,16 +383,16 @@ object Graph {
     // that reads its own checkpoint twice per iteration grows the stat
     // multiplicatively — see FreshCheckpoint's scaladoc for the measured
     // pointer-jump blowup this prevents.
-    val sc = edges.sparkSession.sparkContext
-    var liveCkpt: scala.collection.Set[Int] = Set.empty[Int]
+    // Release by EXACT handle, not by diffing the global persistent-RDD
+    // keyset: the diff captured any block persisted concurrently on the
+    // same context, and unpersisting someone else's in-use localCheckpoint
+    // block is an unrecoverable missing-block failure.
+    var liveCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     def checkpointed(d: DataFrame): DataFrame = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = org.apache.spark.sql.graft.FreshCheckpoint(d)
-      val added = sc.getPersistentRDDs.keySet.toSet -- before
-      liveCkpt.foreach(i =>
-        sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
-      liveCkpt = added
-      out
+      val p = org.apache.spark.sql.graft.FreshCheckpoint.pinned(d)
+      liveCkpt.foreach(_.unpersist(blocking = false))
+      liveCkpt = Some(p.rdd)
+      p.df
     }
     // `rnk` internally: `rank` is a window-function name to the SQL parser
     // inside expr(), and `div` has no Column-API operator.
@@ -797,11 +797,10 @@ object Graph {
     * loop peels in oriented (s, t) space — no per-round re-orientation
     * joins.
     *
-    * Rounds 2+: INCREMENTAL support maintenance. A peel round that
-    * removed edge set R only changes the support of edges sharing a
-    * triangle with R, so re-enumerating every surviving triangle each
-    * round (the naive recurrence) pays the full m^{3/2} even when R is
-    * a handful of edges. Instead, the triangles LOST this round are
+    * Rounds 2+: per-round CARDINALITY-DRIVEN choice between full
+    * re-enumeration and incremental support maintenance. A peel round
+    * that removed edge set R only changes the support of edges sharing
+    * a triangle with R, so when |R| is small the lost triangles are
     * enumerated with R always on the driving side — three |R|-keyed
     * two-join chains, one per position the removed edge can occupy in
     * the oriented triple — deduped (a triangle with two removed edges
@@ -809,15 +808,29 @@ object Graph {
     * subtracted from the carried support: sup_{r+1}(e) = sup_r(e) −
     * |{triangles ∋ e with an edge in R_r}|, identical to full
     * re-counting against the survivor set (what the oracle replays)
-    * because a triangle survives iff all three edges survive. When a
-    * round removes nothing the supports are a fixpoint and remaining
-    * rounds are no-ops — the loop exits early with the same result.
+    * because a triangle survives iff all three edges survive. But the
+    * delta form only wins when |R| ≪ survivors: when a peel removes a
+    * large share (a deep truss's first peel does exactly that), the
+    * three chains plus the lost-triangle distinct cost MORE than one
+    * survivor-driven re-enumeration — round 7 ran the delta
+    * unconditionally and regressed the sf0.1 10-truss 9.0 → 27.1 s
+    * isolated-median. So each round branches on |R| (free: the
+    * FreshCheckpoint forcing count already produced it) against the
+    * survivor count — removals above `deltaFrac` of survivors fall
+    * back to re-enumerating the (now smaller) survivor set. When the
+    * delta path does run, R is explicitly broadcast below a row bound:
+    * FreshCheckpoint tables plan with DEFAULT stats, so without the
+    * hint every chain sort-merge-shuffles the full survivor set
+    * against a handful of removed edges. When a round removes nothing
+    * the supports are a fixpoint and remaining rounds are no-ops — the
+    * loop exits early with the same result.
     *
     * Scale posture: the one full enumeration is the unavoidable floor;
-    * every later round costs |R|·(forward degree) joins — proportional
-    * to the CHANGE, not the graph, exactly the property that keeps
-    * deep peels viable at 100 TB where survivor sets dwarf per-round
-    * removals. All round state is FreshCheckpoint-pinned (constant-size
+    * later rounds cost min(full recount over the shrinking survivor
+    * set, |R|·(forward degree) delta joins) — proportional to the
+    * smaller of the CHANGE and the residue, which keeps deep peels
+    * viable at 100 TB whether a round removes a sliver or a flood.
+    * All round state is FreshCheckpoint-pinned (constant-size
     * planning at any round count); superseded checkpoints are released
     * as soon as the next round materializes, and only the result's
     * checkpoint outlives the call. Support aggregation is map-side
@@ -830,17 +843,21 @@ object Graph {
     *         PREVIOUS round's survivors, the value the final filter
     *         tested
     */
-  def kTrussPeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+  def kTrussPeel(edges: DataFrame, k: Long, rounds: Int,
+                 deltaFrac: Double = 0.125): DataFrame = {
     require(k >= 3, "truss needs k >= 3")
     require(rounds >= 1, "needs at least one round")
-    val sc = edges.sparkSession.sparkContext
-    def fresh(d: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = org.apache.spark.sql.graft.FreshCheckpoint(d)
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def release(ids: Set[Int]): Unit = ids.foreach(i =>
-      sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
+    require(deltaFrac >= 0.0 && deltaFrac <= 1.0, "deltaFrac in [0,1]")
+    import org.apache.spark.sql.graft.FreshCheckpoint
+    import org.apache.spark.sql.graft.FreshCheckpoint.Pinned
+    def fresh(d: DataFrame): Pinned = FreshCheckpoint.pinned(d)
+    def release(p: Pinned): Unit = p.rdd.unpersist(blocking = false)
+    // Broadcast bound for the removed set on the delta path: 2 longs per
+    // row, so 1M rows ≈ 16 MB on the wire — safely under executor memory
+    // at any realistic configuration. Above it the chains fall back to
+    // shuffle joins (and at that size the full-recount branch has almost
+    // certainly been taken anyway).
+    val broadcastMaxRows = 1L << 20
     val simple = edges.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") < col("v")).distinct()
@@ -849,7 +866,7 @@ object Graph {
     // Orient each edge toward the (degree, id)-larger endpoint. The
     // degree table is node-sized (two keyed joins, once, outside the
     // loop); ties break on id so the order is total.
-    val (e0, e0Ids) = fresh(simple
+    val e0P = fresh(simple
       .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
       .select(
@@ -870,66 +887,78 @@ object Graph {
           col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
         .select(col("e1.s").as("a"), col("e1.t").as("b"),
           col("e2.t").as("c"))
+    // Support of every edge counted within edge set `e`: enumerate each
+    // triangle once, credit its three edges through ONE explode.
+    def supportOf(e: DataFrame): DataFrame =
+      triples(e, e, e).select(explode(array(
+          struct(col("a").as("s"), col("b").as("t")),
+          struct(col("b").as("s"), col("c").as("t")),
+          struct(col("a").as("s"), col("c").as("t")))).as("__e"))
+        .groupBy(col("__e.s").as("s"), col("__e.t").as("t"))
+        .agg(count(lit(1)).as("sup"))
     // Round 1: full enumeration — the base support every edge carries.
-    val sup1 = triples(e0, e0, e0).select(explode(array(
-        struct(col("a").as("s"), col("b").as("t")),
-        struct(col("b").as("s"), col("c").as("t")),
-        struct(col("a").as("s"), col("c").as("t")))).as("__e"))
-      .groupBy(col("__e.s").as("s"), col("__e.t").as("t"))
-      .agg(count(lit(1)).as("sup"))
-    var (supCur, supIds) = fresh(sup1.filter(col("sup") >= k - 2))
-    var prevEdges = e0            // the set supCur was counted against
-    var prevIds = e0Ids
+    var supP = fresh(supportOf(e0P.df).filter(col("sup") >= k - 2))
+    var prevP = e0P               // the set supP was counted against
     var round = 1
     var fixed = false
     while (round < rounds && !fixed) {
-      val (removed, rIds) = fresh(prevEdges.select("s", "t")
-        .join(supCur.select("s", "t"), Seq("s", "t"), "left_anti"))
-      if (removed.isEmpty) {
-        release(rIds)
+      val remP = fresh(prevP.df.select("s", "t")
+        .join(supP.df.select("s", "t"), Seq("s", "t"), "left_anti"))
+      if (remP.rows == 0L) {
+        release(remP)
         fixed = true
       } else {
-        // Removed edge in position (a,b), (b,c), (a,c) respectively —
-        // R drives each chain. Edges of a lost triangle that were
-        // THEMSELVES removed simply find no match in the support join.
-        val lost = triples(removed, prevEdges, prevEdges)
-          .unionByName(
-            removed.as("e2")
-              .join(prevEdges.as("e1"), col("e1.t") === col("e2.s"))
-              .join(prevEdges.as("e3"),
-                col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
-              .select(col("e1.s").as("a"), col("e1.t").as("b"),
-                col("e2.t").as("c")))
-          .unionByName(
-            removed.as("e3")
-              .join(prevEdges.as("e1"), col("e1.s") === col("e3.s"))
-              .join(prevEdges.as("e2"),
-                col("e2.s") === col("e1.t") && col("e2.t") === col("e3.t"))
-              .select(col("e1.s").as("a"), col("e1.t").as("b"),
-                col("e2.t").as("c")))
-          .distinct()
-        val delta = lost.select(explode(array(
-            struct(col("a").as("s"), col("b").as("t")),
-            struct(col("b").as("s"), col("c").as("t")),
-            struct(col("a").as("s"), col("c").as("t")))).as("__e"))
-          .groupBy(col("__e.s").as("s"), col("__e.t").as("t"))
-          .agg(count(lit(1)).as("d"))
-        val (supNext, nextIds) = fresh(supCur
-          .join(delta, Seq("s", "t"), "left")
-          .select(col("s"), col("t"),
-            (col("sup") - coalesce(col("d"), lit(0L))).as("sup"))
-          .filter(col("sup") >= k - 2))
-        release(prevIds)
-        release(rIds)
-        prevEdges = supCur.select("s", "t")
-        prevIds = supIds
-        supCur = supNext
-        supIds = nextIds
+        val nextP = if (remP.rows > deltaFrac * supP.rows) {
+          // Removals dominate: one survivor-driven re-enumeration over
+          // the (smaller) survivor set beats three removal-driven
+          // chains that would each walk near-full wedge sets.
+          fresh(supportOf(supP.df.select("s", "t"))
+            .filter(col("sup") >= k - 2))
+        } else {
+          val prevEdges = prevP.df.select("s", "t")
+          val removed =
+            if (remP.rows <= broadcastMaxRows) broadcast(remP.df)
+            else remP.df
+          // Removed edge in position (a,b), (b,c), (a,c) respectively —
+          // R drives each chain. Edges of a lost triangle that were
+          // THEMSELVES removed simply find no match in the support join.
+          val lost = triples(removed, prevEdges, prevEdges)
+            .unionByName(
+              removed.as("e2")
+                .join(prevEdges.as("e1"), col("e1.t") === col("e2.s"))
+                .join(prevEdges.as("e3"),
+                  col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+                .select(col("e1.s").as("a"), col("e1.t").as("b"),
+                  col("e2.t").as("c")))
+            .unionByName(
+              removed.as("e3")
+                .join(prevEdges.as("e1"), col("e1.s") === col("e3.s"))
+                .join(prevEdges.as("e2"),
+                  col("e2.s") === col("e1.t") && col("e2.t") === col("e3.t"))
+                .select(col("e1.s").as("a"), col("e1.t").as("b"),
+                  col("e2.t").as("c")))
+            .distinct()
+          val delta = lost.select(explode(array(
+              struct(col("a").as("s"), col("b").as("t")),
+              struct(col("b").as("s"), col("c").as("t")),
+              struct(col("a").as("s"), col("c").as("t")))).as("__e"))
+            .groupBy(col("__e.s").as("s"), col("__e.t").as("t"))
+            .agg(count(lit(1)).as("d"))
+          fresh(supP.df
+            .join(delta, Seq("s", "t"), "left")
+            .select(col("s"), col("t"),
+              (col("sup") - coalesce(col("d"), lit(0L))).as("sup"))
+            .filter(col("sup") >= k - 2))
+        }
+        release(prevP)
+        release(remP)
+        prevP = supP
+        supP = nextP
       }
       round += 1
     }
-    if (prevIds != supIds) release(prevIds)
-    supCur.select(least(col("s"), col("t")).as("u"),
+    if (prevP.rdd ne supP.rdd) release(prevP)
+    supP.df.select(least(col("s"), col("t")).as("u"),
       greatest(col("s"), col("t")).as("v"), col("sup"))
   }
 

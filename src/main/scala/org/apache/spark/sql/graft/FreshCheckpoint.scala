@@ -1,6 +1,8 @@
 package org.apache.spark.sql.graft
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
 
 /** Eager local checkpoint that does NOT inherit the origin plan's
   * Catalyst statistics.
@@ -28,12 +30,32 @@ import org.apache.spark.sql.DataFrame
   * (the same placement the native expressions use).
   */
 object FreshCheckpoint {
-  def apply(df: DataFrame): DataFrame = {
+
+  /** A checkpointed round table: the rebuilt DataFrame, the EXACT RDD
+    * handle whose blocks back it, and the row count the forcing count
+    * already produced (free to the caller — peel loops branch on it).
+    * Release with `rdd.unpersist(blocking = false)` once the round that
+    * used it has materialized its successor.
+    */
+  final case class Pinned(df: DataFrame, rdd: RDD[InternalRow], rows: Long)
+
+  def apply(df: DataFrame): DataFrame = pinned(df).df
+
+  /** Like `apply`, but also returns the checkpointed RDD handle so the
+    * caller can later release EXACTLY the block it created. Iterative
+    * operators used to identify their checkpoint block by diffing the
+    * global `sc.getPersistentRDDs` keyset around this call — which
+    * captures any RDD persisted concurrently on the same context and,
+    * because these are localCheckpoint blocks, unpersisting someone
+    * else's still-in-use block is an unrecoverable missing-block
+    * failure, not a recompute.
+    */
+  def pinned(df: DataFrame): Pinned = {
     val spark = df.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val rdd = df.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count()
-    spark.internalCreateDataFrame(rdd, df.schema)
+    val n = rdd.count()
+    Pinned(spark.internalCreateDataFrame(rdd, df.schema), rdd, n)
   }
 }
