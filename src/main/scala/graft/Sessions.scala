@@ -61,6 +61,16 @@ object Sessions {
     // pathological group counts beyond it. Cluster profiles should
     // re-derive: threshold ≈ (executor heap × 0.2) / (k × 8 B × cores).
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    // BloomFilterAggregate validates its item/bit arguments against these
+    // runtime-filter confs even when constructed explicitly (BloomOps).
+    // The defaults (4M items / 67M bits) are sized for join runtime
+    // filters; membership sketches over whole edge sets (k-truss closure
+    // pre-filter) and shingle vocabularies legitimately carry 10-100M
+    // keys. 2^30 bits = 128 MB is the ceiling a sketch literal may reach;
+    // BloomOps caps its optimal-bits request to the same bound so fpp
+    // degrades gracefully instead of failing past it.
+    .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "100000000")
+    .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "1073741824")
     // events.ts is parquet TIMESTAMP(NANOS): surfaced as nanos-since-epoch
     // LongType (Tables.scala normalizes it back to TimestampType @ micros).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

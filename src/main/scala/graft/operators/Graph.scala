@@ -267,26 +267,43 @@ object Graph {
     * list closes the a—c side. Each corner of every closed triangle is
     * exploded out and counted per node.
     *
-    * Scale posture: two hash-shuffle equijoins on node ids plus one
-    * aggregation — no cross join, no adjacency list collected anywhere.
-    * The id-ordering (a < b < c) both deduplicates (each triangle counted
-    * exactly once, not 6×) and bounds the wedge fan-out to "higher
-    * neighbors" — the standard compact-forward bound of m^(3/2) candidate
-    * wedges regardless of skew. At 100 TB-class graphs the same plan
-    * holds; a degree-ordered relabeling (rank nodes by degree first)
-    * tightens the bound further and composes with this operator unchanged.
+    * Scale posture: one hash-shuffle wedge join plus one aggregation —
+    * no cross join, no adjacency list collected anywhere — and the
+    * m^(3/2)-bounded candidate wedge stream is Bloom-filtered against
+    * the edge-set sketch INSIDE the join pipeline, so only ~|triangles|
+    * rows (plus ~1% false positives, discarded by the exact closing
+    * join) ever reach an exchange. The id-ordering (a < b < c) both
+    * deduplicates (each triangle counted exactly once, not 6×) and
+    * bounds the wedge fan-out to "higher neighbors". At 100 TB-class
+    * graphs the same plan holds (the sketch is bit-capped with
+    * gracefully degrading fpp); a degree-ordered relabeling tightens
+    * the candidate bound further and composes unchanged.
     *
     * @param pairs undirected unique pairs: (src, dst) long columns with
     *              src < dst per row
     * @return (id, triangles) for every node on at least one triangle
     */
   def triangleCounts(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.BloomOps
     val p = pairs.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
+    // The closure side never meets the wedge stream in an exchange:
+    // candidate wedges are m^(3/2)-many while closed triangles are
+    // typically ~|edges|-many, so shuffling + sorting wedges for the
+    // closing join dominates everything (probed on the k-truss sibling:
+    // ~80% of the sf1 wall time). A Bloom sketch of the edge set — built
+    // eagerly here with two extra passes over the (lazy) input, and
+    // exact-verified by the closing join, so false positives only cost a
+    // few extra probe rows — filters the wedge stream inside the join's
+    // output pipeline instead.
+    val m = p.count()
+    val sketch = p.agg(BloomOps.bloomAgg(struct(col("src"), col("dst")),
+        math.max(m, 1L), 0.01).as("bf")).head().getAs[Array[Byte]]("bf")
     val wedges = p.select(col("src").as("a"), col("dst").as("b"))
       .join(p.select(col("src").as("b"), col("dst").as("c")), "b")
-    val tri = wedges.join(
-      p.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+    val tri = wedges
+      .filter(BloomOps.mightContain(lit(sketch), struct(col("a"), col("c"))))
+      .join(p.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
   }
@@ -861,12 +878,27 @@ object Graph {
     val simple = edges.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") < col("v")).distinct()
-    val deg = simple.select(explode(array(col("u"), col("v"))).as("id"))
+    // Canonical edge list is consumed three times below (degree build,
+    // degree count, orientation) — persist it so the pair join +
+    // distinct doesn't re-run per consumer. A plain persist, not a
+    // checkpoint: it shares blocks lazily with the e0 pipeline without
+    // paying a second materialization pass, and it lives only until e0
+    // is pinned (no loop self-join ever sees its stats).
+    val simpleC = simple
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val degBase = simpleC
+      .select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("d"))
-    // Orient each edge toward the (degree, id)-larger endpoint. The
-    // degree table is node-sized (two keyed joins, once, outside the
-    // loop); ties break on id so the order is total.
-    val e0P = fresh(simple
+    // Orient each edge toward the (degree, id)-larger endpoint — ties
+    // break on id so the order is total. The degree table is node-sized;
+    // when it is broadcastable the two orientation joins become
+    // map-side (the edge list never shuffles for orientation). Counting
+    // it to decide is one aggregate over the checkpointed edges; the
+    // count gates the hint because checkpoint-era tables plan with
+    // default stats and would otherwise sort-merge.
+    val deg =
+      if (degBase.count() <= 8000000L) broadcast(degBase) else degBase
+    val e0P = fresh(simpleC
       .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
       .select(
@@ -876,6 +908,7 @@ object Graph {
           .otherwise(struct(col("v").as("s"), col("u").as("t")))
           .as("__o"))
       .select(col("__o.s").as("s"), col("__o.t").as("t")))
+    simpleC.unpersist(blocking = false)   // e0 is checkpointed; inputs done
     // Ordered-triple enumeration with a caller-chosen relation in each
     // of the three edge positions; inner-join order follows the
     // syntactic order, so passing the small set first keeps the chain
@@ -887,17 +920,68 @@ object Graph {
           col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
         .select(col("e1.s").as("a"), col("e1.t").as("b"),
           col("e2.t").as("c"))
-    // Support of every edge counted within edge set `e`: enumerate each
-    // triangle once, credit its three edges through ONE explode.
-    def supportOf(e: DataFrame): DataFrame =
-      triples(e, e, e).select(explode(array(
+    // Support of every edge counted within edge set `e` (`eRows` rows):
+    // enumerate each triangle once, credit its three edges through ONE
+    // explode. Triangle enumeration is the peel's cost center, and the
+    // cost is NOT the triangles (sf1: 12M edges close only 16M
+    // triangles) — it is the BILLIONS of candidate wedges the naive
+    // 3-way self-join shuffles and sorts to meet the closure edge
+    // (probed round 8: that sort was ~80% of the 63 s sf1 gate). So
+    // candidates never reach an exchange here: the closure test is a
+    // Bloom sketch of the edge set probed INSIDE the wedge join's
+    // output pipeline — a codegen projection with no false negatives —
+    // and only the ~|triangles| survivors (plus ~fpp false positives)
+    // meet the exact confirming edge join. The wedge pivot is chosen by
+    // measured candidate counts: a 2-path a→b→c can be generated once
+    // at its middle node (Σ d⁻·d⁺ candidates) or once at its source
+    // (Σ d⁺·(d⁺−1)); which is smaller is a graph property, so both sums
+    // come from the node-degree table (two cheap aggregates) and the
+    // smaller enumeration runs. Exactness: the Bloom pre-filter only
+    // DISCARDS non-edges; every kept candidate is re-checked by the
+    // join, so the support counts are exact regardless of fpp.
+    def supportOf(e: DataFrame, eRows: Long): DataFrame = {
+      import org.apache.spark.sql.graft.BloomOps
+      val sketch = e.agg(BloomOps.bloomAgg(struct(col("s"), col("t")),
+          math.max(eRows, 1L), 0.01).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val dd = e.select(col("s").as("id"), lit(1L).as("o"), lit(0L).as("i"))
+        .unionByName(
+          e.select(col("t").as("id"), lit(0L).as("o"), lit(1L).as("i")))
+        .groupBy("id").agg(sum("o").as("dout"), sum("i").as("din"))
+      val w = dd.agg(
+        sum((col("din") * col("dout")).cast("decimal(38,0)")).as("wio"),
+        sum((col("dout") * (col("dout") - 1)).cast("decimal(38,0)"))
+          .as("woo")).head()
+      def dec(i: Int): BigInt = Option(w.getDecimal(i))
+        .map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
+      val sourcePivot = dec(1) < dec(0)
+      val wedges =
+        if (sourcePivot)
+          e.as("e1").join(e.as("e2"),
+              col("e1.s") === col("e2.s") && col("e1.t") =!= col("e2.t"))
+            .select(col("e1.s").as("a"), col("e1.t").as("b"),
+              col("e2.t").as("c"))
+        else
+          e.as("e1").join(e.as("e2"), col("e1.t") === col("e2.s"))
+            .select(col("e1.s").as("a"), col("e1.t").as("b"),
+              col("e2.t").as("c"))
+      // The wedge's missing edge: (b,c) under a source pivot (e1/e2
+      // share the source a), (a,c) under a middle pivot.
+      val (ms, mt) = if (sourcePivot) ("b", "c") else ("a", "c")
+      val tri = wedges
+        .filter(BloomOps.mightContain(lit(sketch), struct(col(ms), col(mt))))
+        .join(e.as("e3"),
+          col(ms) === col("e3.s") && col(mt) === col("e3.t"))
+        .select(col("a"), col("b"), col("c"))
+      tri.select(explode(array(
           struct(col("a").as("s"), col("b").as("t")),
           struct(col("b").as("s"), col("c").as("t")),
           struct(col("a").as("s"), col("c").as("t")))).as("__e"))
         .groupBy(col("__e.s").as("s"), col("__e.t").as("t"))
         .agg(count(lit(1)).as("sup"))
+    }
     // Round 1: full enumeration — the base support every edge carries.
-    var supP = fresh(supportOf(e0P.df).filter(col("sup") >= k - 2))
+    var supP = fresh(supportOf(e0P.df, e0P.rows).filter(col("sup") >= k - 2))
     var prevP = e0P               // the set supP was counted against
     var round = 1
     var fixed = false
@@ -912,7 +996,7 @@ object Graph {
           // Removals dominate: one survivor-driven re-enumeration over
           // the (smaller) survivor set beats three removal-driven
           // chains that would each walk near-full wedge sets.
-          fresh(supportOf(supP.df.select("s", "t"))
+          fresh(supportOf(supP.df.select("s", "t"), supP.rows)
             .filter(col("sup") >= k - 2))
         } else {
           val prevEdges = prevP.df.select("s", "t")

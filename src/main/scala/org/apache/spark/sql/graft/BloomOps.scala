@@ -31,7 +31,11 @@ object BloomOps {
   def bloomAgg(values: Column, expectedItems: Long, fpp: Double): Column = {
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0 && fpp < 1, "fpp in (0, 1)")
-    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    // Cap at 2^30 bits (128 MB, the Sessions.withDefaults maxNumBits
+    // ceiling): past it the sketch keeps working with a gracefully
+    // degrading fpp — callers treat hits as candidates to verify anyway.
+    val numBits = math.min(
+      BloomFilter.optimalNumOfBits(expectedItems, fpp), 1L << 30)
     ExpressionUtils.column(new BloomFilterAggregate(
       ExpressionUtils.expression(xxhash64(values)),
       Literal(expectedItems),
