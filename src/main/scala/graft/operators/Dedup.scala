@@ -782,22 +782,34 @@ object Dedup {
     // concurrently on the same context, and unpersisting someone else's
     // in-use localCheckpoint block is an unrecoverable missing-block
     // failure, not a recompute.
-    var liveCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
-    def checkpointed(d: DataFrame): DataFrame = {
-      val p = org.apache.spark.sql.graft.FreshCheckpoint.pinned(d)
-      liveCkpt.foreach(_.unpersist(blocking = false))
-      liveCkpt = Some(p.rdd)
-      p.df
+    //
+    // Round pinning is a LAZY FreshCheckpoint: the eager forcing count a
+    // plain FreshCheckpoint pays per round is a whole extra job of pure
+    // fixed cost on converging loops (probed round 8, x2_reclink_resolve
+    // warm: the resolve stage was ~1.1 s of a 1.5 s gate, dominated by
+    // per-round job count, not data). Here the convergence aggregate
+    // doubles as the forcing action, so a round costs exactly ONE job
+    // while keeping the per-round default-stats/truncated-lineage
+    // properties the sf1 DBSCAN probe showed are load-bearing. (A lazy
+    // persist was probed too and lost: building the columnar cache costs
+    // more than storing checkpoint row blocks.) A superseded round is
+    // released only AFTER its successor materializes — the successor's
+    // plan reads the predecessor's blocks.
+    var livePin: List[() => Unit] = Nil
+    def pinRound(d: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val p = org.apache.spark.sql.graft.FreshCheckpoint.lazyPinned(d)
+      val s = labelSum(p.df)         // the forcing action for the pin
+      livePin.foreach(f => f())      // predecessors now safe to release
+      livePin = List(() => p.rdd.unpersist(blocking = false))
+      (p.df, s)
     }
     // Init = each endpoint's min over {itself, its neighbors} — ONE
     // aggregation (the self-loops put `itself` in the neighbor stream):
     // the first propagation round for free. Typical near-dup clusters
     // (diameter <= 2) then converge on the first in-loop round's
     // no-change check.
-    var labels = checkpointed(edges
-      .groupBy(col("src").as("id")).agg(min("dst").as("cluster")))
     // Convergence test: labels only ever decrease, so the exact label sum
-    // is strictly monotone — one scan-free aggregate over the checkpointed
+    // is strictly monotone — one scan-free aggregate over the pinned
     // table per round replaces a join + count job. Decimal(38,0) keeps the
     // sum exact at any corpus size.
     def labelSum(l: DataFrame): java.math.BigDecimal = {
@@ -806,7 +818,8 @@ object Dedup {
       val d = l.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
-    var prevSum = labelSum(labels)
+    var (labels, prevSum) = pinRound(edges
+      .groupBy(col("src").as("id")).agg(min("dst").as("cluster")))
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -815,10 +828,9 @@ object Dedup {
       // in `edges` deliver u's own label through the same join, so the
       // former join→agg→left-join chain (two joins per round) is now a
       // single join, a third less shuffle work per round.
-      val prop = checkpointed(edges
+      val (prop, propSum) = pinRound(edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("cluster").as("cluster")))
-      val propSum = labelSum(prop)
       if (propSum.compareTo(prevSum) == 0) {
         // Propagate-fixpoint: every label already equals the min over its
         // closed neighborhood, which IS the component min — the pointer
@@ -833,11 +845,11 @@ object Dedup {
         // label value is itself an id (labels are mins of ids), so the
         // self-join keeps all rows; monotonicity makes the jumped label
         // the smaller one.
-        val next = checkpointed(prop.as("a")
+        val (next, nextSum) = pinRound(prop.as("a")
           .join(prop.select(col("id").as("cluster"), col("cluster").as("cc"))
             .as("b"), "cluster")
           .select(col("id"), col("cc").as("cluster")))
-        prevSum = labelSum(next)
+        prevSum = nextSum
         labels = next
       }
       round += 1
