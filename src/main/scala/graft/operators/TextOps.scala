@@ -206,6 +206,58 @@ object TextOps {
       .drop("pair", "merged")
   }
 
+  /** BPE VOCABULARY LEARNING: [[bpeMergeRound]] iterated `rounds` times —
+    * the tokenizer-training loop an LLM pipeline actually runs. Per round
+    * the globally most frequent adjacent token pair (ties to the
+    * lexicographically smallest, the deterministic trainer rule) is
+    * merged corpus-wide by the greedy non-overlapping left-to-right
+    * scanner, and the pair enters the vocabulary with its rank and its
+    * pre-merge frequency. BPE's global argmax makes the rounds
+    * inherently sequential — that is the algorithm, not an
+    * implementation choice.
+    *
+    * Scale posture: a round is one bigram explode into a count aggregate
+    * (map-side partials absorb the stream) + a 1-row top-1 collected to
+    * the driver; the merge itself is a pure codegen `replace` projection
+    * with LITERAL search/replacement (no join, no broadcast, the corpus
+    * never shuffles). Rounds stack projections on the scan, so round r
+    * re-derives r-1 merges map-side — linear plan growth, bounded by
+    * `rounds`, and exactly how a distributed trainer amortizes at 100 TB
+    * (the alternative — materializing the merged corpus per round —
+    * writes the whole corpus `rounds` times).
+    *
+    * Output: (rank, pair, merged, freq) — the ranked merge table, one
+    * row per learned merge (fewer if the corpus runs out of repeated
+    * bigrams early).
+    */
+  def bpeLearnVocab(df: DataFrame, idCol: String, textCol: String,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, "rounds in [1,64]")
+    val spark = df.sparkSession
+    var cur = df.select(col(idCol), col(textCol).as("__txt"))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val best = Par.spread(cur)
+        .select(explode(shingles(tokens(col("__txt")), 2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val merged = pair.replace(' ', '_')
+        merges += ((r.toLong, pair, merged, best(0).getLong(1)))
+        cur = cur.withColumn("__txt",
+          org.apache.spark.sql.functions.replace(
+            col("__txt"), lit(pair), lit(merged)))
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "pair", "merged", "freq")
+  }
+
   /** Hashing-trick bag-of-words: tokens are bucketed by the first
     * `hexDigits` characters of their md5 (16^hexDigits buckets), counts
     * aggregated per (doc, bucket) — the fixed-width sparse feature vector

@@ -2101,6 +2101,241 @@ object Extensions extends QueryModule {
         .orderBy("lang")
     },
 
+    // The FULL pretraining corpus build, end to end (third capstone):
+    // benchmark carve-out → boilerplate strip → quality model →
+    // exact dedup → near dedup (keep longest) → semantic dedup
+    // (SemDeDup over the embedding table where embeddings exist) →
+    // decontamination vs the benchmark shingles → per-language token
+    // budget → 256-token packing → 4096-char shards → leakage-safe
+    // split (hash of the NEAR-DUP CLUSTER label, so a cluster can never
+    // straddle train/val/test). Every stage is an existing green
+    // operator; the gate prices the whole composition — per-language
+    // survivor counts at every stage plus pack/shard/split tallies.
+    QueryDef("x6_curation3", Some("""
+      WITH RECURSIVE
+      raw AS (SELECT doc_id, lang, source, text FROM documents
+              WHERE doc_id % 17 <> 0),
+      bh AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+      tk0 AS (SELECT doc_id, source, string_split(text,' ') AS ws FROM raw),
+      segs AS (SELECT doc_id, source, i AS pos,
+                     array_to_string(ws[(i*8+1):(i*8+8)],' ') AS seg
+               FROM tk0, LATERAL (SELECT unnest(range(CAST(ceil(len(ws)/8.0)
+                                                   AS BIGINT))) AS i) ii),
+      dfq AS (SELECT source, seg, count(DISTINCT doc_id) AS df
+              FROM segs GROUP BY 1, 2),
+      ks AS (SELECT doc_id, pos, seg
+             FROM segs JOIN dfq USING (source, seg) WHERE df < 2),
+      strp AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS ctext
+               FROM ks GROUP BY doc_id),
+      st AS (SELECT s.doc_id, r.lang, s.ctext FROM strp s JOIN raw r USING (doc_id)),
+      q AS (SELECT doc_id, lang, ctext,
+                   CAST(len(string_split(ctext,' ')) AS BIGINT) AS n_tok
+            FROM st
+            WHERE -2.0
+              + 3.0 * (CAST(len(list_distinct(string_split(ctext,' '))) AS DOUBLE)
+                       / CAST(len(string_split(ctext,' ')) AS DOUBLE))
+              + 5.0 * (CAST(len(list_filter(string_split(ctext,' '),
+                         tw -> tw IN ('the','a','of','and','to','is'))) AS DOUBLE)
+                       / CAST(len(string_split(ctext,' ')) AS DOUBLE))
+              + 0.25 * (CAST(length(ctext) - len(string_split(ctext,' ')) + 1 AS DOUBLE)
+                        / CAST(len(string_split(ctext,' ')) AS DOUBLE))
+              >= CAST(0.7 AS DOUBLE)),
+      exm AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(ctext)),
+      exd AS (SELECT q.* FROM q JOIN exm USING (doc_id)),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS shingle
+             FROM (SELECT doc_id, string_split(ctext,' ') AS toks FROM exd) dd,
+                  LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-1,1))) AS i) ii),
+      cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pr AS (SELECT da, db
+             FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+             WHERE CAST(ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - ni AS DOUBLE)
+                   >= CAST(0.8 AS DOUBLE)),
+      eg AS (SELECT da AS src, db AS dst FROM pr UNION ALL SELECT db, da FROM pr),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM exd
+        UNION
+        SELECT e.src, rc.r FROM eg e JOIN reach rc ON e.dst = rc.id),
+      cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      bst AS (SELECT exd.*, row_number() OVER (PARTITION BY cl.cluster
+                ORDER BY exd.n_tok DESC, exd.doc_id) AS rn
+              FROM exd JOIN cl ON exd.doc_id = cl.id),
+      nr AS (SELECT doc_id, lang, ctext, n_tok FROM bst WHERE rn = 1),
+      ctr AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id < 8),
+      sv AS (SELECT n.doc_id AS id, CAST(e.embedding AS DOUBLE[]) AS vv
+             FROM nr n JOIN embeddings e ON e.vec_id = n.doc_id),
+      asn AS (SELECT id, vv, cid, row_number() OVER (PARTITION BY id ORDER BY
+                list_dot_product(vv, cv)
+                  / sqrt(list_dot_product(vv, vv) * list_dot_product(cv, cv))
+                  DESC, cid) AS rk
+              FROM sv, ctr),
+      cel AS (SELECT id, vv, cid AS cell FROM asn WHERE rk = 1),
+      drp AS (SELECT DISTINCT b.id FROM cel a JOIN cel b
+              ON a.cell = b.cell AND a.id < b.id
+              WHERE list_dot_product(a.vv, b.vv)
+                      / sqrt(list_dot_product(a.vv, a.vv)
+                             * list_dot_product(b.vv, b.vv))
+                    >= CAST(0.35 AS DOUBLE)),
+      sem AS (SELECT * FROM nr WHERE doc_id NOT IN (SELECT id FROM drp)),
+      tsh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS shingle
+              FROM (SELECT doc_id, string_split(ctext,' ') AS toks FROM sem) dd,
+                   LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-1,1))) AS i) ii),
+      bsh AS (SELECT DISTINCT array_to_string(toks[i:i+2],' ') AS shingle
+              FROM (SELECT string_split(text,' ') AS toks FROM bh) dd,
+                   LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-1,1))) AS i) ii),
+      scn AS (SELECT t.doc_id, count(*) AS n_sh,
+                     CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hit
+              FROM tsh t LEFT JOIN bsh b ON t.shingle = b.shingle
+              GROUP BY t.doc_id),
+      cont AS (SELECT doc_id FROM scn
+               WHERE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE)
+                     >= CAST(0.5 AS DOUBLE)),
+      cln AS (SELECT * FROM sem WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      bud AS (SELECT doc_id, lang, ctext, n_tok,
+                sum(n_tok) OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM cln),
+      fin AS (SELECT doc_id, lang, ctext, n_tok FROM bud
+              WHERE cum - n_tok < (CASE lang WHEN 'en' THEN 2000 ELSE 800 END)),
+      pk AS (SELECT doc_id, lang, n_tok,
+               (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+                 - n_tok) // 256 AS pack,
+               (sum(length(ctext)) OVER (PARTITION BY lang ORDER BY doc_id)
+                 - length(ctext)) // 4096 AS byte_shard
+             FROM fin),
+      sp AS (SELECT pk.*,
+               CASE WHEN substr(md5(CAST(cl.cluster AS VARCHAR)),1,2) < 'e6'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(cl.cluster AS VARCHAR)),1,2) < 'f3'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+             FROM pk JOIN cl ON pk.doc_id = cl.id),
+      agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_budget,
+                CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                CAST(count(DISTINCT pack) AS BIGINT) AS n_packs,
+                CAST(count(DISTINCT byte_shard) AS BIGINT) AS n_shards,
+                CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_train,
+                CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_val,
+                CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_test
+              FROM sp GROUP BY lang),
+      base AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_raw,
+                 CAST(sum(CASE WHEN s2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_strip,
+                 CAST(sum(CASE WHEN q2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_quality,
+                 CAST(sum(CASE WHEN e2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_exact,
+                 CAST(sum(CASE WHEN nr2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_near,
+                 CAST(sum(CASE WHEN sm2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_sem,
+                 CAST(sum(CASE WHEN c2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_clean
+               FROM documents d
+               LEFT JOIN (SELECT doc_id FROM st) s2 ON d.doc_id = s2.doc_id
+               LEFT JOIN (SELECT doc_id FROM q) q2 ON d.doc_id = q2.doc_id
+               LEFT JOIN (SELECT doc_id FROM exd) e2 ON d.doc_id = e2.doc_id
+               LEFT JOIN (SELECT doc_id FROM nr) nr2 ON d.doc_id = nr2.doc_id
+               LEFT JOIN (SELECT doc_id FROM sem) sm2 ON d.doc_id = sm2.doc_id
+               LEFT JOIN (SELECT doc_id FROM cln) c2 ON d.doc_id = c2.doc_id
+               GROUP BY d.lang)
+      SELECT b.lang, b.n_raw, b.n_strip, b.n_quality, b.n_exact, b.n_near,
+             b.n_sem, b.n_clean,
+             coalesce(a.n_budget, CAST(0 AS BIGINT)) AS n_budget,
+             coalesce(a.sum_tok, CAST(0 AS BIGINT)) AS sum_tok,
+             coalesce(a.n_packs, CAST(0 AS BIGINT)) AS n_packs,
+             coalesce(a.n_shards, CAST(0 AS BIGINT)) AS n_shards,
+             coalesce(a.n_train, CAST(0 AS BIGINT)) AS n_train,
+             coalesce(a.n_val, CAST(0 AS BIGINT)) AS n_val,
+             coalesce(a.n_test, CAST(0 AS BIGINT)) AS n_test
+      FROM base b LEFT JOIN agg a USING (lang) ORDER BY lang""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      val raw = docs.filter(col("doc_id") % 17 =!= 0)
+      val st = TextOps.stripBoilerplate(raw, "doc_id", "text",
+          segWords = 8, minDf = 2, scopeCols = Seq("source"))
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("text_kept").as("ctext"))
+        .join(raw.select("doc_id", "lang"), "doc_id")
+      val score = TextOps.linearQualityScore(col("ctext"), bias = -2.0,
+        wTtr = 3.0, wStop = 5.0, wAvgLen = 0.25, stopwords = enStop)
+      val q = st.filter(score >= 0.7)
+        .withColumn("n_tok", size(TextOps.tokens(col("ctext"))).cast("long"))
+      val ex = Dedup.exactKeepFirst(q.withColumn("__h", md5(col("ctext"))),
+          Seq("__h"), "doc_id").drop("__h")
+      val pairs = Dedup.jaccardPairs(ex, "doc_id", "ctext",
+        n = 3, threshold = 0.8)
+      val labels = Dedup.resolveClusters(ex, "doc_id", pairs)
+      val near = Dedup.dedupByClustersBest(ex, "doc_id", "n_tok", labels)
+      val svEmb = emb.join(near.select(col("doc_id").as("vec_id")), "vec_id")
+      val semKeep = Similarity.semanticDedup(svEmb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        threshold = 0.35)
+      val semDropped = svEmb.select(col("vec_id").as("doc_id"))
+        .join(semKeep.select(col("id").as("doc_id")), Seq("doc_id"),
+          "left_anti")
+      val afterSem = near.join(semDropped, Seq("doc_id"), "left_anti")
+      val contam = Dedup.contamination(
+          afterSem.select(col("doc_id"), col("ctext").as("text")), bench,
+          "doc_id", "text", n = 3)
+        .filter(col("frac") >= 0.5).select("doc_id")
+      val clean = afterSem.join(contam, Seq("doc_id"), "left_anti")
+      val fin = Sample.tokenBudget(clean, "lang", "doc_id", "n_tok",
+        Map("en" -> 2000L), default = 800L)
+      val packed = Multimodal.shardAssign(fin, "doc_id", col("n_tok"),
+          "lang", 256L)
+        .withColumnRenamed("shard", "pack").drop("n_bytes")
+      val sharded = Multimodal.shardAssign(packed, "doc_id",
+          length(col("ctext")).cast("long"), "lang", 4096L)
+        .withColumnRenamed("shard", "byte_shard")
+      val split = sharded
+        .join(labels.withColumnRenamed("id", "doc_id")
+          .select("doc_id", "cluster"), "doc_id")
+        .withColumn("split", Sample.hashSplit("cluster",
+          Seq("e6" -> "train", "f3" -> "val"), "test"))
+      def stage(df: DataFrame, name: String): DataFrame =
+        df.groupBy("lang").agg(count(lit(1)).as(name))
+      val finAgg = split.groupBy("lang").agg(
+        count(lit(1)).as("n_budget0"), sum("n_tok").as("sum_tok0"),
+        countDistinct("pack").as("n_packs0"),
+        countDistinct("byte_shard").as("n_shards0"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train0"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val0"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test0"))
+      docs.groupBy("lang").agg(count(lit(1)).as("n_raw"))
+        .join(stage(st, "n_strip0"), Seq("lang"), "left")
+        .join(stage(q, "n_quality0"), Seq("lang"), "left")
+        .join(stage(ex, "n_exact0"), Seq("lang"), "left")
+        .join(stage(near, "n_near0"), Seq("lang"), "left")
+        .join(stage(afterSem, "n_sem0"), Seq("lang"), "left")
+        .join(stage(clean, "n_clean0"), Seq("lang"), "left")
+        .join(finAgg, Seq("lang"), "left")
+        .select(col("lang"), col("n_raw"),
+          coalesce(col("n_strip0"), lit(0L)).as("n_strip"),
+          coalesce(col("n_quality0"), lit(0L)).as("n_quality"),
+          coalesce(col("n_exact0"), lit(0L)).as("n_exact"),
+          coalesce(col("n_near0"), lit(0L)).as("n_near"),
+          coalesce(col("n_sem0"), lit(0L)).as("n_sem"),
+          coalesce(col("n_clean0"), lit(0L)).as("n_clean"),
+          coalesce(col("n_budget0"), lit(0L)).as("n_budget"),
+          coalesce(col("sum_tok0"), lit(0L)).as("sum_tok"),
+          coalesce(col("n_packs0"), lit(0L)).as("n_packs"),
+          coalesce(col("n_shards0"), lit(0L)).as("n_shards"),
+          coalesce(col("n_train0"), lit(0L)).as("n_train"),
+          coalesce(col("n_val0"), lit(0L)).as("n_val"),
+          coalesce(col("n_test0"), lit(0L)).as("n_test"))
+        .orderBy("lang")
+    },
+
     // Exact media dedup by content digest (Multimodal.dedupBinary): the
     // keep-first window shuffles digests, never payloads. Gate: kept-set
     // size and byte total — exact integers.
@@ -3044,6 +3279,38 @@ object Extensions extends QueryModule {
           size(TextOps.tokens(col("text_merged"))).cast("long")
             .as("n_after"))
         .orderBy("doc_id").limit(100)
+    },
+
+    // BPE vocabulary LEARNING (TextOps.bpeLearnVocab): the merge round
+    // iterated 4 times — each round's global argmax pair (smallest-pair
+    // ties) merged corpus-wide by literal codegen replace before the
+    // next round counts bigrams over the merged text. The oracle unrolls
+    // the identical recurrence; the ranked merge table (rank, pair,
+    // merged, freq) hash-gates.
+    QueryDef("x5_bpe_vocab", Some(s"""
+      WITH t0 AS (SELECT doc_id, text FROM documents),
+      ${(1 to 4).map { r =>
+        s"""sh$r AS (
+        SELECT array_to_string(toks[i:i+1],' ') AS pair
+        FROM (SELECT string_split(text,' ') AS toks FROM t${r - 1}) dd,
+             LATERAL (SELECT unnest(range(1, greatest(len(dd.toks),1))) AS i) ii),
+      b$r AS (SELECT CAST($r AS BIGINT) AS rank, pair,
+                     replace(pair, ' ', '_') AS merged,
+                     CAST(c AS BIGINT) AS freq
+              FROM (SELECT pair, count(*) AS c FROM sh$r GROUP BY 1)
+              ORDER BY c DESC, pair LIMIT 1),
+      t$r AS (SELECT doc_id,
+                     replace(text, (SELECT pair FROM b$r),
+                             (SELECT merged FROM b$r)) AS text
+              FROM t${r - 1})"""
+      }.mkString(",\n      ")}
+      SELECT rank, pair, merged, freq FROM (
+        SELECT * FROM b1 UNION ALL SELECT * FROM b2
+        UNION ALL SELECT * FROM b3 UNION ALL SELECT * FROM b4)
+      ORDER BY rank""")) { (s, dir) =>
+      TextOps.bpeLearnVocab(t(s, dir, "documents"), "doc_id", "text",
+          rounds = 4)
+        .orderBy("rank")
     },
 
     // Per-nation min-max feature scaling (Stats.minMaxScale): one window

@@ -109,7 +109,7 @@ object Maintenance extends QueryModule {
         WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey))
       SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
       FROM merged WHERE o_orderkey % 7 = 0
-      ORDER BY o_orderkey""")) { (s, dir) =>
+      ORDER BY o_orderkey"""), bench = true) { (s, dir) =>
       val orders = t(s, dir, "orders").select(oCols.map(col): _*)
       Snapshot.upsert(orders,
           updates(orders).unionByName(inserts(orders)), Seq("o_orderkey"))
@@ -980,7 +980,7 @@ object Maintenance extends QueryModule {
       SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                AS total
-      FROM orders GROUP BY o_custkey ORDER BY o_custkey""")) { (s, dir) =>
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""), bench = true) { (s, dir) =>
       val o = t(s, dir, "orders")
       val sums = Seq("total" -> "o_totalprice")
       val base = Snapshot.aggPartials(

@@ -309,7 +309,7 @@ object StreamingGates extends QueryModule {
                  ORDER BY ts DESC, event_id DESC) AS rn
         FROM events)
       SELECT user_id, event_id, event_type, value FROM r WHERE rn = 1
-      ORDER BY user_id""")) { (s, dir) =>
+      ORDER BY user_id"""), bench = true) { (s, dir) =>
       val in = Scratch.fresh("merge-src")
       val snap = Scratch.fresh("merge-snap")
       val ck = Scratch.fresh("merge-ck")
@@ -406,7 +406,7 @@ object StreamingGates extends QueryModule {
     QueryDef("ev13_stream_incr_agg", Some("""
       SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
-      FROM events GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
+      FROM events GROUP BY event_type ORDER BY event_type"""), bench = true) { (s, dir) =>
       val in = Scratch.fresh("incragg-src")
       val snap = Scratch.fresh("incragg-snap")
       val ck = Scratch.fresh("incragg-ck")

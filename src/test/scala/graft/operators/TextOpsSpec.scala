@@ -310,6 +310,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ("b a", "b_a"))
   }
 
+  test("bpeLearnVocab: ranked merges compound round over round") {
+    val df = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b x"),
+      (3L, "c c c")).toDF("doc_id", "text")
+    // Round 1: "a b"=3 wins → texts: "a_b a_b c", "a_b x", "c c c".
+    // Round 2: pairs now "a_b a_b"=1, "a_b c"=1, "a_b x"=1, "c c"=2 →
+    // "c c" wins with freq 2 (counted on the MERGED text — compounding).
+    // Round 3: "a_b a_b"=1, "a_b c"=1, "a_b x"=1, "c_c c"=1 → tie on 1,
+    // lexicographically smallest "a_b a_b" wins.
+    val out = TextOps.bpeLearnVocab(df, "doc_id", "text", rounds = 3)
+      .orderBy("rank")
+      .as[(Long, String, String, Long)].collect()
+    assert(out(0) == ((1L, "a b", "a_b", 3L)))
+    assert(out(1) == ((2L, "c c", "c_c", 2L)))
+    assert(out(2) == ((3L, "a_b a_b", "a_b_a_b", 1L)))
+  }
+
+  test("bpeLearnVocab stops early when no bigrams remain") {
+    val df = Seq((1L, "solo"), (2L, "x")).toDF("doc_id", "text")
+    assert(TextOps.bpeLearnVocab(df, "doc_id", "text", rounds = 5).count() == 0)
+  }
+
   test("bm25: rarer term outweighs common term at equal tf and dl") {
     val df = Seq(
       (1L, "rare x y z"),
