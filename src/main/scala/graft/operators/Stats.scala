@@ -26,9 +26,26 @@ object Stats {
     * trivially.
     */
   private def localGrid(df: DataFrame): DataFrame = {
-    val rows = java.util.Arrays.asList(df.collect(): _*)
-    df.sparkSession.createDataFrame(rows, df.schema)
+    // Enforce the grid-size contract instead of trusting it: these are
+    // public operators, and a caller passing a near-unique column would
+    // otherwise OOM the driver on an unbounded collect. collect one row
+    // past the bound so the failure is a clear contract error, not heap
+    // exhaustion.
+    val limit = maxGridCells
+    val rows = df.limit(limit + 1).collect()
+    require(rows.length <= limit,
+      s"localGrid: cell table exceeds the $limit-cell contract bound — " +
+        "contingency/rank statistics need bounded-cardinality " +
+        "category/bin columns, not raw values (bucket or hash first)")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
   }
+
+  /** Driver-side ceiling for [[localGrid]] cell tables: 4M cells ≈ a few
+    * hundred MB of Rows — far above any legitimate contingency grid
+    * (categories × bins), far below driver heap.
+    */
+  private val maxGridCells = 4000000
 
   /** Two-pass equi-width histogram: pass 1 reduces to the global (min, max)
     * — one scalar row, broadcast back — pass 2 assigns each value its
