@@ -323,13 +323,26 @@ object Dedup {
     * space IS the similarity definition, and it is also what bounds
     * posting-list explosion at corpus scale.
     *
+    * `shingleN` (0 = unigrams) switches the vector space to n-word
+    * shingle counts. This is the knob that keeps the inverted index
+    * sub-quadratic on LOW-CARDINALITY vocabularies: posting-pair mass is
+    * Σ_t df_t², and on a corpus whose unigram vocabulary is tiny every
+    * token's df is O(corpus) — measured on the sf1 fixture (26 distinct
+    * unigrams over 50k docs): unigram mass ≈ 2·10¹⁰ versus 1.5·10⁷ for
+    * 4-shingles. Unigram + no df cap is a small-corpus debugging mode,
+    * not a scale path.
+    *
     * Output: (da, db, sim) with da < db, sim >= threshold.
     */
   def sparseCosinePairs(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+      threshold: Double, maxDocFreq: Long = 0L,
+      shingleN: Int = 0): DataFrame = {
+    val unit =
+      if (shingleN <= 0) TextOps.tokens(col(textCol))
+      else TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)
     val tf = Par.spread(df)
-      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), explode(unit).as("tok"))
       .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
     val space =
       if (maxDocFreq <= 0) tf

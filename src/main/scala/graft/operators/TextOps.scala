@@ -258,6 +258,38 @@ object TextOps {
     merges.toSeq.toDF("rank", "pair", "merged", "freq")
   }
 
+  /** BPE ENCODE: apply a learned ranked merge table to a text column —
+    * every merge in rank order via the same greedy non-overlapping
+    * left-to-right scanner the trainer used. Applying merges in learned
+    * rank order over the space-joined token string IS the standard BPE
+    * encode step ("apply merges in order"); decoupling it from training
+    * is what lets one trained vocabulary tokenize every future batch.
+    *
+    * The merge table arrives as driver-side (pair, merged) rows, bounded
+    * by the [[bpeLearnVocab]] rounds contract (≤64): each merge becomes a
+    * LITERAL codegen `replace` stacked on the scan — no join, no
+    * broadcast, the corpus never shuffles. A production-size vocabulary
+    * (tens of thousands of merges) exceeds projection stacking; the
+    * 100 TB shape for that regime is the identical scanner run per
+    * partition against a broadcast rank map — the semantics pinned here
+    * (rank order, scanner form) are the part that carries over.
+    *
+    * Output: the input columns plus (text_encoded, n_tokens_raw,
+    * n_tokens_encoded).
+    */
+  def bpeEncode(df: DataFrame, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    require(merges.length <= 64,
+      "merge table bounded by the bpeLearnVocab contract (<= 64 rounds)")
+    val encoded = merges.foldLeft(col(textCol)) { case (c, (pair, merged)) =>
+      org.apache.spark.sql.functions.replace(c, lit(pair), lit(merged))
+    }
+    df.withColumn("text_encoded", encoded)
+      .withColumn("n_tokens_raw", size(tokens(col(textCol))).cast("long"))
+      .withColumn("n_tokens_encoded",
+        size(tokens(col("text_encoded"))).cast("long"))
+  }
+
   /** Hashing-trick bag-of-words: tokens are bucketed by the first
     * `hexDigits` characters of their md5 (16^hexDigits buckets), counts
     * aggregated per (doc, bucket) — the fixed-width sparse feature vector

@@ -2827,6 +2827,35 @@ object Extensions extends QueryModule {
         .orderBy("da", "db")
     },
 
+    // Shingle-frequency sparse cosine (Dedup.sparseCosinePairs with
+    // shingleN=4): the SCALE form of x2_sparse_cosine. The fixture's
+    // unigram vocabulary is 26 tokens, so the unpruned unigram pair mass
+    // Σ df² is ~2e10 at sf1 (quadratic by definition — that variant is
+    // gate-checked at sf0.01/0.1 only); 4-shingles carry the same
+    // frequency-sensitive cosine with measured pair mass 1.5e7 at sf1.
+    QueryDef("x2_sparse_cosine_sh", Some("""
+      WITH sh AS (SELECT doc_id, array_to_string(toks[i:i+3],' ') AS tok
+                  FROM (SELECT doc_id, string_split(text,' ') AS toks
+                        FROM documents) dd,
+                       LATERAL (SELECT unnest(range(1,
+                          greatest(len(dd.toks)-2, 1))) AS i) ii),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM sh GROUP BY 1, 2),
+      n2 AS (SELECT doc_id, sum(tf*tf) AS n2 FROM tf GROUP BY doc_id),
+      num AS (SELECT a.doc_id AS da, b.doc_id AS db, sum(a.tf*b.tf) AS num
+              FROM tf a JOIN tf b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      sim AS (SELECT da, db,
+                CAST(num AS DOUBLE)
+                  / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS sim
+              FROM num JOIN n2 x ON x.doc_id = da JOIN n2 y ON y.doc_id = db)
+      SELECT da, db, sim FROM sim WHERE sim >= CAST(0.8 AS DOUBLE)
+      ORDER BY da, db""")) { (s, dir) =>
+      Dedup.sparseCosinePairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, shingleN = 4)
+        .orderBy("da", "db")
+    },
+
     // IVF-PQ composite index (Similarity.knnIvfPq): coarse cells from the
     // 8 lowest-id embeddings, per-RESIDUAL product quantization (m=2
     // subspaces, 8-entry codebooks seeded from the lowest-id corpus
@@ -3311,6 +3340,44 @@ object Extensions extends QueryModule {
       TextOps.bpeLearnVocab(t(s, dir, "documents"), "doc_id", "text",
           rounds = 4)
         .orderBy("rank")
+    },
+
+    // BPE ENCODE (TextOps.bpeEncode): the learned 4-round merge table
+    // applied in rank order to the corpus — train-then-tokenize, the
+    // inference half of x5_bpe_vocab. The oracle unrolls the identical
+    // recurrence and reads the final merged corpus t4; raw vs encoded
+    // token counts hash-gate the compression the vocab bought.
+    QueryDef("x5_bpe_encode", Some(s"""
+      WITH t0 AS (SELECT doc_id, text FROM documents),
+      ${(1 to 4).map { r =>
+        s"""sh$r AS (
+        SELECT array_to_string(toks[i:i+1],' ') AS pair
+        FROM (SELECT string_split(text,' ') AS toks FROM t${r - 1}) dd,
+             LATERAL (SELECT unnest(range(1, greatest(len(dd.toks),1))) AS i) ii),
+      b$r AS (SELECT pair, replace(pair, ' ', '_') AS merged
+              FROM (SELECT pair, count(*) AS c FROM sh$r GROUP BY 1)
+              ORDER BY c DESC, pair LIMIT 1),
+      t$r AS (SELECT doc_id,
+                     replace(text, (SELECT pair FROM b$r),
+                             (SELECT merged FROM b$r)) AS text
+              FROM t${r - 1})"""
+      }.mkString(",\n      ")}
+      SELECT t0.doc_id, t4.text AS text_encoded,
+             CAST(len(string_split(t0.text, ' ')) AS BIGINT) AS n_tokens_raw,
+             CAST(len(string_split(t4.text, ' ')) AS BIGINT)
+               AS n_tokens_encoded
+      FROM t0 JOIN t4 ON t0.doc_id = t4.doc_id
+      ORDER BY t0.doc_id LIMIT 100""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      // Bounded collect by contract: the learned merge table is exactly
+      // rounds=4 rows (rank, pair, merged, freq).
+      val vocab = TextOps.bpeLearnVocab(docs, "doc_id", "text", rounds = 4)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncode(docs, "text", vocab)
+        .select(col("doc_id"), col("text_encoded"), col("n_tokens_raw"),
+          col("n_tokens_encoded"))
+        .orderBy("doc_id").limit(100)
     },
 
     // Per-nation min-max feature scaling (Stats.minMaxScale): one window

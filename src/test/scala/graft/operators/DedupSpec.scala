@@ -134,6 +134,26 @@ class DedupSpec extends SparkSpec {
     assert(sim < 1.0 && sim > 0.5, s"skewed frequencies must lower sim: $sim")
   }
 
+  test("sparseCosinePairs shingleN: vector space is n-word shingle counts") {
+    val df = Seq(
+      (1L, "p q r s t"),    // 2-shingles: pq qr rs st
+      (2L, "p q r s u"),    // shares pq qr rs (3 of 4)
+      (3L, "z p z q z r"))  // shares unigrams p q r, but no 2-shingle
+      .toDF("id", "text")
+    val out = Dedup.sparseCosinePairs(df, "id", "text",
+        threshold = 0.5, shingleN = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc 3 overlaps 1/2 in the unigram space but is orthogonal in the
+    // shingle space — only (1,2) survives
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 2L)))
+    val want = 3.0 / (math.sqrt(4.0) * math.sqrt(4.0))
+    assert(out.head._3 == want)
+    // docs shorter than n tokens have empty vectors and never pair
+    val short = Seq((1L, "a"), (2L, "a")).toDF("id", "text")
+    assert(Dedup.sparseCosinePairs(short, "id", "text", 0.0,
+      shingleN = 2).count() == 0)
+  }
+
   test("resolveClusters: min-id propagates across chains, singletons stay") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // chain 1-2-3 (no direct 1-3 edge) plus island 5-6; 4 isolated

@@ -333,6 +333,35 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.bpeLearnVocab(df, "doc_id", "text", rounds = 5).count() == 0)
   }
 
+  test("bpeEncode applies learned merges in rank order") {
+    val df = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b x"),
+      (3L, "c c c")).toDF("doc_id", "text")
+    val vocab = TextOps.bpeLearnVocab(df, "doc_id", "text", rounds = 2)
+      .orderBy("rank").as[(Long, String, String, Long)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    // rank 1 = "a b" -> "a_b", rank 2 = "c c" -> "c_c" (compounded count)
+    val out = TextOps.bpeEncode(df, "text", vocab)
+      .select("doc_id", "text_encoded", "n_tokens_raw", "n_tokens_encoded")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (("a_b a_b c", 5L, 3L)))
+    // greedy left-to-right: "c c c" -> "c_c c" (non-overlapping)
+    assert(out(3L) == (("c_c c", 3L, 2L)))
+    assert(out(2L) == (("a_b x", 3L, 2L)))
+  }
+
+  test("bpeEncode on unseen text reuses the trained vocabulary") {
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val vocab = TextOps.bpeLearnVocab(train, "doc_id", "text", rounds = 1)
+      .as[(Long, String, String, Long)].collect().map(r => (r._2, r._3)).toSeq
+    val fresh = Seq((9L, "x a b y")).toDF("doc_id", "text")
+    val enc = TextOps.bpeEncode(fresh, "text", vocab)
+      .select("text_encoded").as[String].head()
+    assert(enc == "x a_b y")
+  }
+
   test("bm25: rarer term outweighs common term at equal tf and dl") {
     val df = Seq(
       (1L, "rare x y z"),
