@@ -808,4 +808,163 @@ object TextOps {
       .select(col("rank"), col("w"), col("cnt"),
         (col("cnt") * col("rank")).as("cr"))
   }
+
+  /** DSIR importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw-corpus
+    * documents by how much their hashed n-gram feature distribution
+    * resembles a target domain. Features are bigrams hashed into
+    * 16^hexDigits buckets via the [[hashFeatures]] md5 trick (bucketing
+    * is a codegen projection — no vocabulary join, the property that
+    * makes this the 100 TB feature extractor). A bucket's importance
+    * ratio is the add-one-smoothed target/raw probability ratio
+    *
+    *   r(b) = ((t_b+1)/(T+B)) · ((R+B)/(r_b+1))
+    *
+    * computed as two exact-long divisions and one multiply — a fixed
+    * three-op IEEE tree, engine-identical (DSIR proper sums LOG ratios;
+    * ln() is libm-dependent and breaks cross-engine bit-equality, so the
+    * gate-exact formulation scores by the MEAN ratio of the doc's
+    * feature occurrences, which ranks monotonically for selection). The
+    * per-doc mean accumulates on the fixed-point 1e-6 grid (floor(r·1e6)
+    * summed as exact decimals), the [[bigramLmScore]] discipline. Each
+    * division's operands stay exact up to 2^53 ≈ 9e15 occurrences;
+    * beyond that pre-aggregate per shard and rescale, as in
+    * [[tokenDrift]].
+    *
+    * Scale posture: two bucket hash-aggregates (map-side partials over
+    * the explodes — the only corpus-sized work); the model is a
+    * B-row table broadcast into the scoring join; totals ride a one-row
+    * broadcast. The raw corpus is re-scanned once for scoring and never
+    * shuffled except the per-doc groupBy.
+    *
+    * Output: (idCol, n_feats, score); docs with < 2 tokens have no
+    * bigrams and are dropped (length-filter upstream is the curation
+    * contract for fragments, as in [[repetitionStats]]).
+    */
+  def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, hexDigits: Int = 2): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 8, "hexDigits in [1,8]")
+    val b = math.pow(16, hexDigits).toLong
+    def buckets(df: DataFrame, cols: Column*) = Par.spread(df)
+      .select(cols :+ explode(shingles(tokens(col(textCol)), 2)).as("__bg"): _*)
+      .select(cols :+ substring(md5(col("__bg")), 1, hexDigits).as("bucket"): _*)
+    val rawB = buckets(raw, col(idCol))
+    val rc = rawB.groupBy("bucket").agg(count(lit(1)).as("rc"))
+    val tc = buckets(target).groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val tot = rc.agg(sum("rc").as("__R"))
+      .crossJoin(tc.agg(coalesce(sum("tc"), lit(0L)).as("__T")))
+    val model = rc.join(tc, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+            (col("__T") + b).cast("double")) *
+          ((col("__R") + b).cast("double") /
+            (col("rc") + 1).cast("double"))).as("ratio"))
+    rawB.join(broadcast(model), "bucket")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feats"),
+        sum(floor(col("ratio") * lit(1e6)).cast("decimal(38,0)")).as("__s"))
+      .select(col(idCol), col("n_feats"),
+        (col("__s").cast("double") / lit(1e6) /
+          col("n_feats").cast("double")).as("score"))
+  }
+
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the scheme built FOR
+    * distributed corpus-scale LMs: no discounting pass, just raw counts
+    * and a fixed 0.4 backoff penalty). Counts are trained on a REFERENCE
+    * corpus (CCNet trains on Wikipedia, scores CommonCrawl) and each
+    * corpus document is scored by the mean of its trigram occurrences'
+    *
+    *   S(w3|w1 w2) = c(w1w2w3)/c(w1w2)          when the trigram is seen,
+    *               = 0.4 · c(w2w3)/c(w2)        backing off to the bigram,
+    *               = 0.16 · c(w3)/N             then to the unigram,
+    *               = 0                           for out-of-vocabulary w3
+    *
+    * — every branch rational in exact longs (one or two IEEE ops against
+    * the double literals 0.4/0.16, engine-identical), the reason stupid
+    * backoff gate-hashes where a Kneser–Ney or ln-perplexity never
+    * could. The per-doc mean accumulates on the 1e-12 grid as in
+    * [[bigramLmScore]].
+    *
+    * Scale posture: the three model tables are n-gram-TYPE-sized (built
+    * by map-side-combined hash aggregates over the reference corpus,
+    * which is small next to the crawl); scoring is three keyed left
+    * joins of the corpus occurrence table against them — AQE broadcasts
+    * the models when they fit, and nothing is ever doc × doc.
+    *
+    * Output: (idCol, n_trigrams, score); docs with < 3 tokens have no
+    * trigrams and are dropped, per the [[repetitionStats]] contract.
+    */
+  def backoffLmScore(corpus: DataFrame, ref: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    def grams(df: DataFrame, n: Int, out: String, cols: Column*) =
+      Par.spread(df).select(
+        cols :+ explode(shingles(tokens(col(textCol)), n)).as(out): _*)
+    val tri = grams(ref, 3, "tg").groupBy("tg").agg(count(lit(1)).as("c123"))
+    val bi = grams(ref, 2, "bg").groupBy("bg").agg(count(lit(1)).as("cb"))
+    val uni = ref.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val n = uni.agg(sum("cu").as("__N"))
+    val occ = grams(corpus, 3, "tg", col(idCol))
+      .withColumn("__p", split(col("tg"), " "))
+      .select(col(idCol), col("tg"),
+        concat_ws(" ", col("__p").getItem(0), col("__p").getItem(1)).as("bg12"),
+        concat_ws(" ", col("__p").getItem(1), col("__p").getItem(2)).as("bg23"),
+        col("__p").getItem(1).as("w2"), col("__p").getItem(2).as("w3"))
+    val s = occ
+      .join(tri, Seq("tg"), "left")
+      .join(bi.select(col("bg").as("bg12"), col("cb").as("c12")), Seq("bg12"), "left")
+      .join(bi.select(col("bg").as("bg23"), col("cb").as("c23")), Seq("bg23"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("cu").as("c3")), Seq("w3"), "left")
+      .crossJoin(broadcast(n))
+      .select(col(idCol),
+        when(col("c123").isNotNull,
+            col("c123").cast("double") / col("c12").cast("double"))
+          .when(col("c23").isNotNull,
+            lit(0.4) * (col("c23").cast("double") / col("c2").cast("double")))
+          .when(col("c3").isNotNull,
+            lit(0.16) * (col("c3").cast("double") / col("__N").cast("double")))
+          .otherwise(lit(0.0)).as("s"))
+    s.groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(floor(col("s") * lit(1e12)).cast("decimal(38,0)")).as("__s"))
+      .select(col(idCol), col("n_trigrams"),
+        (col("__s").cast("double") / lit(1e12) /
+          col("n_trigrams").cast("double")).as("score"))
+  }
+
+  /** CCNet-style LM-score bucketing (Wenzek et al. 2019): within each
+    * group (CCNet buckets per language), rank documents by their
+    * [[bigramLmScore]] corpus-likelihood and cut the ranking into
+    * `buckets` equal tiles — head/middle/tail at the default 3. The
+    * head:middle:tail split is the standard curation lever ("train on
+    * head+middle, drop tail"), gated here by the per-bucket document
+    * and bigram totals plus the score range the cut landed on. Ties
+    * break on idCol so the tiling is total-ordered and
+    * engine-reproducible; the scores themselves are gate-exact by
+    * [[bigramLmScore]] construction, so min/max hash-match.
+    *
+    * Scale posture: scoring is [[bigramLmScore]]'s three keyed
+    * shuffles; the tiling window is PARTITIONED by the group column, so
+    * each language sorts independently (the w-family contract). At
+    * 100 TB replace the exact ntile with threshold assignment from
+    * sampled per-group quantiles — same downstream contract, no global
+    * sort.
+    */
+  def lmScoreBuckets(df: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLmScore(df, idCol, textCol)
+      .join(df.select(col(idCol), col(groupCol)), idCol)
+    val w = Window.partitionBy(groupCol)
+      .orderBy(desc("avg_p"), col(idCol))
+    scored.withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy(groupCol, "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("sum_bigrams"),
+        min("avg_p").as("min_p"), max("avg_p").as("max_p"))
+  }
 }

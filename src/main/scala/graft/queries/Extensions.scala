@@ -2655,6 +2655,128 @@ object Extensions extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Stupid-backoff trigram LM (TextOps.backoffLmScore, Brants et al.
+    // 2007): counts trained on the src0 reference slice, every document
+    // scored by its mean trigram score with 0.4/0.16 backoff — the
+    // CCNet "train on Wikipedia, score the crawl" step in the log-free
+    // gate-exact formulation. Unseen trigrams exercise the backoff
+    // chain; OOV final tokens score 0.
+    QueryDef("x5_backoff_lm", Some("""
+      WITH tk AS (SELECT doc_id, source, string_split(text,' ') AS toks
+                  FROM documents),
+      rtk AS (SELECT toks FROM tk WHERE source = 'src0'),
+      tri AS (SELECT array_to_string(toks[i:i+2],' ') AS tg,
+                     count(*) AS c123
+              FROM rtk, LATERAL (SELECT unnest(range(1,
+                     greatest(len(toks)-1,1))) AS i) ii
+              GROUP BY tg),
+      bi AS (SELECT array_to_string(toks[i:i+1],' ') AS bg, count(*) AS cb
+             FROM rtk, LATERAL (SELECT unnest(range(1, len(toks))) AS i) ii
+             GROUP BY bg),
+      unic AS (SELECT w, count(*) AS cu
+               FROM (SELECT unnest(toks) AS w FROM rtk) GROUP BY w),
+      n AS (SELECT sum(cu) AS n FROM unic),
+      occ AS (SELECT doc_id, array_to_string(toks[i:i+2],' ') AS tg,
+                     toks[i] || ' ' || toks[i+1] AS bg12,
+                     toks[i+1] || ' ' || toks[i+2] AS bg23,
+                     toks[i+1] AS w2, toks[i+2] AS w3
+              FROM tk, LATERAL (SELECT unnest(range(1,
+                     greatest(len(toks)-1,1))) AS i) ii),
+      s AS (SELECT doc_id,
+              CASE WHEN tri.c123 IS NOT NULL THEN
+                     CAST(tri.c123 AS DOUBLE) / CAST(c12.cb AS DOUBLE)
+                   WHEN c23.cb IS NOT NULL THEN
+                     CAST(0.4 AS DOUBLE)
+                       * (CAST(c23.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE))
+                   WHEN u3.cu IS NOT NULL THEN
+                     CAST(0.16 AS DOUBLE)
+                       * (CAST(u3.cu AS DOUBLE) / CAST(n.n AS DOUBLE))
+                   ELSE CAST(0.0 AS DOUBLE) END AS s
+            FROM occ LEFT JOIN tri USING (tg)
+              LEFT JOIN bi c12 ON occ.bg12 = c12.bg
+              LEFT JOIN bi c23 ON occ.bg23 = c23.bg
+              LEFT JOIN unic u2 ON occ.w2 = u2.w
+              LEFT JOIN unic u3 ON occ.w3 = u3.w
+              CROSS JOIN n)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+             CAST(sum(CAST(floor(s * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12
+               / CAST(count(*) AS DOUBLE) AS score
+      FROM s GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextOps.backoffLmScore(docs,
+          docs.filter(col("source") === "src0"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // DSIR importance scores (TextOps.dsirScores, Xie et al. 2023):
+    // hashed-bigram importance ratios of the src0 target slice vs the
+    // whole corpus, per-doc mean ratio — the "select crawl data that
+    // looks like the target domain" sampler weight, log-free so it
+    // gate-hashes. 256 md5 buckets; model is a 256-row broadcast.
+    QueryDef("x6_dsir", Some("""
+      WITH tk AS (SELECT doc_id, source, string_split(text,' ') AS toks
+                  FROM documents),
+      bg AS (SELECT doc_id, source,
+               substring(md5(array_to_string(toks[i:i+1],' ')), 1, 2)
+                 AS bucket
+             FROM tk, LATERAL (SELECT unnest(range(1, len(toks))) AS i) ii),
+      rc AS (SELECT bucket, count(*) AS rc FROM bg GROUP BY bucket),
+      tc AS (SELECT bucket, count(*) AS tc FROM bg
+             WHERE source = 'src0' GROUP BY bucket),
+      tot AS (SELECT (SELECT sum(rc) FROM rc) AS r_tot,
+                     (SELECT coalesce(sum(tc), 0) FROM tc) AS t_tot),
+      m AS (SELECT rc.bucket,
+              (CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE)
+                 / CAST(t_tot + 256 AS DOUBLE))
+              * (CAST(r_tot + 256 AS DOUBLE)
+                 / CAST(rc.rc + 1 AS DOUBLE)) AS ratio
+            FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(CAST(floor(ratio * 1e6) AS HUGEINT)) AS DOUBLE) / 1e6
+               / CAST(count(*) AS DOUBLE) AS score
+      FROM bg JOIN m USING (bucket)
+      GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextOps.dsirScores(docs, docs.filter(col("source") === "src0"),
+          "doc_id", "text", hexDigits = 2)
+        .orderBy("doc_id")
+    },
+
+    // CCNet head/middle/tail LM-score buckets (TextOps.lmScoreBuckets,
+    // Wenzek et al. 2019): per-language terciles of the bigram-LM
+    // corpus-likelihood — the "keep head+middle, drop tail" curation
+    // cut, gated by per-bucket doc/bigram totals and the score range.
+    QueryDef("x6_ccnet_buckets", Some("""
+      WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks
+                  FROM documents),
+      bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
+             FROM tk, LATERAL (SELECT unnest(range(1, len(toks))) AS i) ii),
+      c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+      c2w AS (SELECT bg, c2, string_split(bg,' ')[1] AS w1 FROM c2),
+      c1 AS (SELECT w1, sum(c2) AS c1 FROM c2w GROUP BY w1),
+      p AS (SELECT bg, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+            FROM c2w JOIN c1 USING (w1)),
+      sc AS (SELECT doc_id, count(*) AS n_bigrams,
+               sum(CAST(floor(p * 1e12) AS HUGEINT)) AS s
+             FROM bg JOIN p USING (bg) GROUP BY doc_id),
+      sc2 AS (SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                CAST(s AS DOUBLE) / 1e12 / CAST(n_bigrams AS DOUBLE)
+                  AS avg_p
+              FROM sc),
+      j AS (SELECT d.lang, sc2.doc_id, sc2.n_bigrams, sc2.avg_p,
+              ntile(3) OVER (PARTITION BY d.lang
+                ORDER BY sc2.avg_p DESC, sc2.doc_id) AS bucket
+            FROM sc2 JOIN documents d USING (doc_id))
+      SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+             min(avg_p) AS min_p, max(avg_p) AS max_p
+      FROM j GROUP BY lang, bucket ORDER BY lang, bucket""")) { (s, dir) =>
+      TextOps.lmScoreBuckets(t(s, dir, "documents"), "doc_id", "text",
+          "lang", buckets = 3)
+        .orderBy("lang", "bucket")
+    },
+
     // Weighted source interleaving (Sample.interleaveByWeight): stride
     // scheduling — ascending virtual time rank/weight consumes sources
     // proportionally to their weights at every prefix. The mixture
@@ -3378,6 +3500,52 @@ object Extensions extends QueryModule {
         .select(col("doc_id"), col("text_encoded"), col("n_tokens_raw"),
           col("n_tokens_encoded"))
         .orderBy("doc_id").limit(100)
+    },
+
+    // Tokenizer fertility (per-language BPE compression): the learned
+    // 4-round merge table applied corpus-wide, then tokens-per-word by
+    // language — the multilingual "does the tokenizer serve every
+    // language equally" diagnostic (a language with poor compression
+    // pays more sequence length per word). Reuses the x5_bpe_encode
+    // recurrence; one IEEE division per language.
+    QueryDef("x5_bpe_fertility", Some(s"""
+      WITH t0 AS (SELECT doc_id, lang, text FROM documents),
+      ${(1 to 4).map { r =>
+        s"""sh$r AS (
+        SELECT array_to_string(toks[i:i+1],' ') AS pair
+        FROM (SELECT string_split(text,' ') AS toks FROM t${r - 1}) dd,
+             LATERAL (SELECT unnest(range(1, greatest(len(dd.toks),1))) AS i) ii),
+      b$r AS (SELECT pair, replace(pair, ' ', '_') AS merged
+              FROM (SELECT pair, count(*) AS c FROM sh$r GROUP BY 1)
+              ORDER BY c DESC, pair LIMIT 1),
+      t$r AS (SELECT doc_id, lang,
+                     replace(text, (SELECT pair FROM b$r),
+                             (SELECT merged FROM b$r)) AS text
+              FROM t${r - 1})"""
+      }.mkString(",\n      ")}
+      SELECT t0.lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(t0.text, ' '))) AS BIGINT)
+               AS sum_raw,
+             CAST(sum(len(string_split(t4.text, ' '))) AS BIGINT)
+               AS sum_enc,
+             CAST(sum(len(string_split(t4.text, ' '))) AS DOUBLE)
+               / CAST(sum(len(string_split(t0.text, ' '))) AS DOUBLE)
+               AS compression
+      FROM t0 JOIN t4 ON t0.doc_id = t4.doc_id
+      GROUP BY t0.lang ORDER BY t0.lang""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      // Bounded collect by contract: the merge table is rounds=4 rows.
+      val vocab = TextOps.bpeLearnVocab(docs, "doc_id", "text", rounds = 4)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeEncode(docs, "text", vocab)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens_raw").as("sum_raw"),
+          sum("n_tokens_encoded").as("sum_enc"))
+        .withColumn("compression",
+          col("sum_enc").cast("double") / col("sum_raw").cast("double"))
+        .orderBy("lang")
     },
 
     // Per-nation min-max feature scaling (Stats.minMaxScale): one window

@@ -507,4 +507,66 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Set((1, "a", 3L, 3L), (2, "b", 3L, 6L), (3, "c", 2L, 6L)))
     assert(got == run(docs.repartition(4)))
   }
+
+  test("backoffLmScore: each backoff branch matches hand-computed counts") {
+    // ref "a b c a b d": tri c("a b c")=1; bi c("a b")=2, c("b c")=1;
+    // uni a=2 b=2 c=1 d=1, N=6.
+    val ref = Seq((0L, "a b c a b d")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "a b c"), // seen trigram: 1/2
+      (2L, "z b c"), // bigram backoff: 0.4 * (1/2)
+      (3L, "z z c"), // unigram backoff: 0.16 * (1/6)
+      (4L, "z z q"), // OOV w3: 0
+      (5L, "a b")    // < 3 tokens: dropped
+    ).toDF("id", "text")
+    val out = TextOps.backoffLmScore(corpus, ref, "id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    val grid = (s: Double) => math.floor(s * 1e12) / 1e12
+    assert(out == Seq(
+      (1L, 1L, grid(1.0 / 2)),
+      (2L, 1L, grid(0.4 * (1.0 / 2))),
+      (3L, 1L, grid(0.16 * (1.0 / 6))),
+      (4L, 1L, 0.0)))
+    // Partition-invariant (the gate-exactness property).
+    val re = TextOps.backoffLmScore(corpus.repartition(3), ref, "id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    assert(re == out)
+  }
+
+  test("dsirScores: target-like docs outrank non-target; self-target ~1") {
+    val raw = Seq((1L, "a b a b"), (2L, "x y x y")).toDF("id", "text")
+    val target = raw.filter(col("id") === 2L)
+    val out = TextOps.dsirScores(raw, target, "id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    // 3 bigram occurrences each; the target-matching doc scores higher.
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 3L), (2L, 3L)))
+    assert(out(1)._3 > out(0)._3)
+    // target == raw: every bucket ratio is algebraically 1 (IEEE leaves
+    // it within one 1e-6 grid cell of 1).
+    val self = TextOps.dsirScores(raw, raw, "id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(self.forall(r => math.abs(r._3 - 1.0) <= 1e-6))
+    // Partition-invariant.
+    val re = TextOps.dsirScores(raw.repartition(4), target, "id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    assert(re == out)
+  }
+
+  test("lmScoreBuckets: per-group terciles are ordered, sized, exhaustive") {
+    // 6 docs, one lang: repetitive docs score high avg_p, diverse low.
+    val docs = Seq(
+      (1L, "en", "a a a a a a a a"), (2L, "en", "a a a a a a a b"),
+      (3L, "en", "a b a b a b a b"), (4L, "en", "a b c a b c a b"),
+      (5L, "en", "a b c d e f g h"), (6L, "en", "h g f e d c b a"))
+      .toDF("id", "lang", "text")
+    val out = TextOps.lmScoreBuckets(docs, "id", "text", "lang", buckets = 3)
+      .orderBy("bucket")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._2) == Seq(1L, 2L, 3L))     // all three buckets present
+    assert(out.forall(_._3 == 2L))               // 2 docs per tercile
+    assert(out.map(_._4).sum == 6L * 7L)         // 7 bigrams per doc
+    // Buckets are score-descending and internally consistent.
+    assert(out.forall(r => r._5 <= r._6))
+    assert(out(0)._5 >= out(1)._6 && out(1)._5 >= out(2)._6)
+  }
 }
