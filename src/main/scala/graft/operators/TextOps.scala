@@ -851,10 +851,16 @@ object TextOps {
     val rawB = buckets(raw, col(idCol))
     val rc = rawB.groupBy("bucket").agg(count(lit(1)).as("rc"))
     val tc = buckets(target).groupBy("bucket").agg(count(lit(1)).as("tc"))
-    val tot = rc.agg(sum("rc").as("__R"))
-      .crossJoin(tc.agg(coalesce(sum("tc"), lit(0L)).as("__T")))
+    // Corpus totals as unpartitioned windows over the B-row model table —
+    // NOT fresh aggregates, which would re-run the corpus-sized bucket
+    // pass once per total (plan-audited: the crossJoin(agg) form cost two
+    // extra full corpus scans). B ≤ 16^8 rows in one partition is free.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val model = rc.join(tc, Seq("bucket"), "left")
-      .crossJoin(broadcast(tot))
+      .withColumn("__R", sum("rc").over(w))
+      .withColumn("__T", coalesce(sum("tc").over(w), lit(0L)))
       .select(col("bucket"),
         (((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
             (col("__T") + b).cast("double")) *
@@ -903,9 +909,16 @@ object TextOps {
         cols :+ explode(shingles(tokens(col(textCol)), n)).as(out): _*)
     val tri = grams(ref, 3, "tg").groupBy("tg").agg(count(lit(1)).as("c123"))
     val bi = grams(ref, 2, "bg").groupBy("bg").agg(count(lit(1)).as("cb"))
+    // N rides the unigram table as an unpartitioned window (vocab-sized,
+    // one partition) — a fresh agg would re-run the reference token pass,
+    // and it is only consumed on the unigram-backoff branch anyway, where
+    // the u3 join already delivered the row carrying it.
+    val uniW = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val uni = ref.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))
-    val n = uni.agg(sum("cu").as("__N"))
+      .withColumn("__N", sum("cu").over(uniW))
     val occ = grams(corpus, 3, "tg", col(idCol))
       .withColumn("__p", split(col("tg"), " "))
       .select(col(idCol), col("tg"),
@@ -917,8 +930,8 @@ object TextOps {
       .join(bi.select(col("bg").as("bg12"), col("cb").as("c12")), Seq("bg12"), "left")
       .join(bi.select(col("bg").as("bg23"), col("cb").as("c23")), Seq("bg23"), "left")
       .join(uni.select(col("w").as("w2"), col("cu").as("c2")), Seq("w2"), "left")
-      .join(uni.select(col("w").as("w3"), col("cu").as("c3")), Seq("w3"), "left")
-      .crossJoin(broadcast(n))
+      .join(uni.select(col("w").as("w3"), col("cu").as("c3"), col("__N")),
+        Seq("w3"), "left")
       .select(col(idCol),
         when(col("c123").isNotNull,
             col("c123").cast("double") / col("c12").cast("double"))
