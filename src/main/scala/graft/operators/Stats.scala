@@ -1687,4 +1687,60 @@ object Stats {
             (dec(col("n")) * dec(least(col("r"), col("k")) - 1))
               .cast("double"))).as("v"))
   }
+
+  /** Mann–Kendall trend test per series (Mann 1945, Kendall 1975): is a
+    * time series monotonically trending, without assuming a functional
+    * form — the standard telemetry/drift trend detector (daily volume
+    * creep, quality-score erosion across crawl snapshots). The statistic
+    *
+    *   S = Σ_{t_i < t_j} sign(v_j − v_i)
+    *
+    * is an exact integer over all ordered pairs, and the tie-corrected
+    * variance's 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) is exact
+    * integer arithmetic over the value-tie marginals — both hash-gate
+    * directly. The continuity-corrected z = (S ∓ 1)/√(var18/18) is one
+    * division + one correctly-rounded sqrt over exact longs: a
+    * fixed-shape IEEE tree, engine-identical (the [[jonckheereTerpstra]]
+    * discipline — no logs, no data-ordered float reduction anywhere).
+    *
+    * Input is the SERIES table — one row per (group, time bucket) with
+    * an exact-integer value (the caller aggregates raw events to the
+    * bucket grid first, as in the ev1 hourly rollup). Series are
+    * calendar-bounded by construction (buckets × groups, not events), so
+    * the within-group pair join is quadratic only in series length; the
+    * [[localGrid]] contract enforces the bound and hands the join exact
+    * sizes instead of post-shuffle default stats.
+    *
+    * Output: (g, n, s, var18, z) — z null when the variance degenerates
+    * (n < 2, or every value in one tie group).
+    */
+  def mannKendall(df: DataFrame, groupCol: String, timeCol: String,
+                  valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val pts = localGrid(df.select(col(groupCol).as("g"),
+      col(timeCol).as("t"), col(valueCol).cast("long").as("v")))
+    val pairs = pts.select(col("g"), col("t").as("t1"), col("v").as("v1"))
+      .join(pts.select(col("g"), col("t").as("t2"), col("v").as("v2")),
+        Seq("g"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("g")
+      .agg(sum(when(col("v2") > col("v1"), 1L)
+        .when(col("v2") < col("v1"), -1L).otherwise(0L)).as("s"))
+    val ties = pts.groupBy("g", "v").agg(count(lit(1)).as("tc"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("ntie"),
+        sum(dec(col("tc")) * (dec(col("tc")) - 1) *
+          (lit(2).cast("decimal(38,0)") * dec(col("tc")) + 5)).as("t25"))
+    val n = pts.groupBy("g").agg(count(lit(1)).as("n"))
+    n.join(pairs, Seq("g"), "left").join(ties, Seq("g"))
+      .select(col("g"), col("n").cast("long").as("n"),
+        coalesce(col("s"), lit(0L)).cast("long").as("s"),
+        (dec(col("n")) * (dec(col("n")) - 1) *
+          (lit(2).cast("decimal(38,0)") * dec(col("n")) + 5) - col("t25"))
+          .cast("long").as("var18"))
+      .withColumn("z",
+        when(col("var18") > 0,
+          (col("s") - signum(col("s")).cast("long")).cast("double") /
+            sqrt(col("var18").cast("double") / lit(18.0))))
+  }
 }

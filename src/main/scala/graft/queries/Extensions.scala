@@ -4346,6 +4346,48 @@ object Extensions extends QueryModule {
         .orderBy("n_pairs")
     },
 
+    // Mann–Kendall trend test (Stats.mannKendall): is each event type's
+    // hourly volume monotonically trending — exact-integer S over all
+    // ordered bucket pairs, tie-corrected var18 exact, continuity-
+    // corrected z as one division + sqrt. Companion to ts12: CUSUM finds
+    // WHERE a level shifted, MK decides WHETHER there is a trend at all.
+    QueryDef("ts13_mannkendall", Some("""
+      WITH d AS (SELECT event_type AS g,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS t,
+               CAST(count(*) AS BIGINT) AS v
+             FROM events GROUP BY 1, 2),
+      p AS (SELECT a.g,
+              CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1
+                   ELSE 0 END AS sgn
+            FROM d a JOIN d b ON a.g = b.g AND a.t < b.t),
+      s AS (SELECT g, sum(sgn) AS s FROM p GROUP BY g),
+      ti AS (SELECT g,
+               sum(CAST(tc AS HUGEINT) * (tc - 1) * (2 * tc + 5)) AS t25
+             FROM (SELECT g, v, count(*) AS tc FROM d GROUP BY g, v)
+             GROUP BY g),
+      nn AS (SELECT g, count(*) AS n FROM d GROUP BY g),
+      r AS (SELECT nn.g, nn.n, coalesce(s.s, 0) AS s,
+              CAST(nn.n AS HUGEINT) * (nn.n - 1) * (2 * nn.n + 5) - ti.t25
+                AS var18
+            FROM nn LEFT JOIN s ON nn.g = s.g JOIN ti ON nn.g = ti.g)
+      SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+             CAST(s AS BIGINT) AS s, CAST(var18 AS BIGINT) AS var18,
+             CASE WHEN var18 > 0 THEN
+               CAST(s - (CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1
+                              ELSE 0 END) AS DOUBLE)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             END AS z
+      FROM r ORDER BY event_type""")) { (s, dir) =>
+      val series = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_s"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.Stats.mannKendall(series, "event_type", "hour_s", "v")
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    },
+
     // CUSUM mean-shift changepoint (Stats.cusumChangepoint): WHERE each
     // event type's value stream shifted level — argmax_t |N·S_t − t·S_N|
     // on the integer grid, every compared value exact, earliest-t

@@ -825,4 +825,27 @@ class StatsSpec extends SparkSpec {
       .as[(String, Long, Long, Option[Double])].head()
     assert(a == b && a._4.exists(g => g > 0.4 && g < 0.7))
   }
+
+  test("mannKendall: S, tie-corrected var18, continuity-corrected z") {
+    val series = Seq(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 4L), // rising
+      ("b", 1L, 2L), ("b", 2L, 2L), ("b", 3L, 2L),                // flat
+      ("c", 1L, 5L), ("c", 2L, 3L), ("c", 3L, 1L)                 // falling
+    ).toDF("g", "t", "v")
+    val out = Stats.mannKendall(series, "g", "t", "v")
+      .orderBy("g").as[(String, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    // a: 6 ascending pairs -> S=6; no ties: var18 = 4*3*13 = 156.
+    assert(out(0) == ("a", 4L, 6L, 156L,
+      Some(5.0 / math.sqrt(156.0 / 18.0))))
+    // b: all tied -> S=0, var18 = 3*2*11 - 3*2*11 = 0 -> z null.
+    assert(out(1) == ("b", 3L, 0L, 0L, None))
+    // c: 3 descending pairs -> S=-3; var18 = 66; z = (-3+1)/sqrt(66/18).
+    assert(out(2) == ("c", 3L, -3L, 66L,
+      Some(-2.0 / math.sqrt(66.0 / 18.0))))
+    val re = Stats.mannKendall(series.repartition(5), "g", "t", "v")
+      .orderBy("g").as[(String, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    assert(re == out)
+  }
 }
