@@ -43,6 +43,34 @@ ORACLE_LIMITS = {
                         "companion x2_sparse_cosine_sh replays the same "
                         "frequency-sensitive cosine over 4-shingles "
                         "(pair mass 1.5e7) at sf1",
+    # The five below were measured in the round-8 sweep: each was retried
+    # three ways (600s default; 18GB-capped 6-thread parallel; 60GB solo
+    # with spill) and hit a DuckDB resource wall every time, while the
+    # Spark dump completes in the chunked sf1 sweep.
+    "x8_linkpred": "the common-neighbor wedge enumeration (~495M wedges "
+                   "on the 12M-edge sf1 co-order graph) pins >18GB of "
+                   "non-spillable join blocks, then fills >49GB of temp "
+                   "disk when allowed to spill; companion x8_ktruss_s4 "
+                   "replays wedge machinery on the 1/4-subsampled graph "
+                   "at sf1",
+    "x8_triangles": "same ~495M-wedge wall as x8_linkpred (OOM at 18GB, "
+                    "temp-disk exhaustion at 60GB+spill); the Spark side "
+                    "bloom-prunes wedges inside the join pipeline and "
+                    "never materializes the set (27.4s at sf1, BENCH_sf1)",
+    "x8_hits": "the unrolled hub/authority iterations pin >18GB of "
+               "non-spillable hash blocks (OOM at 600s/8-way, at the "
+               "18GB cap, and on the disk wall solo); companion "
+               "x8_pagerank replays the same iterated edge-join shape "
+               "green at sf1 (30.9s)",
+    "x8_modularity": "community-pair aggregation over the sf1 edge table "
+                     "pins >18GB non-spillable; companions x8_labelprop "
+                     "and x8_conductance replay the community family "
+                     "green at sf1",
+    "x8_pagerank_dangling": "the dangling-mass redistribution makes every "
+                            "unrolled iteration dense: spills >78GB of "
+                            "temp even at a 60GB memory budget; companion "
+                            "x8_pagerank (same loop, no dangling "
+                            "redistribution) replays green at sf1",
 }
 
 
