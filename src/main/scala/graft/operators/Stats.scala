@@ -1743,4 +1743,53 @@ object Stats {
           (col("s") - signum(col("s")).cast("long")).cast("double") /
             sqrt(col("var18").cast("double") / lit(18.0))))
   }
+
+  /** Theil–Sen slope estimator per series (Theil 1950, Sen 1968): the
+    * MEDIAN of all pairwise slopes (v_j − v_i)/(t_j − t_i) over
+    * time-ordered bucket pairs — the robust trend SLOPE that pairs with
+    * [[mannKendall]]'s trend DETECTION (up to ~29% outlier buckets
+    * cannot move it, unlike an OLS fit). Every slope is one IEEE
+    * division of two exact longs; the median is pure RANK SELECTION
+    * (row_number under the total order (slope, t1, t2)) of the two
+    * middle slopes, combined as (lo + hi)/2 — selection plus one fixed
+    * add/divide, never an engine-shaped interpolation (percentile_cont's
+    * `lo + (hi−lo)·f` tree differs from `(lo+hi)/2` in the last ulp, so
+    * the oracle replays this exact formulation instead).
+    *
+    * Same series contract as [[mannKendall]]: one row per (group, time
+    * bucket), calendar-bounded, [[localGrid]]-enforced; the pair join is
+    * quadratic only in series length and the rank window partitions by
+    * group.
+    *
+    * Output: (g, n_pairs, slope) — slope null when the series has < 2
+    * points (no pairs).
+    */
+  def theilSen(df: DataFrame, groupCol: String, timeCol: String,
+               valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = localGrid(df.select(col(groupCol).as("g"),
+      col(timeCol).cast("long").as("t"), col(valueCol).cast("long").as("v")))
+    val slopes = pts.select(col("g"), col("t").as("t1"), col("v").as("v1"))
+      .join(pts.select(col("g"), col("t").as("t2"), col("v").as("v2")),
+        Seq("g"))
+      .filter(col("t1") < col("t2"))
+      .select(col("g"), col("t1"), col("t2"),
+        ((col("v2") - col("v1")).cast("double") /
+          (col("t2") - col("t1")).cast("double")).as("sl"))
+    val w = Window.partitionBy("g").orderBy(col("sl"), col("t1"), col("t2"))
+    val ranked = slopes.withColumn("rn", row_number().over(w))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("g")))
+    val med = ranked
+      // Integer-division middle indices (Spark `/` on longs is DOUBLE
+      // division — floor() restores the int-div the oracle's `//` runs).
+      .filter(col("rn") === floor((col("k") + 1) / lit(2)) ||
+        col("rn") === floor(col("k") / lit(2)) + 1)
+      .groupBy("g")
+      .agg(first(col("k")).as("n_pairs"),
+        ((min("sl") + max("sl")) / lit(2.0)).as("slope"))
+    pts.select("g").distinct()
+      .join(med, Seq("g"), "left")
+      .select(col("g"), coalesce(col("n_pairs"), lit(0L)).cast("long")
+        .as("n_pairs"), col("slope"))
+  }
 }

@@ -4388,6 +4388,42 @@ object Extensions extends QueryModule {
         .orderBy("event_type")
     },
 
+    // Theil–Sen robust slope (Stats.theilSen): HOW FAST each event
+    // type's hourly volume trends — median of pairwise bucket slopes by
+    // pure rank selection under a total order, (lo+hi)/2 as one fixed
+    // add/divide. ts13 detects the trend, this sizes it, outliers can't
+    // move it.
+    QueryDef("ts14_theilsen", Some("""
+      WITH d AS (SELECT event_type AS g,
+                   epoch_ms(ts) // 3600000 AS t,
+                   CAST(count(*) AS BIGINT) AS v
+                 FROM events GROUP BY 1, 2),
+      sl AS (SELECT a.g, a.t AS t1, b.t AS t2,
+               CAST(b.v - a.v AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS sl
+             FROM d a JOIN d b ON a.g = b.g AND a.t < b.t),
+      r AS (SELECT g, sl,
+              row_number() OVER (PARTITION BY g ORDER BY sl, t1, t2) AS rn,
+              count(*) OVER (PARTITION BY g) AS k
+            FROM sl),
+      med AS (SELECT g, CAST(max(k) AS BIGINT) AS n_pairs,
+                (min(sl) + max(sl)) / 2.0 AS slope
+              FROM r
+              WHERE rn = (k + 1) // 2 OR rn = k // 2 + 1
+              GROUP BY g)
+      SELECT d.g AS event_type, coalesce(med.n_pairs, 0) AS n_pairs,
+             med.slope AS slope
+      FROM (SELECT DISTINCT g FROM d) d LEFT JOIN med ON d.g = med.g
+      ORDER BY event_type""")) { (s, dir) =>
+      val series = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(unix_millis(col("ts")) / lit(3600000L)).cast("long")
+            .as("hour_t"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.Stats.theilSen(series, "event_type", "hour_t", "v")
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    },
+
     // CUSUM mean-shift changepoint (Stats.cusumChangepoint): WHERE each
     // event type's value stream shifted level — argmax_t |N·S_t − t·S_N|
     // on the integer grid, every compared value exact, earliest-t

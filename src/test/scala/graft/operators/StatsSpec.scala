@@ -848,4 +848,22 @@ class StatsSpec extends SparkSpec {
       .collect().toSeq
     assert(re == out)
   }
+
+  test("theilSen: median pairwise slope by rank selection; outlier-robust") {
+    val series = Seq(
+      ("a", 0L, 0L), ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 10L),
+      ("b", 0L, 5L), ("b", 1L, 3L), ("b", 2L, 1L),
+      ("c", 7L, 9L) // single point: no pairs
+    ).toDF("g", "t", "v")
+    val out = Stats.theilSen(series, "g", "t", "v")
+      .orderBy("g").as[(String, Long, Option[Double])].collect().toSeq
+    // a: slopes sorted [1,1,1,10/3,4.5,8]; k=6 -> (lo,hi)=(rank3,rank4).
+    assert(out(0) == ("a", 6L, Some((1.0 + 10.0 / 3) / 2.0)))
+    // b: exactly linear down: every slope -2, odd k -> median -2.
+    assert(out(1) == ("b", 3L, Some(-2.0)))
+    assert(out(2) == ("c", 0L, None))
+    val re = Stats.theilSen(series.repartition(4), "g", "t", "v")
+      .orderBy("g").as[(String, Long, Option[Double])].collect().toSeq
+    assert(re == out)
+  }
 }
