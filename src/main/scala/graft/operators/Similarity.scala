@@ -64,6 +64,40 @@ object Similarity {
       .select("qid", "rank", "nid", "sim")
   }
 
+  /** Maximum inner-product search (MIPS), brute force: top-k by RAW dot
+    * product — the retrieval objective when vector magnitude carries
+    * signal (recommender factor models, unnormalized reward/relevance
+    * embeddings), where cosine's normalization is wrong. Same shape as
+    * [[knnBruteForce]]: broadcast queries, corpus never shuffles for
+    * scoring, per-query partial top-k via window rank.
+    *
+    * Scale path: MIPS reduces to cosine search by norm augmentation
+    * (Bachrach et al. 2014) — append sqrt(M² − |x|²) to each corpus
+    * vector (M = max corpus norm) and 0 to each query; the augmented
+    * vectors share norm M, so augmented-cosine order equals dot order
+    * and the [[knnLsh]] bucketed index applies unchanged. The unit spec
+    * pins that rank equivalence; the brute form here is the oracle-exact
+    * baseline (one codegen'd fold per pair, no libm).
+    *
+    * Output: (qid, rank, nid, score); ties break on nid.
+    */
+  def mipsBruteForce(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("qid"), asDouble(col(vecCol)).as("qv")))
+    val c = Par.spread(corpus)
+      .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(q)
+      .withColumn("score",
+        org.apache.spark.sql.graft.VectorFunctions.vecDot(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "score")
+  }
+
   /** The plane vectors, collected once and ordered by plane id — they are
     * small by contract (an LSH table is ≤64 planes of embedding width), so
     * shipping them to every task as literals is exactly what `broadcast`

@@ -858,6 +858,33 @@ object Extensions extends QueryModule {
         .orderBy("qid", "rnk")
     },
 
+    // Maximum inner-product search (Similarity.mipsBruteForce): top-k by
+    // RAW dot product — the recommender/relevance retrieval objective
+    // where magnitude carries signal and cosine normalization is wrong.
+    // Scale path is the Bachrach-2014 norm augmentation onto the LSH
+    // index (rank equivalence pinned in SimilaritySpec); this gate is
+    // the oracle-exact brute baseline.
+    QueryDef("x3_mips", Some("""
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id >= 10),
+      sc AS (SELECT qid, nid, list_dot_product(qv, cv) AS score
+             FROM q, c),
+      r AS (SELECT qid, nid, score,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, nid) AS rnk
+            FROM sc)
+      SELECT qid, rnk, nid, score FROM r WHERE rnk <= 5
+      ORDER BY qid, rnk""")) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.mipsBruteForce(
+          e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    },
+
     // Metadata-FILTERED vector search: top-k among only the corpus
     // vectors passing a label predicate — the vector-database filter
     // clause. The predicate composes BEFORE scoring (a plain Catalyst

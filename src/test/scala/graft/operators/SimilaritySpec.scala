@@ -413,4 +413,36 @@ class SimilaritySpec extends SparkSpec {
     assert(viaRadius == viaKnn)
     assert(viaRadius.forall(_._3 >= 0.25))
   }
+
+  test("mipsBruteForce: dot order, not cosine order; augmentation equivalence") {
+    // corpus vec 10 = (2,2): long but 45-degrees off the query -> dot 2,
+    // cosine 0.707; vec 11 = (0.9,0.1): near-aligned -> dot 0.9,
+    // cosine 0.994. Dot prefers 10, cosine prefers 11.
+    val corpus = Seq((10L, Seq(2.0f, 2.0f)), (11L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val mips = Similarity.mipsBruteForce(corpus, queries, "vec_id",
+        "embedding", k = 2)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(mips.map(r => (r._2, r._3, r._4)) ==
+      Seq((1, 10L, 2.0), (2, 11L, 0.9f.toDouble)))
+    // Cosine ranks them the other way (0.9940... vs 1.0): MIPS != kNN.
+    val cos = Similarity.knnBruteForce(corpus, queries, "vec_id",
+        "embedding", k = 2)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(cos.map(_._3) == Seq(11L, 10L))
+    // Norm augmentation (Bachrach et al. 2014): append sqrt(M^2 - |x|^2)
+    // to corpus vectors, 0 to queries -> cosine order == dot order, so
+    // the bucketed cosine index serves MIPS unchanged.
+    val m2 = 8.0 // max corpus norm^2 (vec 10: 2^2 + 2^2)
+    val augC = corpus.select($"vec_id", array($"embedding"(0), $"embedding"(1),
+      sqrt(lit(m2) - $"embedding"(0) * $"embedding"(0) -
+        $"embedding"(1) * $"embedding"(1)).cast("float")).as("embedding"))
+    val augQ = queries.select($"vec_id", array($"embedding"(0),
+      $"embedding"(1), lit(0.0f)).as("embedding"))
+    val augCos = Similarity.knnBruteForce(augC, augQ, "vec_id",
+        "embedding", k = 2)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(augCos.map(_._3) == mips.map(_._3)) // rank order restored
+  }
 }
