@@ -1017,6 +1017,52 @@ object Stats {
         (m1 - m2) / sqrt(se2)).as("t")): _*)
   }
 
+  /** Cohen's d effect size per key — the magnitude companion to
+    * [[welchT]]'s significance: a t statistic says the groups differ, d
+    * says by HOW MANY pooled standard deviations, which is what decides
+    * whether an A/B difference is worth shipping (|d| ≈ 0.2 small /
+    * 0.5 medium / 0.8 large) and does not inflate with sample size the
+    * way t does.
+    * {{{ d = (m₁ − m₂) / √(((n₁−1)s₁² + (n₂−1)s₂²) / (n₁+n₂−2)) }}}
+    * Same gate-exact construction as [[welchT]]: exact (n, Σx, Σx²)
+    * group moments on the integer grid; (n−1)·s² = (n·Σx² − (Σx)²)/n
+    * keeps each pooled term one division of exact integers, and d is one
+    * fixed-shape IEEE expression. d is scale-free, so the grid factor
+    * cancels entirely.
+    *
+    * Output per key: (n1, n2, d — null unless both groups have ≥ 2 rows
+    * and the pooled variance is positive).
+    */
+  def cohensD(df: DataFrame, keys: Seq[String], groupCol: String,
+              groupA: String, groupB: String, valueCol: String,
+              grid: Long): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = floor(col(valueCol) * lit(grid.toDouble)).cast("long")
+    val isA = col(groupCol) === groupA
+    val isB = col(groupCol) === groupB
+    val agg = df.filter(isA || isB)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("n1"),
+        sum(when(isA, dec(x))).as("s1"),
+        sum(when(isA, dec(x) * dec(x))).as("ss1"),
+        sum(when(isB, 1L).otherwise(0L)).as("n2"),
+        sum(when(isB, dec(x))).as("s2"),
+        sum(when(isB, dec(x) * dec(x))).as("ss2"))
+    def meanOf(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    def ssqOf(s: Column, ss: Column, n: Column) = // (n−1)·s², exact num.
+      (dec(n) * ss - s * s).cast("double") / n.cast("double")
+    val pooled =
+      (ssqOf(col("s1"), col("ss1"), col("n1")) +
+        ssqOf(col("s2"), col("ss2"), col("n2"))) /
+        (col("n1") + col("n2") - 2).cast("double")
+    agg.select((keys.map(col) :+ col("n1") :+ col("n2") :+
+      when(col("n1") > 1 && col("n2") > 1 &&
+          (dec(col("n1")) * col("ss1") - col("s1") * col("s1") > 0 ||
+           dec(col("n2")) * col("ss2") - col("s2") * col("s2") > 0),
+        (meanOf(col("s1"), col("n1")) - meanOf(col("s2"), col("n2"))) /
+          sqrt(pooled)).as("d")): _*)
+  }
+
   /** Histogram-resolution quantiles — the SCALE PATH for percentiles,
     * deterministic where engine sketch implementations (t-digest,
     * KLL, GK) are not: values land on a fixed 1/`grid` lattice, the

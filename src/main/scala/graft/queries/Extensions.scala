@@ -4985,6 +4985,46 @@ object Extensions extends QueryModule {
         .orderBy("d")
     },
 
+    // Cohen's d effect size (Stats.cohensD): HOW LARGE the view-vs-
+    // purchase value gap is in pooled standard deviations — the
+    // ship/no-ship magnitude companion to x9_ttest's significance
+    // (t inflates with n, d does not). Same exact-moment machinery,
+    // one fixed IEEE tree per day.
+    QueryDef("x9_cohens_d", Some("""
+      WITH g AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   event_type, CAST(floor(value * 10000) AS BIGINT) AS x
+                 FROM events WHERE event_type IN ('view', 'purchase')),
+      a AS (SELECT day,
+              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n1,
+              sum(CASE WHEN event_type = 'view'
+                    THEN CAST(x AS HUGEINT) END) AS s1,
+              sum(CASE WHEN event_type = 'view'
+                    THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT) END) AS ss1,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2,
+              sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(x AS HUGEINT) END) AS s2,
+              sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT) END) AS ss2
+            FROM g GROUP BY 1)
+      SELECT day, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        CASE WHEN n1 > 1 AND n2 > 1
+               AND (n1 * ss1 - s1 * s1 > 0 OR n2 * ss2 - s2 * s2 > 0)
+          THEN (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt((CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                       / CAST(n1 AS DOUBLE)
+                     + CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+                       / CAST(n2 AS DOUBLE))
+                    / CAST(n1 + n2 - 2 AS DOUBLE))
+        END AS d
+      FROM a ORDER BY day""")) { (s, dir) =>
+      graft.operators.Stats.cohensD(
+          t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+          Seq("day"), "event_type", "view", "purchase", "value",
+          grid = 10000L)
+        .orderBy("day")
+    },
+
     // Mann-Whitney U (Stats.mannWhitneyU): the distribution-free rank-sum
     // companion to x9_ttest — returned vs regular quantities. On the
     // integer grid, doubled tie-averaged ranks are exact integers, so

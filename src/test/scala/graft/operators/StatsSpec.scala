@@ -866,4 +866,24 @@ class StatsSpec extends SparkSpec {
       .orderBy("g").as[(String, Long, Option[Double])].collect().toSeq
     assert(re == out)
   }
+
+  test("cohensD: pooled-sd effect size from exact moments; degenerate null") {
+    // A {0,2}: m=1, (n-1)s^2=2; B {4,6}: m=5, (n-1)s^2=2.
+    // pooled = (2+2)/2 = 2 -> d = (1-5)/sqrt(2).
+    val rows = Seq(("k", "A", 0.0), ("k", "A", 2.0),
+      ("k", "B", 4.0), ("k", "B", 6.0),
+      ("z", "A", 1.0), ("z", "A", 1.0), ("z", "B", 1.0), ("z", "B", 1.0))
+      .toDF("key", "grp", "v")
+    val out = Stats.cohensD(rows, Seq("key"), "grp", "A", "B", "v", grid = 1L)
+      .orderBy("key").as[(String, Long, Long, Option[Double])]
+      .collect().toSeq
+    assert(out(0) == ("k", 2L, 2L, Some(-4.0 / math.sqrt(2.0))))
+    // z: both groups constant -> zero pooled variance -> null.
+    assert(out(1) == ("z", 2L, 2L, None))
+    val re = Stats.cohensD(rows.repartition(5), Seq("key"), "grp",
+        "A", "B", "v", grid = 1L)
+      .orderBy("key").as[(String, Long, Long, Option[Double])]
+      .collect().toSeq
+    assert(re == out)
+  }
 }
