@@ -875,6 +875,41 @@ object TextOps {
           col("n_feats").cast("double")).as("score"))
   }
 
+  /** The selection half of DSIR: rank the raw corpus by [[dsirScores]]
+    * and keep the top `keepFrac`, reporting per-source acceptance — the
+    * number that shows HOW the kept mixture shifts toward the target
+    * domain (the whole point of importance resampling). Selection is a
+    * deterministic global rank under the total order (score desc, id);
+    * at 100 TB replace the exact rank with a score THRESHOLD from a
+    * sampled quantile — same contract, no global sort (the
+    * [[lmScoreBuckets]] note). Docs with < 2 tokens never score and are
+    * counted as rejected, which is the curation intent for fragments.
+    *
+    * Output per source: (source, n_docs, n_kept, keep_frac).
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, sourceCol: String,
+                 keepFrac: Double, hexDigits: Int = 2): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, "keepFrac in (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val scored = dsirScores(raw, target, idCol, textCol, hexDigits)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("score"), col(idCol))))
+    val kept = scored
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("rn") <= floor(col("n") * lit(keepFrac)))
+      .select(col(idCol), lit(1L).as("__keep"))
+    raw.select(col(idCol), col(sourceCol).as("source"))
+      .join(kept, Seq(idCol), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("__keep"), lit(0L)).as("n_kept"))
+      .withColumn("keep_frac",
+        col("n_kept").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation" — the scheme built FOR
     * distributed corpus-scale LMs: no discounting pass, just raw counts

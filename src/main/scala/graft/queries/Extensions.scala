@@ -2769,6 +2769,50 @@ object Extensions extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // DSIR selection (TextOps.dsirSelect): keep the top quarter of the
+    // corpus by importance score and report per-source acceptance — the
+    // resampling half of x6_dsir, whose acceptance skew toward the
+    // target domain's sources is the operator's whole point.
+    QueryDef("x6_dsir_select", Some("""
+      WITH tk AS (SELECT doc_id, source, string_split(text,' ') AS toks
+                  FROM documents),
+      bg AS (SELECT doc_id, source,
+               substring(md5(array_to_string(toks[i:i+1],' ')), 1, 2)
+                 AS bucket
+             FROM tk, LATERAL (SELECT unnest(range(1, len(toks))) AS i) ii),
+      rc AS (SELECT bucket, count(*) AS rc FROM bg GROUP BY bucket),
+      tc AS (SELECT bucket, count(*) AS tc FROM bg
+             WHERE source = 'src0' GROUP BY bucket),
+      tot AS (SELECT (SELECT sum(rc) FROM rc) AS r_tot,
+                     (SELECT coalesce(sum(tc), 0) FROM tc) AS t_tot),
+      m AS (SELECT rc.bucket,
+              (CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE)
+                 / CAST(t_tot + 256 AS DOUBLE))
+              * (CAST(r_tot + 256 AS DOUBLE)
+                 / CAST(rc.rc + 1 AS DOUBLE)) AS ratio
+            FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+      sc AS (SELECT doc_id,
+               CAST(sum(CAST(floor(ratio * 1e6) AS HUGEINT)) AS DOUBLE)
+                 / 1e6 / CAST(count(*) AS DOUBLE) AS score
+             FROM bg JOIN m USING (bucket) GROUP BY doc_id),
+      r AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+              count(*) OVER () AS n
+            FROM sc),
+      k AS (SELECT doc_id FROM r WHERE rn <= floor(n * 0.25))
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_frac
+      FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+      GROUP BY d.source ORDER BY d.source""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextOps.dsirSelect(docs, docs.filter(col("source") === "src0"),
+          "doc_id", "text", "source", keepFrac = 0.25, hexDigits = 2)
+        .orderBy("source")
+    },
+
     // CCNet head/middle/tail LM-score buckets (TextOps.lmScoreBuckets,
     // Wenzek et al. 2019): per-language terciles of the bigram-LM
     // corpus-likelihood — the "keep head+middle, drop tail" curation

@@ -552,6 +552,22 @@ class TextOpsSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("dsirSelect: acceptance skews toward the target-like source") {
+    val raw = Seq((1L, "web", "a b a b"), (2L, "web", "a b a c"),
+      (3L, "wiki", "x y x y"), (4L, "wiki", "x y y x"))
+      .toDF("id", "src", "text")
+    val target = raw.filter(col("src") === "wiki")
+    val out = TextOps.dsirSelect(raw, target, "id", "text", "src",
+        keepFrac = 0.5)
+      .orderBy("source").as[(String, Long, Long, Double)].collect().toSeq
+    // top half by importance = the two wiki-like docs.
+    assert(out == Seq(("web", 2L, 0L, 0.0), ("wiki", 2L, 2L, 1.0)))
+    val re = TextOps.dsirSelect(raw.repartition(3), target, "id", "text",
+        "src", keepFrac = 0.5)
+      .orderBy("source").as[(String, Long, Long, Double)].collect().toSeq
+    assert(re == out)
+  }
+
   test("lmScoreBuckets: per-group terciles are ordered, sized, exhaustive") {
     // 6 docs, one lang: repetitive docs score high avg_p, diverse low.
     val docs = Seq(
