@@ -1790,6 +1790,78 @@ object Stats {
             sqrt(col("var18").cast("double") / lit(18.0))))
   }
 
+  /** Brown–Forsythe variance-homogeneity test (Brown & Forsythe 1974 —
+    * Levene's test with the group MEDIAN, the robust standard): do k
+    * groups have equal spread? The precondition check before pooled-
+    * variance statistics like [[cohensD]], and a dispersion-drift
+    * detector in its own right (a variant that widens the value spread
+    * without moving the mean is invisible to a t test).
+    *
+    * All-integer construction via the DOUBLED-median trick: on the
+    * integer grid the two middle values of each group are exact rank
+    * selections from the (group, v) histogram's cumulative window, so
+    * Z = |2v − (v_lo + v_hi)| is an exact integer per histogram CELL —
+    * no interpolated median, no float deviations. The ANOVA-on-Z that
+    * defines W then reduces to per-group exact moments (S_i = ΣZ,
+    * Q_i = ΣZ²): each group's rational terms S_i²/n_i and
+    * (n_i·Q_i − S_i²)/n_i are fixed double trees over exact decimals,
+    * floor-quantized to the 10⁻⁶ lattice and summed exactly (the
+    * [[chiSquareAssoc]] discipline — never a data-ordered float sum),
+    * and W is one final fixed-shape IEEE expression. W is
+    * scale-invariant, so the 2× never enters the statistic.
+    *
+    * Scale posture: one (group, v) histogram with map-side partials;
+    * the median window runs over histogram rows per group; everything
+    * after is k-row arithmetic. Same bounded-grid contract as
+    * [[kruskalWallisH]].
+    *
+    * Output: one row (n, k, w) — w null when degenerate (k < 2, n ≤ k,
+    * or zero within-group deviation).
+    */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    binCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val hist = localGrid(df.groupBy(col(groupCol).as("g"),
+      col(binCol).cast("long").as("v")).agg(count(lit(1)).as("c")))
+    val wCum = Window.partitionBy("g").orderBy("v")
+    val cum = hist.withColumn("cum", sum("c").over(wCum))
+      .withColumn("ng", sum("c").over(Window.partitionBy("g")))
+    // Doubled median: first v whose cumulative count reaches each of the
+    // two middle ranks (exact integer ranks, the q6 rank-at-ceil rule).
+    val med = cum
+      .withColumn("__lo", when(col("cum") >= floor((col("ng") + 1) / lit(2)),
+        col("v")))
+      .withColumn("__hi", when(col("cum") >= floor(col("ng") / lit(2)) + 1,
+        col("v")))
+      .groupBy("g").agg(min("__lo").as("vlo"), min("__hi").as("vhi"))
+    val z = hist.join(med, "g")
+      .withColumn("z", abs(lit(2) * col("v") - (col("vlo") + col("vhi"))))
+    val perG = z.groupBy("g")
+      .agg(sum("c").as("ng"),
+        sum(dec(col("c")) * dec(col("z"))).as("s"),
+        sum(dec(col("c")) * dec(col("z")) * dec(col("z"))).as("q"))
+      .select(col("g"), col("ng"), col("s"), col("q"),
+        // Per-group rational terms on the 1e-6 lattice (exact sums next).
+        floor(((col("s") * col("s")).cast("double") /
+          col("ng").cast("double")) * lit(1e6)).cast("decimal(38,0)")
+          .as("b6"),
+        floor(((dec(col("ng")) * col("q") - col("s") * col("s"))
+          .cast("double") / col("ng").cast("double")) * lit(1e6))
+          .cast("decimal(38,0)").as("d6"))
+    perG.agg(sum(dec(col("ng"))).as("n"), count(lit(1)).as("k"),
+        sum(col("s")).as("stot"), sum(col("b6")).as("b6"),
+        sum(col("d6")).as("d6"))
+      .select(col("n").cast("long").as("n"), col("k").cast("long").as("k"),
+        when(col("k") > 1 && col("n") > col("k") && col("d6") > 0,
+          ((col("n") - col("k")).cast("double") /
+            (col("k") - 1).cast("double")) *
+            (col("b6").cast("double") / lit(1e6) -
+              (col("stot") * col("stot")).cast("double") /
+                col("n").cast("double")) /
+            (col("d6").cast("double") / lit(1e6))).as("w"))
+  }
+
   /** Theil–Sen slope estimator per series (Theil 1950, Sen 1968): the
     * MEDIAN of all pairwise slopes (v_j − v_i)/(t_j − t_i) over
     * time-ordered bucket pairs — the robust trend SLOPE that pairs with

@@ -5029,6 +5029,54 @@ object Extensions extends QueryModule {
         .orderBy("d")
     },
 
+    // Brown–Forsythe variance homogeneity (Stats.brownForsythe): do the
+    // event types have equal value SPREAD — the precondition for pooled-
+    // variance stats and the dispersion-drift detector a mean-based t
+    // test cannot see. Doubled-median trick keeps every deviation an
+    // exact integer; per-group rational terms land on the 1e-6 lattice.
+    QueryDef("x9_brownforsythe", Some("""
+      WITH base AS (SELECT event_type AS g,
+                      CAST(floor(value * 10000) AS BIGINT) AS v
+                    FROM events),
+      h AS (SELECT g, v, count(*) AS c FROM base GROUP BY 1, 2),
+      cw AS (SELECT g, v, c,
+               sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+               sum(c) OVER (PARTITION BY g) AS ng
+             FROM h),
+      med AS (SELECT g,
+                min(CASE WHEN cum >= (ng + 1) // 2 THEN v END) AS vlo,
+                min(CASE WHEN cum >= ng // 2 + 1 THEN v END) AS vhi
+              FROM cw GROUP BY g),
+      z AS (SELECT h.g, h.c, abs(2 * h.v - (vlo + vhi)) AS z
+            FROM h JOIN med ON h.g = med.g),
+      pg AS (SELECT g, sum(c) AS ng,
+               sum(CAST(c AS HUGEINT) * z) AS s,
+               sum(CAST(c AS HUGEINT) * z * z) AS q
+             FROM z GROUP BY g),
+      pg2 AS (SELECT g, ng, s, q,
+                CAST(floor((CAST(s * s AS DOUBLE) / CAST(ng AS DOUBLE))
+                  * 1e6) AS HUGEINT) AS b6,
+                CAST(floor((CAST(ng * q - s * s AS DOUBLE)
+                  / CAST(ng AS DOUBLE)) * 1e6) AS HUGEINT) AS d6
+              FROM pg),
+      t AS (SELECT sum(ng) AS n, count(*) AS k, sum(s) AS stot,
+              sum(b6) AS b6, sum(d6) AS d6
+            FROM pg2)
+      SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        CASE WHEN k > 1 AND n > k AND d6 > 0 THEN
+          (CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+          * (CAST(b6 AS DOUBLE) / 1e6
+             - CAST(stot * stot AS DOUBLE) / CAST(n AS DOUBLE))
+          / (CAST(d6 AS DOUBLE) / 1e6)
+        END AS w
+      FROM t ORDER BY n""")) { (s, dir) =>
+      graft.operators.Stats.brownForsythe(
+          t(s, dir, "events").select(col("event_type"),
+            floor(col("value") * 10000).cast("long").as("v")),
+          "event_type", "v")
+        .orderBy("n")
+    },
+
     // Cohen's d effect size (Stats.cohensD): HOW LARGE the view-vs-
     // purchase value gap is in pooled standard deviations — the
     // ship/no-ship magnitude companion to x9_ttest's significance
