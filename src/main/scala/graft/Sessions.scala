@@ -71,6 +71,19 @@ object Sessions {
     // degrades gracefully instead of failing past it.
     .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "100000000")
     .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "1073741824")
+    // ... but those raised caps also govern the optimizer's AUTOMATIC
+    // InjectRuntimeFilter on every eligible shuffle join, which then
+    // builds up-to-128MB bloom filters as a side effect of joins that are
+    // already hand-planned (broadcast hints, pre-partitioned invariants,
+    // explicit BloomOps sketches where a membership filter actually pays).
+    // Measured tax with injection on at the raised caps: x2_minhash_k64
+    // 3.06 -> 2.10s and x8_bfs 8.25 -> 6.81s when disabled (isolated
+    // 3-run medians) — a uniform 1.3-1.7x on the join-heavy family for
+    // zero selectivity benefit, since every hot join here keys on
+    // already-minimal digest/band tables. Auto-injection stays OFF;
+    // explicit BloomFilterAggregate construction (BloomOps) is unaffected
+    // and keeps the raised ceilings above.
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
     // events.ts is parquet TIMESTAMP(NANOS): surfaced as nanos-since-epoch
     // LongType (Tables.scala normalizes it back to TimestampType @ micros).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1804,11 +1804,19 @@ object Stats {
     * no interpolated median, no float deviations. The ANOVA-on-Z that
     * defines W then reduces to per-group exact moments (S_i = ΣZ,
     * Q_i = ΣZ²): each group's rational terms S_i²/n_i and
-    * (n_i·Q_i − S_i²)/n_i are fixed double trees over exact decimals,
-    * floor-quantized to the 10⁻⁶ lattice and summed exactly (the
-    * [[chiSquareAssoc]] discipline — never a data-ordered float sum),
-    * and W is one final fixed-shape IEEE expression. W is
-    * scale-invariant, so the 2× never enters the statistic.
+    * (n_i·Q_i − S_i²)/n_i land on the 10⁻⁶ lattice by EXACT decimal
+    * integer division — ⌊S_i²·10⁶ / n_i⌋ as quotient-remainder
+    * arithmetic on decimal(38,0), never through a double. (ΣZ-squared
+    * terms reach ~10²¹ on real value grids; a double-floor path
+    * silently saturates at Long.MaxValue ≈ 9.2·10¹⁸ because Spark's
+    * floor() on double returns BIGINT, while the oracle's HUGEINT
+    * holds 10²¹ exactly — the Welch/χ² rational terms stay small but
+    * these do not, so the lattice must be integer end-to-end.
+    * S_i²·10⁶ ≈ 10³⁰ fits both decimal(38,0) and HUGEINT.) The lattice
+    * terms are then summed exactly (the [[chiSquareAssoc]] discipline —
+    * never a data-ordered float sum), and W is one final fixed-shape
+    * IEEE expression. W is scale-invariant, so the 2× never enters the
+    * statistic.
     *
     * Scale posture: one (group, v) histogram with map-side partials;
     * the median window runs over histogram rows per group; everything
@@ -1841,14 +1849,20 @@ object Stats {
       .agg(sum("c").as("ng"),
         sum(dec(col("c")) * dec(col("z"))).as("s"),
         sum(dec(col("c")) * dec(col("z")) * dec(col("z"))).as("q"))
-      .select(col("g"), col("ng"), col("s"), col("q"),
-        // Per-group rational terms on the 1e-6 lattice (exact sums next).
-        floor(((col("s") * col("s")).cast("double") /
-          col("ng").cast("double")) * lit(1e6)).cast("decimal(38,0)")
-          .as("b6"),
-        floor(((dec(col("ng")) * col("q") - col("s") * col("s"))
-          .cast("double") / col("ng").cast("double")) * lit(1e6))
-          .cast("decimal(38,0)").as("d6"))
+      .select(Seq(col("g"), col("ng"), col("s"), col("q")) ++ {
+        // Per-group rational terms on the 1e-6 lattice via EXACT integer
+        // division (⌊a/n⌋ = (a − a mod n)/n on decimal(38,0); the
+        // numerator is then an exact multiple, so the decimal divide is
+        // rounding-free). Both numerators are nonnegative (Cauchy–
+        // Schwarz for d6), so truncation ≡ floor and matches the
+        // oracle's HUGEINT `//`. A double-floor here saturates at
+        // Long.MaxValue for the ~10²¹ values these terms reach.
+        val ngD = dec(col("ng"))
+        val m6 = lit(1000000L).cast("decimal(38,0)")
+        def idiv(a: Column) = ((a - a % ngD) / ngD).cast("decimal(38,0)")
+        Seq(idiv(col("s") * col("s") * m6).as("b6"),
+          idiv((ngD * col("q") - col("s") * col("s")) * m6).as("d6"))
+      }: _*)
     perG.agg(sum(dec(col("ng"))).as("n"), count(lit(1)).as("k"),
         sum(col("s")).as("stot"), sum(col("b6")).as("b6"),
         sum(col("d6")).as("d6"))

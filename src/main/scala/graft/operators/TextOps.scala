@@ -821,15 +821,19 @@ object TextOps {
     *   r(b) = ((t_b+1)/(T+B)) · ((R+B)/(r_b+1))
     *
     * computed as two exact-long divisions and one multiply — a fixed
-    * three-op IEEE tree, engine-identical (DSIR proper sums LOG ratios;
-    * ln() is libm-dependent and breaks cross-engine bit-equality, so the
-    * gate-exact formulation scores by the MEAN ratio of the doc's
-    * feature occurrences, which ranks monotonically for selection). The
-    * per-doc mean accumulates on the fixed-point 1e-6 grid (floor(r·1e6)
-    * summed as exact decimals), the [[bigramLmScore]] discipline. Each
-    * division's operands stay exact up to 2^53 ≈ 9e15 occurrences;
-    * beyond that pre-aggregate per shard and rescale, as in
-    * [[tokenDrift]].
+    * three-op IEEE tree, engine-identical. (DSIR proper sums LOG
+    * ratios; ln() is libm-dependent and breaks cross-engine
+    * bit-equality, so this scores by the MEAN ratio of the doc's
+    * feature occurrences instead — an intentional gate-exact
+    * approximation of DSIR's importance weight, NOT a rank-equivalent
+    * transform of it: arithmetic-mean-of-ratios and mean-of-log-ratios
+    * order differently in general. It preserves the selection INTENT —
+    * docs whose features skew toward the target score high — with a
+    * different tail ordering.) The per-doc mean accumulates on the
+    * fixed-point 1e-6 grid (floor(r·1e6) summed as exact decimals), the
+    * [[bigramLmScore]] discipline. Each division's operands stay exact
+    * up to 2^53 ≈ 9e15 occurrences; beyond that pre-aggregate per shard
+    * and rescale, as in [[tokenDrift]].
     *
     * Scale posture: two bucket hash-aggregates (map-side partials over
     * the explodes — the only corpus-sized work); the model is a
@@ -843,7 +847,12 @@ object TextOps {
     */
   def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
                  textCol: String, hexDigits: Int = 2): DataFrame = {
-    require(hexDigits >= 1 && hexDigits <= 8, "hexDigits in [1,8]")
+    // hexDigits ≤ 5 (~1M buckets): the model is broadcast into the
+    // scoring join and its totals ride unpartitioned windows — both fine
+    // for a ≤16^5-row table, both scale-killers at 16^8 = 4.3B rows. A
+    // bucket space past ~1M needs a partitioned-total formulation (and
+    // buys nothing: DSIR's published setup uses 10^4-10^5 hash buckets).
+    require(hexDigits >= 1 && hexDigits <= 5, "hexDigits in [1,5]")
     val b = math.pow(16, hexDigits).toLong
     def buckets(df: DataFrame, cols: Column*) = Par.spread(df)
       .select(cols :+ explode(shingles(tokens(col(textCol)), 2)).as("__bg"): _*)
@@ -854,18 +863,24 @@ object TextOps {
     // Corpus totals as unpartitioned windows over the B-row model table —
     // NOT fresh aggregates, which would re-run the corpus-sized bucket
     // pass once per total (plan-audited: the crossJoin(agg) form cost two
-    // extra full corpus scans). B ≤ 16^8 rows in one partition is free.
+    // extra full corpus scans). B ≤ 16^5 rows in one partition is free.
+    // The join is FULL OUTER so T counts every target bucket even when
+    // the raw corpus never produced it — the canonical DSIR setup scores
+    // a crawl against a DISJOINT reference corpus (e.g. Wikipedia), where
+    // target-only buckets are common; a left join would silently shrink
+    // T there. (Target-only model rows never match a raw occurrence in
+    // the scoring join, so they contribute only their mass in T.)
     import org.apache.spark.sql.expressions.Window
     val w = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    val model = rc.join(tc, Seq("bucket"), "left")
-      .withColumn("__R", sum("rc").over(w))
+    val model = rc.join(tc, Seq("bucket"), "outer")
+      .withColumn("__R", coalesce(sum("rc").over(w), lit(0L)))
       .withColumn("__T", coalesce(sum("tc").over(w), lit(0L)))
       .select(col("bucket"),
         (((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
             (col("__T") + b).cast("double")) *
           ((col("__R") + b).cast("double") /
-            (col("rc") + 1).cast("double"))).as("ratio"))
+            (coalesce(col("rc"), lit(0L)) + 1).cast("double"))).as("ratio"))
     rawB.join(broadcast(model), "bucket")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"),
@@ -880,9 +895,9 @@ object TextOps {
     * number that shows HOW the kept mixture shifts toward the target
     * domain (the whole point of importance resampling). Selection is a
     * deterministic global rank under the total order (score desc, id);
-    * at 100 TB replace the exact rank with a score THRESHOLD from a
-    * sampled quantile — same contract, no global sort (the
-    * [[lmScoreBuckets]] note). Docs with < 2 tokens never score and are
+    * at 100 TB use [[dsirSelectThreshold]] — the same contract with the
+    * rank replaced by a score threshold from a sampled quantile, no
+    * global sort. Docs with < 2 tokens never score and are
     * counted as rejected, which is the curation intent for fragments.
     *
     * Output per source: (source, n_docs, n_kept, keep_frac).
@@ -900,6 +915,58 @@ object TextOps {
         Window.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
       .filter(col("rn") <= floor(col("n") * lit(keepFrac)))
+      .select(col(idCol), lit(1L).as("__keep"))
+    raw.select(col(idCol), col(sourceCol).as("source"))
+      .join(kept, Seq(idCol), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("__keep"), lit(0L)).as("n_kept"))
+      .withColumn("keep_frac",
+        col("n_kept").cast("double") / col("n_docs").cast("double"))
+  }
+
+  /** The 100 TB form of [[dsirSelect]]: selection by a score THRESHOLD
+    * estimated from a deterministic hash-sample, never a global rank.
+    * [[dsirSelect]]'s exact form ranks the whole corpus under one
+    * unpartitioned `row_number` — a global sort, the named scale-killer.
+    * Here the only ordered structure is over the SAMPLE
+    * ([[Sample.bernoulliPortable]] on the id at `sampleHexCeil`/256 —
+    * engine-portable, re-derivable from the id alone): the keepFrac
+    * quantile of the sampled scores becomes the corpus-wide cut, rides a
+    * one-row broadcast, and selection is a scalar compare inside the
+    * corpus scan. At 100 TB the sample rate drops to ~1e-4 and the
+    * machinery is unchanged — sample-sized sort, one-row broadcast,
+    * full-parallel filter.
+    *
+    * Contract vs the exact form: the kept COUNT is keepFrac·n only up to
+    * sampling error, and docs tied exactly at the threshold score are all
+    * kept (`score >= t` — deterministic, engine-exact on the gate-exact
+    * scores). When the sample is too small to place the quantile
+    * (⌊m·keepFrac⌋ = 0) nothing is kept — the conservative failure mode.
+    *
+    * Output per source: (source, n_docs, n_kept, keep_frac) — the
+    * [[dsirSelect]] report shape, comparable side by side.
+    */
+  def dsirSelectThreshold(raw: DataFrame, target: DataFrame, idCol: String,
+                          textCol: String, sourceCol: String,
+                          keepFrac: Double, hexDigits: Int = 2,
+                          sampleHexCeil: String = "40"): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, "keepFrac in (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val scored = dsirScores(raw, target, idCol, textCol, hexDigits)
+    val samp = scored.filter(Sample.bernoulliPortable(idCol, sampleHexCeil))
+    // Quantile by exact rank WITHIN THE SAMPLE (sample-sized sort): the
+    // threshold is the score at rank ⌊m·keepFrac⌋ under (score desc, id).
+    val thr = samp
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("score"), col(idCol))))
+      .withColumn("m", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("rn") === floor(col("m") * lit(keepFrac)))
+      .select(col("score").as("__thr"))
+    val kept = scored.crossJoin(broadcast(thr))
+      .filter(col("score") >= col("__thr"))
       .select(col(idCol), lit(1L).as("__keep"))
     raw.select(col(idCol), col(sourceCol).as("source"))
       .join(kept, Seq(idCol), "left")
@@ -997,9 +1064,9 @@ object TextOps {
     * Scale posture: scoring is [[bigramLmScore]]'s three keyed
     * shuffles; the tiling window is PARTITIONED by the group column, so
     * each language sorts independently (the w-family contract). At
-    * 100 TB replace the exact ntile with threshold assignment from
-    * sampled per-group quantiles — same downstream contract, no global
-    * sort.
+    * 100 TB use [[lmScoreBucketsThreshold]] — the exact ntile replaced
+    * by threshold assignment from sampled per-group quantiles, same
+    * downstream contract, no per-group full sort.
     */
   def lmScoreBuckets(df: DataFrame, idCol: String, textCol: String,
                      groupCol: String, buckets: Int = 3): DataFrame = {
@@ -1011,6 +1078,60 @@ object TextOps {
       .orderBy(desc("avg_p"), col(idCol))
     scored.withColumn("bucket", ntile(buckets).over(w).cast("long"))
       .groupBy(groupCol, "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("sum_bigrams"),
+        min("avg_p").as("min_p"), max("avg_p").as("max_p"))
+  }
+
+  /** The 100 TB form of [[lmScoreBuckets]]: bucket boundaries estimated
+    * per group from a deterministic hash-sample, assignment by scalar
+    * compare — no per-group full sort. The exact form ntiles EVERY doc
+    * inside a per-group window (each language's whole slice sorts); here
+    * only the SAMPLE ([[Sample.bernoulliPortable]] on the id) is ranked,
+    * per group, to read off the buckets−1 cut scores c_b (the score at
+    * sample rank ⌊m·b/buckets⌋ under (score desc, id)); the cut table
+    * (groups × (buckets−1) rows, pivoted to one row per group) is
+    * broadcast and every doc lands in bucket 1 + #{b : score < c_b} —
+    * a codegen'd compare chain inside the corpus scan.
+    *
+    * Contract vs the exact form: tile POPULATIONS are equal only up to
+    * sampling error; docs tied exactly at a cut land in the better
+    * (lower-numbered) bucket (`score >= c_b`). A group whose sample is
+    * too small to place cut b (⌊m·b/buckets⌋ = 0) leaves that cut
+    * unplaced, and the missing comparison keeps docs in lower buckets —
+    * the conservative failure mode. Scores are gate-exact by
+    * [[bigramLmScore]] construction, so the compare is engine-exact.
+    *
+    * Output: (groupCol, bucket, n_docs, sum_bigrams, min_p, max_p) — the
+    * [[lmScoreBuckets]] report shape, comparable side by side.
+    */
+  def lmScoreBucketsThreshold(df: DataFrame, idCol: String, textCol: String,
+                              groupCol: String, buckets: Int = 3,
+                              sampleHexCeil: String = "80"): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLmScore(df, idCol, textCol)
+      .join(df.select(col(idCol), col(groupCol)), idCol)
+    val samp = scored.filter(Sample.bernoulliPortable(idCol, sampleHexCeil))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(desc("avg_p"), col(idCol))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(groupCol)))
+    // One row per group carrying its cut scores: c_b = the sampled score
+    // at rank floor(m*b/buckets), absent (null) when the sample cannot
+    // place it. min() over the at-most-one matching row is just
+    // "the value or null" — no ordering dependence.
+    val cutCols = (1 until buckets).map { b =>
+      min(when(col("rn") ===
+        floor(col("m") * lit(b.toLong) / lit(buckets.toLong)),
+        col("avg_p"))).as(s"__c$b")
+    }
+    val cuts = samp.groupBy(groupCol).agg(cutCols.head, cutCols.tail: _*)
+    val bucketed = scored.join(broadcast(cuts), Seq(groupCol), "left")
+      .withColumn("bucket",
+        (1 until buckets).foldLeft(lit(1L)) { (acc, b) =>
+          acc + when(col("avg_p") < col(s"__c$b"), 1L).otherwise(0L)
+        })
+    bucketed.groupBy(groupCol, "bucket")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_bigrams").as("sum_bigrams"),
         min("avg_p").as("min_p"), max("avg_p").as("max_p"))

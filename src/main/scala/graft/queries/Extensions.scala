@@ -2813,6 +2813,57 @@ object Extensions extends QueryModule {
         .orderBy("source")
     },
 
+    // DSIR threshold selection (TextOps.dsirSelectThreshold): the 100 TB
+    // form of x6_dsir_select — the keep cut is the keepFrac quantile of a
+    // 25% hash-sample's scores (sample-sized rank, one-row broadcast,
+    // scalar compare in the corpus scan), never a global sort. Same
+    // per-source acceptance report; kept count matches the exact form up
+    // to sampling error and threshold ties.
+    QueryDef("x6_dsir_select_t", Some("""
+      WITH tk AS (SELECT doc_id, source, string_split(text,' ') AS toks
+                  FROM documents),
+      bg AS (SELECT doc_id, source,
+               substring(md5(array_to_string(toks[i:i+1],' ')), 1, 2)
+                 AS bucket
+             FROM tk, LATERAL (SELECT unnest(range(1, len(toks))) AS i) ii),
+      rc AS (SELECT bucket, count(*) AS rc FROM bg GROUP BY bucket),
+      tc AS (SELECT bucket, count(*) AS tc FROM bg
+             WHERE source = 'src0' GROUP BY bucket),
+      tot AS (SELECT (SELECT sum(rc) FROM rc) AS r_tot,
+                     (SELECT coalesce(sum(tc), 0) FROM tc) AS t_tot),
+      m AS (SELECT rc.bucket,
+              (CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE)
+                 / CAST(t_tot + 256 AS DOUBLE))
+              * (CAST(r_tot + 256 AS DOUBLE)
+                 / CAST(rc.rc + 1 AS DOUBLE)) AS ratio
+            FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+      sc AS (SELECT doc_id,
+               CAST(sum(CAST(floor(ratio * 1e6) AS HUGEINT)) AS DOUBLE)
+                 / 1e6 / CAST(count(*) AS DOUBLE) AS score
+             FROM bg JOIN m USING (bucket) GROUP BY doc_id),
+      samp AS (SELECT doc_id, score FROM sc
+               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'),
+      r AS (SELECT score,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+              count(*) OVER () AS ms
+            FROM samp),
+      thr AS (SELECT score AS t FROM r WHERE rn = floor(ms * 0.25)),
+      k AS (SELECT doc_id FROM sc, thr WHERE score >= t)
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_frac
+      FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+      GROUP BY d.source ORDER BY d.source""")) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextOps.dsirSelectThreshold(docs,
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", "source", keepFrac = 0.25, hexDigits = 2,
+          sampleHexCeil = "40")
+        .orderBy("source")
+    },
+
     // CCNet head/middle/tail LM-score buckets (TextOps.lmScoreBuckets,
     // Wenzek et al. 2019): per-language terciles of the bigram-LM
     // corpus-likelihood — the "keep head+middle, drop tail" curation
@@ -2845,6 +2896,54 @@ object Extensions extends QueryModule {
       FROM j GROUP BY lang, bucket ORDER BY lang, bucket""")) { (s, dir) =>
       TextOps.lmScoreBuckets(t(s, dir, "documents"), "doc_id", "text",
           "lang", buckets = 3)
+        .orderBy("lang", "bucket")
+    },
+
+    // CCNet threshold buckets (TextOps.lmScoreBucketsThreshold): the
+    // 100 TB form of x6_ccnet_buckets — per-language tercile cut scores
+    // read off a 50% hash-sample's ranks (sample-sized per-group sort),
+    // broadcast as one row per language, and every doc bucketed by a
+    // codegen'd compare chain. Tile populations match the exact ntile up
+    // to sampling error; cut-score ties land in the better bucket.
+    QueryDef("x6_ccnet_buckets_t", Some("""
+      WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks
+                  FROM documents),
+      bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
+             FROM tk, LATERAL (SELECT unnest(range(1, len(toks))) AS i) ii),
+      c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+      c2w AS (SELECT bg, c2, string_split(bg,' ')[1] AS w1 FROM c2),
+      c1 AS (SELECT w1, sum(c2) AS c1 FROM c2w GROUP BY w1),
+      p AS (SELECT bg, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+            FROM c2w JOIN c1 USING (w1)),
+      sc AS (SELECT doc_id, count(*) AS n_bigrams,
+               sum(CAST(floor(p * 1e12) AS HUGEINT)) AS s
+             FROM bg JOIN p USING (bg) GROUP BY doc_id),
+      sc2 AS (SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                CAST(s AS DOUBLE) / 1e12 / CAST(n_bigrams AS DOUBLE)
+                  AS avg_p
+              FROM sc),
+      samp AS (SELECT d.lang, sc2.avg_p,
+                 row_number() OVER (PARTITION BY d.lang
+                   ORDER BY sc2.avg_p DESC, sc2.doc_id) AS rn,
+                 count(*) OVER (PARTITION BY d.lang) AS ms
+               FROM sc2 JOIN documents d USING (doc_id)
+               WHERE substr(md5(CAST(sc2.doc_id AS VARCHAR)), 1, 2) < '80'),
+      cuts AS (SELECT lang,
+                 min(CASE WHEN rn = floor(ms * 1 / 3) THEN avg_p END) AS cc1,
+                 min(CASE WHEN rn = floor(ms * 2 / 3) THEN avg_p END) AS cc2
+               FROM samp GROUP BY lang),
+      j AS (SELECT d.lang, sc2.doc_id, sc2.n_bigrams, sc2.avg_p,
+              1 + (CASE WHEN sc2.avg_p < c.cc1 THEN 1 ELSE 0 END)
+                + (CASE WHEN sc2.avg_p < c.cc2 THEN 1 ELSE 0 END) AS bucket
+            FROM sc2 JOIN documents d USING (doc_id)
+            LEFT JOIN cuts c ON d.lang = c.lang)
+      SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+             min(avg_p) AS min_p, max(avg_p) AS max_p
+      FROM j GROUP BY lang, bucket ORDER BY lang, bucket""")) { (s, dir) =>
+      TextOps.lmScoreBucketsThreshold(t(s, dir, "documents"), "doc_id",
+          "text", "lang", buckets = 3, sampleHexCeil = "80")
         .orderBy("lang", "bucket")
     },
 
@@ -5054,10 +5153,9 @@ object Extensions extends QueryModule {
                sum(CAST(c AS HUGEINT) * z * z) AS q
              FROM z GROUP BY g),
       pg2 AS (SELECT g, ng, s, q,
-                CAST(floor((CAST(s * s AS DOUBLE) / CAST(ng AS DOUBLE))
-                  * 1e6) AS HUGEINT) AS b6,
-                CAST(floor((CAST(ng * q - s * s AS DOUBLE)
-                  / CAST(ng AS DOUBLE)) * 1e6) AS HUGEINT) AS d6
+                (s * s * 1000000) // CAST(ng AS HUGEINT) AS b6,
+                ((CAST(ng AS HUGEINT) * q - s * s) * 1000000)
+                  // CAST(ng AS HUGEINT) AS d6
               FROM pg),
       t AS (SELECT sum(ng) AS n, count(*) AS k, sum(s) AS stot,
               sum(b6) AS b6, sum(d6) AS d6

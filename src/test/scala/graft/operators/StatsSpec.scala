@@ -886,4 +886,61 @@ class StatsSpec extends SparkSpec {
       .collect().toSeq
     assert(re == out)
   }
+
+  test("brownForsythe: hand-computed W; odd/even group sizes") {
+    // A (odd n=3): 1,2,3 -> doubled median 4; Z = 2,0,2; S=4, Q=8.
+    //   b6 = floor(16e6/3) = 5333333; d6 = floor((3*8-16)e6/3) = 2666666.
+    // B (even n=4): 10,10,20,40 -> vlo=10 (rank 2), vhi=20 (rank 3),
+    //   doubled median 30; Z = 10,10,10,50; S=80, Q=2800.
+    //   b6 = 6400e6/4 = 1600000000; d6 = (4*2800-6400)e6/4 = 1200000000.
+    // n=7, k=2, stot=84:
+    //   W = (5/1) * (1605.333333 - 7056/7) / 1202.666666.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 10L), ("b", 10L), ("b", 20L), ("b", 40L)).toDF("g", "v")
+    val out = Stats.brownForsythe(df, "g", "v")
+      .as[(Long, Long, Option[Double])].head()
+    val expW = 5.0 / 1.0 * (1605333333.0 / 1e6 - 7056.0 / 7.0) /
+      (1202666666.0 / 1e6)
+    assert(out._1 == 7L && out._2 == 2L)
+    assert(math.abs(out._3.get - expW) < 1e-12)
+    val re = Stats.brownForsythe(df.repartition(5), "g", "v")
+      .as[(Long, Long, Option[Double])].head()
+    assert(re == out)
+  }
+
+  test("brownForsythe: degenerate nulls (k<2, all-tied groups)") {
+    // Single group -> k < 2 -> null W.
+    val one = Seq(("a", 1L), ("a", 5L), ("a", 9L)).toDF("g", "v")
+    assert(Stats.brownForsythe(one, "g", "v")
+      .as[(Long, Long, Option[Double])].head() == ((3L, 1L, None)))
+    // Every group constant -> zero within-group deviation (d6=0) -> null.
+    val tied = Seq(("a", 4L), ("a", 4L), ("b", 7L), ("b", 7L), ("b", 7L))
+      .toDF("g", "v")
+    assert(Stats.brownForsythe(tied, "g", "v")
+      .as[(Long, Long, Option[Double])].head() == ((5L, 2L, None)))
+  }
+
+  test("brownForsythe: ~1e29 lattice terms survive exactly (no Long " +
+      "saturation)") {
+    // Group A on a 1e11 grid: 0, 1e11, 3e11 -> doubled median 2e11;
+    // Z = 2e11, 0, 4e11; S = 6e11, Q = 2e23. s^2*1e6 = 3.6e29 — far past
+    // Long.MaxValue (9.2e18): a double-floor b6 would saturate; exact
+    // decimal integer division must hold b6 = 1.2e29, d6 = 8e28.
+    val big = 100000000000L // 1e11
+    val df = Seq(("a", 0L), ("a", big), ("a", 3 * big),
+      ("b", 0L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    val out = Stats.brownForsythe(df, "g", "v")
+      .as[(Long, Long, Option[Double])].head()
+    val b6 = BigDecimal("120000000000000000000000000000") +
+      BigDecimal(5333333) // A + B
+    val d6 = BigDecimal("80000000000000000000000000000") +
+      BigDecimal(2666666)
+    val stot = BigDecimal(600000000000L) + BigDecimal(4)
+    val expW = (4.0 / 1.0) *
+      ((b6 / BigDecimal(1000000)).toDouble -
+        (stot * stot).toDouble / 6.0) /
+      (d6 / BigDecimal(1000000)).toDouble
+    assert(out._1 == 6L && out._2 == 2L)
+    assert(out._3.isDefined && math.abs(out._3.get / expW - 1.0) < 1e-9)
+  }
 }

@@ -568,6 +568,65 @@ class TextOpsSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("dsirSelectThreshold: full sample == exact rank form " +
+      "(distinct scores); empty sample keeps nothing") {
+    // 8 docs in two sources with graded target overlap -> distinct
+    // scores. With a FULL sample ('zz' > every hex prefix) the threshold
+    // is the score at rank floor(n*keepFrac) — exactly the exact form's
+    // cut — so with no score ties the two reports must be identical.
+    val raw = Seq(
+      (1L, "web", "a b a b a b"), (2L, "web", "a b a c a d"),
+      (3L, "web", "a c b d c e"), (4L, "web", "c d d e e f"),
+      (5L, "wiki", "x y x y x y"), (6L, "wiki", "x y x z x w"),
+      (7L, "wiki", "x z y w z v"), (8L, "wiki", "z w w v v u"))
+      .toDF("id", "src", "text")
+    val target = raw.filter(col("src") === "wiki")
+    val exact = TextOps.dsirSelect(raw, target, "id", "text", "src",
+        keepFrac = 0.5)
+      .orderBy("source").as[(String, Long, Long, Double)].collect().toSeq
+    val full = TextOps.dsirSelectThreshold(raw, target, "id", "text",
+        "src", keepFrac = 0.5, sampleHexCeil = "zz")
+      .orderBy("source").as[(String, Long, Long, Double)].collect().toSeq
+    assert(full == exact)
+    // Empty sample -> no threshold can be placed -> conservative: keep 0.
+    val none = TextOps.dsirSelectThreshold(raw, target, "id", "text",
+        "src", keepFrac = 0.5, sampleHexCeil = "00")
+      .orderBy("source").as[(String, Long, Long, Double)].collect().toSeq
+    assert(none.map(_._3).sum == 0L)
+    // Partition-invariant.
+    val re = TextOps.dsirSelectThreshold(raw.repartition(3), target, "id",
+        "text", "src", keepFrac = 0.5, sampleHexCeil = "zz")
+      .orderBy("source").as[(String, Long, Long, Double)].collect().toSeq
+    assert(re == full)
+  }
+
+  test("lmScoreBucketsThreshold: full sample == exact ntile form; " +
+      "unplaceable cuts collapse to bucket 1") {
+    val docs = Seq(
+      (1L, "en", "a a a a a a a a"), (2L, "en", "a a a a a a a b"),
+      (3L, "en", "a b a b a b a b"), (4L, "en", "a b c a b c a b"),
+      (5L, "en", "a b c d e f g h"), (6L, "en", "h g f e d c b a"))
+      .toDF("id", "lang", "text")
+    val exact = TextOps.lmScoreBuckets(docs, "id", "text", "lang",
+        buckets = 3)
+      .orderBy("bucket")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    // FULL sample: cut b = score at rank floor(6*b/3) — the last row of
+    // exact tile b — so (with distinct scores) assignment reproduces the
+    // ntile tiles exactly.
+    val full = TextOps.lmScoreBucketsThreshold(docs, "id", "text", "lang",
+        buckets = 3, sampleHexCeil = "zz")
+      .orderBy("bucket")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(full == exact)
+    // Empty sample: no cuts placed -> every doc stays in bucket 1.
+    val none = TextOps.lmScoreBucketsThreshold(docs, "id", "text", "lang",
+        buckets = 3, sampleHexCeil = "00")
+      .orderBy("bucket")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(none.map(_._2) == Seq(1L) && none.head._3 == 6L)
+  }
+
   test("lmScoreBuckets: per-group terciles are ordered, sized, exhaustive") {
     // 6 docs, one lang: repetitive docs score high avg_p, diverse low.
     val docs = Seq(
