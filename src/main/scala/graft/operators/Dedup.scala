@@ -329,15 +329,27 @@ object Dedup {
     * Σ_t df_t², and on a corpus whose unigram vocabulary is tiny every
     * token's df is O(corpus) — measured on the sf1 fixture (26 distinct
     * unigrams over 50k docs): unigram mass ≈ 2·10¹⁰ versus 1.5·10⁷ for
-    * 4-shingles. Unigram + no df cap is a small-corpus debugging mode,
-    * not a scale path.
+    * 4-shingles.
+    *
+    * SCALE CONTRACT (compile-enforced): at least one posting-list bound
+    * must be active — `shingleN > 0` or `maxDocFreq > 0`. Unigrams with
+    * no df cap make the self-join provably quadratic (every doc pair
+    * sharing any common word is materialized — the measured 2·10¹⁰
+    * wall above), so that combination is a small-corpus DEBUGGING mode
+    * and must be requested explicitly via `allowUnigramDebug = true`.
     *
     * Output: (da, db, sim) with da < db, sim >= threshold.
     */
   def sparseCosinePairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDocFreq: Long = 0L,
-      shingleN: Int = 0): DataFrame = {
+      shingleN: Int = 0, allowUnigramDebug: Boolean = false): DataFrame = {
+    require(shingleN > 0 || maxDocFreq > 0 || allowUnigramDebug,
+      "sparseCosinePairs: unbounded unigram mode is quadratic " +
+        "(posting-pair mass = sum over tokens of df^2 — O(n^2) when any " +
+        "token's df is O(corpus)). Set shingleN > 0 (shingle vector " +
+        "space) or maxDocFreq > 0 (df cut), or opt into the " +
+        "small-corpus debugging mode with allowUnigramDebug = true")
     val unit =
       if (shingleN <= 0) TextOps.tokens(col(textCol))
       else TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)

@@ -50,6 +50,89 @@ object Multimodal {
       }
   }
 
+  /** REAL image codec through the same [[Decoder]] seam: JDK-native
+    * `javax.imageio` (PNG/JPEG/BMP/GIF — zero external dependencies).
+    * Features are exact integer pixel statistics of the red channel:
+    * codes = [width, height, sumR, minR, maxR]. On lossless formats
+    * (PNG/BMP) these are bit-reproducible from the pixel values alone,
+    * which is what lets a generated-image gate replay them in SQL from
+    * the generator's closed form — a true end-to-end decode check, not a
+    * digest stand-in. Undecodable payloads (codec mismatch, truncation)
+    * yield empty codes instead of failing the task: at corpus scale a
+    * poisoned row must quarantine, not kill a 10^5-task stage.
+    *
+    * Thread/task posture: one `ImageIO.read` per payload, no shared
+    * state; the file-backed ImageIO cache is disabled (pure in-memory
+    * decode — executor tmp-disk is not part of this contract).
+    */
+  object ImageIoDecoder extends Decoder {
+    def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          catch { case _: java.io.IOException => null }
+        if (img == null)
+          MediaFeatures(r.id, r.content.length.toLong, Array.empty[Long])
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L; var min = 255L; var max = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val red = ((img.getRGB(x, y) >> 16) & 0xff).toLong
+              sum += red
+              if (red < min) min = red
+              if (red > max) max = red
+              x += 1
+            }
+            y += 1
+          }
+          MediaFeatures(r.id, r.content.length.toLong,
+            Array(w.toLong, h.toLong, sum, min, max))
+        }
+      }
+    }
+  }
+
+  /** Deterministic PNG fixture generator (the ingest-side simulation for
+    * [[ImageIoDecoder]] gates — a real deployment reads image FILES via
+    * Spark's `binaryFile` source; this synthesizes equivalent rows from
+    * an id column so the decode path can be exercised hermetically).
+    * Image `id` is `(8 + id mod 9) × (8 + 3·id mod 9)` gray pixels with
+    * `gray(x, y) = (7x + 13y + id) mod 256` — a closed form an external
+    * engine can re-evaluate per pixel, giving the DECODED statistics an
+    * exact oracle even though the PNG byte stream itself is
+    * encoder-specific. Runs as a typed map (fixture generation, not a
+    * hot path); PNG is lossless so decode(encode(pixels)) == pixels.
+    */
+  def syntheticPngs(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + (3 * id) % 9).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = ((7L * x + 13L * y + id) % 256L).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.setUseCache(false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      MediaRow(id, out.toByteArray, MediaMeta("png", w, h))
+    }
+  }
+
   /** Wrap a text column as a binary media column with synthesized metadata
     * (the shape a real ingest would produce from image/audio files).
     */

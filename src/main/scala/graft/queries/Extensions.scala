@@ -1931,6 +1931,39 @@ object Extensions extends QueryModule {
         .orderBy("id").limit(100)
     },
 
+    // REAL codec through the same Decoder seam (Multimodal.ImageIoDecoder,
+    // JDK javax.imageio — zero new deps): generated gray PNGs with
+    // gray(x,y) = (7x + 13y + id) mod 256 are ENCODED, then DECODED back
+    // by ImageIO inside the batched mapPartitions path, and the gate
+    // compares exact per-image pixel statistics (sum/min/max of the red
+    // plane) against the generator's closed form replayed per pixel in
+    // SQL. PNG is lossless, so a correct decode reproduces the formula
+    // bit-for-bit — pixel statistics, not digest stand-ins.
+    QueryDef("x4_decode_px", Some("""
+      WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (3*doc_id) % 9 AS h
+                 FROM documents WHERE doc_id < 100),
+      px AS (SELECT doc_id, w, h, (7*x.x + 13*y.y + doc_id) % 256 AS g
+             FROM d,
+               LATERAL (SELECT unnest(range(0, w)) AS x) x,
+               LATERAL (SELECT unnest(range(0, h)) AS y) y)
+      SELECT doc_id AS id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+             CAST(sum(g) AS BIGINT) AS sum_r,
+             CAST(min(g) AS BIGINT) AS min_r,
+             CAST(max(g) AS BIGINT) AS max_r
+      FROM px GROUP BY doc_id, w, h ORDER BY id""")) { (s, dir) =>
+      val ids = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 100)
+      val media = Multimodal.syntheticPngs(ids, "doc_id")
+      val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
+      feats.toDF().select(col("id"),
+          element_at(col("codes"), 1).as("w"),
+          element_at(col("codes"), 2).as("h"),
+          element_at(col("codes"), 3).as("sum_r"),
+          element_at(col("codes"), 4).as("min_r"),
+          element_at(col("codes"), 5).as("max_r"))
+        .orderBy("id")
+    },
+
     // Perceptual-hash near-dup media pairs (Multimodal.avgHash +
     // phashPairs): 8-bit average-hash over the batched mapPartitions
     // decode, nibble-band blocking (pigeonhole-complete for Hamming ≤ 1),
@@ -3115,7 +3148,7 @@ object Extensions extends QueryModule {
       SELECT da, db, sim FROM sim WHERE sim >= CAST(0.98 AS DOUBLE)
       ORDER BY da, db""")) { (s, dir) =>
       Dedup.sparseCosinePairs(t(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.98)
+          threshold = 0.98, allowUnigramDebug = true)
         .orderBy("da", "db")
     },
 
@@ -3621,8 +3654,8 @@ object Extensions extends QueryModule {
               FROM (SELECT pair, count(*) AS c FROM sh$r GROUP BY 1)
               ORDER BY c DESC, pair LIMIT 1),
       t$r AS (SELECT doc_id,
-                     replace(text, (SELECT pair FROM b$r),
-                             (SELECT merged FROM b$r)) AS text
+                     replace(text, coalesce((SELECT pair FROM b$r), ''),
+                             coalesce((SELECT merged FROM b$r), '')) AS text
               FROM t${r - 1})"""
       }.mkString(",\n      ")}
       SELECT rank, pair, merged, freq FROM (
@@ -3650,8 +3683,8 @@ object Extensions extends QueryModule {
               FROM (SELECT pair, count(*) AS c FROM sh$r GROUP BY 1)
               ORDER BY c DESC, pair LIMIT 1),
       t$r AS (SELECT doc_id,
-                     replace(text, (SELECT pair FROM b$r),
-                             (SELECT merged FROM b$r)) AS text
+                     replace(text, coalesce((SELECT pair FROM b$r), ''),
+                             coalesce((SELECT merged FROM b$r), '')) AS text
               FROM t${r - 1})"""
       }.mkString(",\n      ")}
       SELECT t0.doc_id, t4.text AS text_encoded,
@@ -3689,8 +3722,8 @@ object Extensions extends QueryModule {
               FROM (SELECT pair, count(*) AS c FROM sh$r GROUP BY 1)
               ORDER BY c DESC, pair LIMIT 1),
       t$r AS (SELECT doc_id, lang,
-                     replace(text, (SELECT pair FROM b$r),
-                             (SELECT merged FROM b$r)) AS text
+                     replace(text, coalesce((SELECT pair FROM b$r), ''),
+                             coalesce((SELECT merged FROM b$r), '')) AS text
               FROM t${r - 1})"""
       }.mkString(",\n      ")}
       SELECT t0.lang, CAST(count(*) AS BIGINT) AS n_docs,

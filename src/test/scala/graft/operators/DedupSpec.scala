@@ -109,7 +109,13 @@ class DedupSpec extends SparkSpec {
       (2L, "a b b"),   // tf: a=1, b=2, |v|² = 5
       (3L, "c"))       // shares nothing
       .toDF("id", "text")
-    val out = Dedup.sparseCosinePairs(df, "id", "text", threshold = 0.5)
+    // The unbounded unigram mode is the declared-quadratic path and must
+    // be requested explicitly — the default contract requires a bound.
+    intercept[IllegalArgumentException] {
+      Dedup.sparseCosinePairs(df, "id", "text", threshold = 0.5)
+    }
+    val out = Dedup.sparseCosinePairs(df, "id", "text", threshold = 0.5,
+        allowUnigramDebug = true)
       .as[(Long, Long, Double)].collect()
     // only (1,2): num = 2*1 + 1*2 = 4; the expression shape (one division
     // by a product of sqrts) must reproduce bit-exactly
@@ -118,7 +124,8 @@ class DedupSpec extends SparkSpec {
     // identical docs score exactly 1? no — sqrt(n)² != n in FP; assert the
     // defined expression instead of an idealized constant
     val self = Dedup.sparseCosinePairs(
-        Seq((1L, "x y"), (2L, "x y")).toDF("id", "text"), "id", "text", 0.9)
+        Seq((1L, "x y"), (2L, "x y")).toDF("id", "text"), "id", "text", 0.9,
+        allowUnigramDebug = true)
       .as[(Long, Long, Double)].collect()
     assert(self.map(r => (r._1, r._2)).toSeq == Seq((1L, 2L)))
     assert(math.abs(self.head._3 - 1.0) < 1e-12)
@@ -129,7 +136,8 @@ class DedupSpec extends SparkSpec {
     assert(pruned.count() == 0)
     // frequency sensitivity: Jaccard can't tell these apart, cosine can
     val freq = Seq((1L, "a b"), (2L, "a a a a b")).toDF("id", "text")
-    val sim = Dedup.sparseCosinePairs(freq, "id", "text", 0.0)
+    val sim = Dedup.sparseCosinePairs(freq, "id", "text", 0.0,
+        allowUnigramDebug = true)
       .as[(Long, Long, Double)].head()._3
     assert(sim < 1.0 && sim > 0.5, s"skewed frequencies must lower sim: $sim")
   }

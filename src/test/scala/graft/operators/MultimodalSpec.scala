@@ -168,4 +168,28 @@ class MultimodalSpec extends SparkSpec {
     assert(run(withNulls) ==
       Set((3L, 0, true), (3L, 1, false), (3L, 2, true)))
   }
+
+  test("ImageIoDecoder: PNG decode reproduces the generator's pixel " +
+      "formula exactly; undecodable bytes quarantine to empty codes") {
+    val ids = Seq(0L, 3L, 17L).toDF("doc_id")
+    val media = Multimodal.syntheticPngs(ids, "doc_id")
+    val feats = Multimodal
+      .extractFeatures(media, Multimodal.ImageIoDecoder, batchSize = 2)
+      .collect().sortBy(_.id)
+    for (f <- feats) {
+      val id = f.id
+      val w = (8 + id % 9).toInt; val h = (8 + (3 * id) % 9).toInt
+      val px = for (x <- 0 until w; y <- 0 until h)
+        yield (7L * x + 13L * y + id) % 256L
+      assert(f.codes.toSeq ==
+        Seq(w.toLong, h.toLong, px.sum, px.min, px.max),
+        s"id=$id decoded stats diverge from the closed form")
+    }
+    // Non-image payloads must not kill the task — empty codes instead.
+    val junk = Multimodal.extractFeatures(
+      Multimodal.fromText(Seq((9L, "not a png")).toDF("id", "text"),
+        "id", "text"),
+      Multimodal.ImageIoDecoder).collect()
+    assert(junk.length == 1 && junk.head.codes.isEmpty)
+  }
 }
