@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** The file-backed ImageIO scratch cache is off for every codec path in
+    * this module (pure in-memory decode — executor tmp-disk is not part
+    * of the contract). `setUseCache` is a PROCESS-GLOBAL JVM mutation, so
+    * it runs exactly once per JVM via this lazy val instead of per batch
+    * or per row (ADVICE r9: repeated calls silently re-assert global
+    * state for every other ImageIO user in the executor).
+    */
+  private lazy val imageIoCacheOff: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaMeta(format: String, width: Int, height: Int)
   final case class MediaRow(id: Long, content: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(
@@ -52,56 +62,106 @@ object Multimodal {
 
   /** REAL image codec through the same [[Decoder]] seam: JDK-native
     * `javax.imageio` (PNG/JPEG/BMP/GIF — zero external dependencies).
-    * Features are exact integer pixel statistics of the red channel:
-    * codes = [width, height, sumR, minR, maxR]. On lossless formats
-    * (PNG/BMP) these are bit-reproducible from the pixel values alone,
-    * which is what lets a generated-image gate replay them in SQL from
-    * the generator's closed form — a true end-to-end decode check, not a
-    * digest stand-in. Undecodable payloads (codec mismatch, truncation)
-    * yield empty codes instead of failing the task: at corpus scale a
-    * poisoned row must quarantine, not kill a 10^5-task stage.
+    * Features are exact integer pixel statistics of all three channels:
+    * codes = [width, height, sumR, minR, maxR, sumG, minG, maxG,
+    * sumB, minB, maxB] — the red block first, so the 5-code consumers
+    * written against the r9 single-channel layout keep their indices.
+    * On lossless formats (PNG/BMP) these are bit-reproducible from the
+    * pixel values alone, which is what lets a generated-image gate replay
+    * them in SQL from the generator's closed form — a true end-to-end
+    * decode check, not a digest stand-in. Undecodable payloads yield
+    * empty codes instead of failing the task: at corpus scale a poisoned
+    * row must quarantine, not kill a 10^5-task stage — and because
+    * `javax.imageio` plugins throw UNCHECKED exceptions on malformed
+    * payloads (IllegalArgumentException, ArrayIndexOutOfBoundsException,
+    * CMMException from the JPEG color path — not just IOException), the
+    * quarantine catches every NonFatal throwable, never only IO.
     *
     * Thread/task posture: one `ImageIO.read` per payload, no shared
-    * state; the file-backed ImageIO cache is disabled (pure in-memory
-    * decode — executor tmp-disk is not part of this contract).
+    * state; the file-backed ImageIO cache is disabled once per JVM
+    * ([[imageIoCacheOff]]).
     */
   object ImageIoDecoder extends Decoder {
     def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] = {
-      javax.imageio.ImageIO.setUseCache(false)
+      imageIoCacheOff
       batch.map { r =>
         val img =
           try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.content))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null)
           MediaFeatures(r.id, r.content.length.toLong, Array.empty[Long])
         else {
           val (w, h) = (img.getWidth, img.getHeight)
-          var sum = 0L; var min = 255L; var max = 0L
+          val sum = Array(0L, 0L, 0L)
+          val min = Array(255L, 255L, 255L)
+          val max = Array(0L, 0L, 0L)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              val red = ((img.getRGB(x, y) >> 16) & 0xff).toLong
-              sum += red
-              if (red < min) min = red
-              if (red > max) max = red
+              val rgb = img.getRGB(x, y)
+              var c = 0
+              while (c < 3) {
+                val v = ((rgb >> (16 - 8 * c)) & 0xff).toLong
+                sum(c) += v
+                if (v < min(c)) min(c) = v
+                if (v > max(c)) max(c) = v
+                c += 1
+              }
               x += 1
             }
             y += 1
           }
           MediaFeatures(r.id, r.content.length.toLong,
-            Array(w.toLong, h.toLong, sum, min, max))
+            Array(w.toLong, h.toLong,
+              sum(0), min(0), max(0),
+              sum(1), min(1), max(1),
+              sum(2), min(2), max(2)))
         }
       }
     }
   }
 
+  /** Shared fixture encoder: `(8 + id mod 9) × (8 + 3·id mod 9)` pixels
+    * whose per-channel values come from `rgbOf(x, y)`, encoded via the
+    * JDK writer for `format` ("png"/"jpg"). `Math.floorMod` keeps the
+    * dimensions positive over ALL long ids (ADVICE r9: Scala `%`
+    * preserves sign, so a negative id yielded w ≤ 0 and the
+    * BufferedImage constructor threw — the generator is now total over
+    * its declared input).
+    */
+  private def encodeImage(id: Long, format: String,
+                          rgbOf: (Int, Int) => Int): MediaRow = {
+    imageIoCacheOff
+    val w = (8 + Math.floorMod(id, 9L)).toInt
+    val h = (8 + Math.floorMod(3 * id, 9L)).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, rgbOf(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    MediaRow(id, out.toByteArray, MediaMeta(format, w, h))
+  }
+
+  private def grayAt(id: Long)(x: Int, y: Int): Int = {
+    val g = Math.floorMod(7L * x + 13L * y + id, 256L).toInt
+    (g << 16) | (g << 8) | g
+  }
+
   /** Deterministic PNG fixture generator (the ingest-side simulation for
     * [[ImageIoDecoder]] gates — a real deployment reads image FILES via
-    * Spark's `binaryFile` source; this synthesizes equivalent rows from
-    * an id column so the decode path can be exercised hermetically).
-    * Image `id` is `(8 + id mod 9) × (8 + 3·id mod 9)` gray pixels with
+    * Spark's `binaryFile` source, cf. [[writeMediaFiles]]; this
+    * synthesizes equivalent rows from an id column so the decode path can
+    * be exercised hermetically). Image `id` is gray pixels with
     * `gray(x, y) = (7x + 13y + id) mod 256` — a closed form an external
     * engine can re-evaluate per pixel, giving the DECODED statistics an
     * exact oracle even though the PNG byte stream itself is
@@ -111,25 +171,70 @@ object Multimodal {
   def syntheticPngs(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map(id => encodeImage(id, "png", grayAt(id)))
+  }
+
+  /** Full-color variant of [[syntheticPngs]]: three INDEPENDENT per-pixel
+    * closed forms — r = (7x+13y+id), g = (11x+5y+2id), b = (3x+17y+5id),
+    * each mod 256 — so a gate on the 3-channel decode statistics can
+    * tell the channels apart (a gray fixture has R = G = B and a decoder
+    * that read the wrong plane would still pass).
+    */
+  def syntheticRgbPngs(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].map { id =>
-      val w = (8 + id % 9).toInt
-      val h = (8 + (3 * id) % 9).toInt
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val g = ((7L * x + 13L * y + id) % 256L).toInt
-          img.setRGB(x, y, (g << 16) | (g << 8) | g)
-          x += 1
-        }
-        y += 1
+      encodeImage(id, "png", { (x, y) =>
+        val r = Math.floorMod(7L * x + 13L * y + id, 256L).toInt
+        val g = Math.floorMod(11L * x + 5L * y + 2 * id, 256L).toInt
+        val b = Math.floorMod(3L * x + 17L * y + 5 * id, 256L).toInt
+        (r << 16) | (g << 8) | b
+      })
+    }
+  }
+
+  /** Deliberately-mixed media fixtures for the QUARANTINE gate: by
+    * `id mod 4` the row is an intact PNG (0), a PNG truncated to its
+    * first 16 bytes (1 — signature + partial IHDR, undecodable by
+    * construction), an intact JPEG (2), or a 16-byte-truncated JPEG
+    * (3 — SOI + partial APP0). Intact payloads always decode; truncated
+    * ones must quarantine to empty codes WITHOUT killing the task —
+    * including the JPEG paths, whose plugins throw unchecked exceptions
+    * (the reason [[ImageIoDecoder]] catches NonFatal, not IOException).
+    * JPEG pixel values are codec-dependent and never gated; the
+    * decoded-vs-quarantined COUNTS are portable.
+    */
+  def syntheticMixed(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val kind = Math.floorMod(id, 4L)
+      val fmt = if (kind >= 2) "jpg" else "png"
+      val row = encodeImage(id, fmt, grayAt(id))
+      if (kind % 2 == 1)
+        row.copy(content = row.content.take(16),
+          meta = row.meta.copy(format = fmt + "_trunc"))
+      else row
+    }
+  }
+
+  /** Write media rows as individual `<dir>/doc-<id>.<ext>` files — the
+    * landing layout a real deployment's `binaryFile` scans ingest
+    * (SURVEY §2.1 S8: the reference's ingest boundary is files, not
+    * in-plan rows). Distributed: each task writes its own partition's
+    * files straight to shared storage, no driver collect; rewrites are
+    * idempotent (content is a pure function of the id). Caller owns
+    * directory lifecycle — pass a fresh dir per run for isolation.
+    */
+  def writeMediaFiles(ds: Dataset[MediaRow], dir: String, ext: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    ds.foreachPartition { (it: Iterator[MediaRow]) =>
+      it.foreach { r =>
+        val out = new java.io.FileOutputStream(
+          new java.io.File(dir, s"doc-${r.id}.$ext"))
+        try out.write(r.content) finally out.close()
       }
-      javax.imageio.ImageIO.setUseCache(false)
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
-      MediaRow(id, out.toByteArray, MediaMeta("png", w, h))
     }
   }
 

@@ -1812,7 +1812,11 @@ object Stats {
     * floor() on double returns BIGINT, while the oracle's HUGEINT
     * holds 10²¹ exactly — the Welch/χ² rational terms stay small but
     * these do not, so the lattice must be integer end-to-end.
-    * S_i²·10⁶ ≈ 10³⁰ fits both decimal(38,0) and HUGEINT.) The lattice
+    * S_i²·10⁶ ≈ 10³⁰ fits both decimal(38,0) and HUGEINT; past the
+    * envelope — S_i ≥ 10¹⁶ or n_i·Q_i ≥ 10³² — the plan RAISES via
+    * assert_true instead of letting non-ANSI decimal overflow emit a
+    * silent NULL W, matching the oracle's loud HUGEINT failure.) The
+    * lattice
     * terms are then summed exactly (the [[chiSquareAssoc]] discipline —
     * never a data-ordered float sum), and W is one final fixed-shape
     * IEEE expression. W is scale-invariant, so the 2× never enters the
@@ -1859,9 +1863,33 @@ object Stats {
         // Long.MaxValue for the ~10²¹ values these terms reach.
         val ngD = dec(col("ng"))
         val m6 = lit(1000000L).cast("decimal(38,0)")
+        // Envelope guard (ADVICE r9): past S ≈ 10¹⁶ (or n·Q ≈ 10³²) the
+        // decimal(38,0) products above would overflow — and under Spark's
+        // default non-ANSI mode an overflowed decimal is a SILENT NULL,
+        // so W would quietly go null while the oracle's HUGEINT raises a
+        // loud error at the same envelope. assert_true makes the Spark
+        // side fail equally loudly: rebin the value grid instead of
+        // trusting a saturated lattice. (Per-group k-row arithmetic; the
+        // guard's own products stay within the bound by construction —
+        // literals, never data² — and a NULL condition also throws.)
+        val sBound = lit("10000000000000000").cast("decimal(38,0)")
+        val nqBound =
+          lit("100000000000000000000000000000000").cast("decimal(38,0)")
+        val guard = assert_true(
+          col("s") < sBound && ngD * col("q") < nqBound,
+          lit("brownForsythe: sum-of-Z envelope exceeded (S >= 1e16 or " +
+            "n*Q >= 1e32) — the decimal(38,0) 1e-6 lattice would " +
+            "overflow to NULL; rebin binCol to a coarser grid"))
         def idiv(a: Column) = ((a - a % ngD) / ngD).cast("decimal(38,0)")
-        Seq(idiv(col("s") * col("s") * m6).as("b6"),
-          idiv((ngD * col("q") - col("s") * col("s")) * m6).as("d6"))
+        // coalesce evaluates lazily in order, so the guard raises BEFORE
+        // the product can overflow (under ANSI a raw overflow would also
+        // raise, but with a generic decimal error; under non-ANSI it
+        // would silently null — both paths now surface the same named
+        // envelope message).
+        def guarded(a: Column) =
+          coalesce(guard.cast("decimal(38,0)"), idiv(a))
+        Seq(guarded(col("s") * col("s") * m6).as("b6"),
+          guarded((ngD * col("q") - col("s") * col("s")) * m6).as("d6"))
       }: _*)
     perG.agg(sum(dec(col("ng"))).as("n"), count(lit(1)).as("k"),
         sum(col("s")).as("stot"), sum(col("b6")).as("b6"),

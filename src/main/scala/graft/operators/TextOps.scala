@@ -942,10 +942,16 @@ object TextOps {
     * sampling error, and docs tied exactly at the threshold score are all
     * kept (`score >= t` — deterministic, engine-exact on the gate-exact
     * scores). When the sample is too small to place the quantile
-    * (⌊m·keepFrac⌋ = 0) nothing is kept — the conservative failure mode.
+    * (⌊m·keepFrac⌋ = 0) nothing is kept — the conservative failure mode —
+    * and the report SAYS so: `n_sample` (sampled docs that scored) and
+    * `has_threshold` ride every output row, so a silently-empty kept set
+    * is a visible `has_threshold = false` next to its sample size instead
+    * of a zero a reader has to diagnose (ADVICE r9 / VERDICT "what's
+    * wrong" #3).
     *
-    * Output per source: (source, n_docs, n_kept, keep_frac) — the
-    * [[dsirSelect]] report shape, comparable side by side.
+    * Output per source: (source, n_docs, n_kept, keep_frac, n_sample,
+    * has_threshold) — the [[dsirSelect]] report shape plus the sampling
+    * observability columns.
     */
   def dsirSelectThreshold(raw: DataFrame, target: DataFrame, idCol: String,
                           textCol: String, sourceCol: String,
@@ -957,15 +963,21 @@ object TextOps {
     val samp = scored.filter(Sample.bernoulliPortable(idCol, sampleHexCeil))
     // Quantile by exact rank WITHIN THE SAMPLE (sample-sized sort): the
     // threshold is the score at rank ⌊m·keepFrac⌋ under (score desc, id).
+    // One aggregate row ALWAYS exists (threshold null when unplaceable),
+    // so the same broadcast row feeds both the corpus-scan compare and
+    // the report's observability columns — the ranked subtree runs once.
     val thr = samp
       .withColumn("rn", row_number().over(
         Window.orderBy(desc("score"), col(idCol))))
       .withColumn("m", count(lit(1)).over(
         Window.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
-      .filter(col("rn") === floor(col("m") * lit(keepFrac)))
-      .select(col("score").as("__thr"))
+      .agg(max(when(col("rn") === floor(col("m") * lit(keepFrac)),
+          col("score"))).as("__thr"),
+        count(lit(1)).as("n_sample"))
     val kept = scored.crossJoin(broadcast(thr))
+      // score >= NULL is never true: an unplaceable threshold keeps
+      // nothing, per the conservative contract above.
       .filter(col("score") >= col("__thr"))
       .select(col(idCol), lit(1L).as("__keep"))
     raw.select(col(idCol), col(sourceCol).as("source"))
@@ -975,6 +987,9 @@ object TextOps {
         coalesce(sum("__keep"), lit(0L)).as("n_kept"))
       .withColumn("keep_frac",
         col("n_kept").cast("double") / col("n_docs").cast("double"))
+      .crossJoin(broadcast(thr))
+      .withColumn("has_threshold", col("__thr").isNotNull)
+      .drop("__thr")
   }
 
   /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large

@@ -171,18 +171,24 @@ class MultimodalSpec extends SparkSpec {
 
   test("ImageIoDecoder: PNG decode reproduces the generator's pixel " +
       "formula exactly; undecodable bytes quarantine to empty codes") {
-    val ids = Seq(0L, 3L, 17L).toDF("doc_id")
+    // Negative ids included: the generator must be total over all longs
+    // (Math.floorMod dims — a sign-preserving % yielded w <= 0 and threw).
+    val ids = Seq(0L, 3L, 17L, -8L).toDF("doc_id")
     val media = Multimodal.syntheticPngs(ids, "doc_id")
     val feats = Multimodal
       .extractFeatures(media, Multimodal.ImageIoDecoder, batchSize = 2)
       .collect().sortBy(_.id)
+    assert(feats.length == 4)
     for (f <- feats) {
       val id = f.id
-      val w = (8 + id % 9).toInt; val h = (8 + (3 * id) % 9).toInt
+      val w = (8 + Math.floorMod(id, 9L)).toInt
+      val h = (8 + Math.floorMod(3 * id, 9L)).toInt
       val px = for (x <- 0 until w; y <- 0 until h)
-        yield (7L * x + 13L * y + id) % 256L
+        yield Math.floorMod(7L * x + 13L * y + id, 256L)
+      // Gray fixture: all three channel blocks carry the same stats.
+      val chan = Seq(px.sum, px.min, px.max)
       assert(f.codes.toSeq ==
-        Seq(w.toLong, h.toLong, px.sum, px.min, px.max),
+        Seq(w.toLong, h.toLong) ++ chan ++ chan ++ chan,
         s"id=$id decoded stats diverge from the closed form")
     }
     // Non-image payloads must not kill the task — empty codes instead.
@@ -191,5 +197,76 @@ class MultimodalSpec extends SparkSpec {
         "id", "text"),
       Multimodal.ImageIoDecoder).collect()
     assert(junk.length == 1 && junk.head.codes.isEmpty)
+  }
+
+  test("syntheticRgbPngs: per-channel closed forms decode independently") {
+    val ids = Seq(1L, 5L, 12L).toDF("doc_id")
+    val feats = Multimodal
+      .extractFeatures(Multimodal.syntheticRgbPngs(ids, "doc_id"),
+        Multimodal.ImageIoDecoder)
+      .collect().sortBy(_.id)
+    for (f <- feats) {
+      val id = f.id
+      val w = (8 + Math.floorMod(id, 9L)).toInt
+      val h = (8 + Math.floorMod(3 * id, 9L)).toInt
+      def stats(a: Long, b: Long, c: Long): Seq[Long] = {
+        val px = for (x <- 0 until w; y <- 0 until h)
+          yield Math.floorMod(a * x + b * y + c * id, 256L)
+        Seq(px.sum, px.min, px.max)
+      }
+      assert(f.codes.toSeq == Seq(w.toLong, h.toLong) ++
+        stats(7, 13, 1) ++ stats(11, 5, 2) ++ stats(3, 17, 5),
+        s"id=$id rgb decode diverges from the closed forms")
+    }
+    // The channels genuinely differ (a gray fixture could not catch a
+    // decoder reading the wrong plane).
+    val f0 = feats.head.codes
+    assert(f0.slice(2, 5).toSeq != f0.slice(5, 8).toSeq)
+  }
+
+  test("syntheticMixed: intact png/jpg decode, truncated payloads " +
+      "quarantine without killing the task") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val media = Multimodal.syntheticMixed(ids, "doc_id")
+    val feats = Multimodal
+      .extractFeatures(media, Multimodal.ImageIoDecoder, batchSize = 8)
+      .collect()
+    assert(feats.length == 40)
+    val (decoded, quarantined) = feats.partition(_.codes.nonEmpty)
+    assert(decoded.map(_.id).toSet == (0L until 40L).filter(_ % 2 == 0).toSet)
+    assert(quarantined.map(_.id).toSet == (0L until 40L).filter(_ % 2 == 1).toSet)
+    // Truncated rows really are 16-byte stubs, not accidentally intact.
+    assert(media.collect().filter(_.id % 2 == 1).forall(_.content.length == 16))
+  }
+
+  test("writeMediaFiles + binaryFile scan: round-trips payloads; the " +
+      "content column is pruned from a metadata-only read") {
+    val dir = graft.Scratch.fresh("mmspec-bin")
+    val ids = Seq(2L, 7L, 33L).toDF("doc_id")
+    Multimodal.writeMediaFiles(
+      Multimodal.syntheticPngs(ids, "doc_id"), dir, "png")
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+    val rows = bin.select(
+        regexp_extract(col("path"), "doc-(\\d+)\\.png$", 1)
+          .cast("long").as("id"),
+        col("content"),
+        struct(lit("png").as("format"), lit(0).as("width"),
+          lit(0).as("height")).as("meta"))
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal
+      .extractFeatures(rows, Multimodal.ImageIoDecoder)
+      .collect().sortBy(_.id)
+    assert(feats.map(_.id).toSeq == Seq(2L, 7L, 33L))
+    assert(feats.forall(_.codes.nonEmpty))
+    // Metadata-only projection must not read payload bytes: the scan's
+    // ReadSchema carries just the selected columns (binary-scan pruning —
+    // at 100 TB of media, a stats query over paths/lengths reads KB).
+    val metaPlan = bin.select("path", "length")
+      .queryExecution.executedPlan.toString
+    val schemaLine = metaPlan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(schemaLine.nonEmpty && !schemaLine.contains("content"),
+      s"binaryFile metadata read did not prune content: $schemaLine")
   }
 }

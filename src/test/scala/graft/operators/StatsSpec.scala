@@ -943,4 +943,24 @@ class StatsSpec extends SparkSpec {
     assert(out._1 == 6L && out._2 == 2L)
     assert(out._3.isDefined && math.abs(out._3.get / expW - 1.0) < 1e-9)
   }
+
+  test("brownForsythe: past the decimal envelope the plan raises loudly " +
+      "instead of emitting a silent NULL W") {
+    // Group A on a 1e17 grid: Z reaches ~4e17, S ≈ 6e17 >= the 1e16
+    // envelope bound — s²·1e6 would exceed decimal(38,0) and, under
+    // non-ANSI mode, silently null out while the oracle's HUGEINT raises.
+    // The assert_true guard must surface the overflow as an error naming
+    // the envelope.
+    val big = 100000000000000000L // 1e17
+    val df = Seq(("a", 0L), ("a", big), ("a", 3 * big),
+      ("b", 0L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    val e = intercept[Exception] {
+      Stats.brownForsythe(df, "g", "v").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("sum-of-Z envelope exceeded")),
+      s"expected the envelope guard, got: ${e.getMessage}")
+  }
 }

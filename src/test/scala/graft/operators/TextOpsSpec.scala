@@ -584,20 +584,24 @@ class TextOpsSpec extends SparkSpec {
     val exact = TextOps.dsirSelect(raw, target, "id", "text", "src",
         keepFrac = 0.5)
       .orderBy("source").as[(String, Long, Long, Double)].collect().toSeq
-    val full = TextOps.dsirSelectThreshold(raw, target, "id", "text",
-        "src", keepFrac = 0.5, sampleHexCeil = "zz")
-      .orderBy("source").as[(String, Long, Long, Double)].collect().toSeq
-    assert(full == exact)
-    // Empty sample -> no threshold can be placed -> conservative: keep 0.
-    val none = TextOps.dsirSelectThreshold(raw, target, "id", "text",
-        "src", keepFrac = 0.5, sampleHexCeil = "00")
-      .orderBy("source").as[(String, Long, Long, Double)].collect().toSeq
+    def run(hexCeil: String, in: org.apache.spark.sql.DataFrame = raw) =
+      TextOps.dsirSelectThreshold(in, target, "id", "text",
+          "src", keepFrac = 0.5, sampleHexCeil = hexCeil)
+        .orderBy("source")
+        .as[(String, Long, Long, Double, Long, Boolean)].collect().toSeq
+    val full = run("zz")
+    assert(full.map(r => (r._1, r._2, r._3, r._4)) == exact)
+    // Full sample: all 8 scored docs sampled, threshold placed — the
+    // observability columns say so on every row.
+    assert(full.forall(r => r._5 == 8L && r._6))
+    // Empty sample -> no threshold can be placed -> conservative: keep 0 —
+    // and the report SURFACES it (n_sample = 0, has_threshold = false)
+    // instead of a silently-empty kept set.
+    val none = run("00")
     assert(none.map(_._3).sum == 0L)
+    assert(none.forall(r => r._5 == 0L && !r._6))
     // Partition-invariant.
-    val re = TextOps.dsirSelectThreshold(raw.repartition(3), target, "id",
-        "text", "src", keepFrac = 0.5, sampleHexCeil = "zz")
-      .orderBy("source").as[(String, Long, Long, Double)].collect().toSeq
-    assert(re == full)
+    assert(run("zz", raw.repartition(3)) == full)
   }
 
   test("lmScoreBucketsThreshold: full sample == exact ntile form; " +

@@ -74,6 +74,13 @@ ORACLE_LIMITS = {
 }
 
 
+# The rows-only sketch gates (no DuckDB oracle BY DESIGN — approximate
+# sketch outputs; the closed set SurveyCountSpec pins). An sf1 replay is
+# still evidence: the Spark dump must exist and be non-empty, and its row
+# count is recorded in the artifact (r8 task 7 / r9 next-round #1).
+ROWS_ONLY = ["x2_minhash_fast", "x2_minhash_k64", "x2_minhash_k128",
+             "x5_approx_distinct", "x5_approx_pctl", "x6_decontam_bloom"]
+
 # Gates whose compare may fail at sf1 for a ROOT-CAUSED cross-engine
 # boundary (PLANS.md round-5 session 2): recorded as known_boundary, not
 # as a red gate, but still run — if they pass, they count as passes.
@@ -211,9 +218,37 @@ def main(sf_dir, out_dir, timeout, partial=False):
         else:
             n_fail += 1
             print(f"FAIL {name}: {res.get('err')}")
-    n_pending = len(oracle) - len(results)
+    # Rows-only sketch gates: record the sf1 dump's row count (>0) as the
+    # weaker-but-real replay evidence the registry defines for them.
+    n_rows_only = 0
+    for name in ROWS_ONLY:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            if partial:
+                print(f"PEND {name} (rows-only): no spark output yet")
+                continue
+            results[name] = {"rows_only": True, "err": "no spark output",
+                             "value_match": False}
+            n_fail += 1
+            print(f"FAIL {name} (rows-only): no spark output")
+            continue
+        con = duckdb.connect()
+        n = con.sql(
+            f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
+        ok = n > 0
+        results[name] = {"rows_only": True, "spark_rows": int(n),
+                         "nonempty": bool(ok)}
+        if ok:
+            n_rows_only += 1
+            print(f"ROWS {name}: {n} rows (rows-only sketch gate)")
+        else:
+            n_fail += 1
+            results[name]["err"] = "empty sf1 dump"
+            print(f"FAIL {name} (rows-only): empty sf1 dump")
+    n_pending = len(oracle) + len(ROWS_ONLY) - len(results)
     artifact = {"sf_dir": sf_dir, "timeout_secs": timeout,
                 "n_pass": n_pass, "n_fail": n_fail, "n_skip": n_skip,
+                "n_rows_only": n_rows_only,
                 "n_known_boundary": n_known, "gates": results}
     if partial:
         artifact["n_pending"] = n_pending
