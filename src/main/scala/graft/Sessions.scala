@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.util.chaining._
 
 /** SparkSession factory carrying the reference's execution-config envelope
   * (reference: k8s/submit/etl-on-gcp-vinicius-campos.py:67-88) adapted for
@@ -93,6 +94,21 @@ object Sessions {
     // the nanos-era behavior above and the DuckDB oracle's naive
     // timestamp semantics.
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // Probe seam: SPARK_GRAFT_CONF="k=v;k2=v2" applies conf overrides
+    // LAST, so an A/B conf bisect runs through the exact entrypoints
+    // (Bench/Verify child JVMs) that produce the artifacts — the r8
+    // bloom A/B was run through a hand-overridden session whose OTHER
+    // confs could differ, which is precisely the ambiguity the r9
+    // verdict flagged in its residual-gap adjudication. Empty/unset =
+    // no effect; never set by the driver.
+    .pipe { b0 =>
+      sys.env.get("SPARK_GRAFT_CONF").toSeq
+        .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
+        .foldLeft(b0) { (bb, kv) =>
+          val Array(k, v) = kv.split("=", 2)
+          bb.config(k, v)
+        }
+    }
 
   /** The reference knobs that only make sense with real executors
     * (etl-on-gcp-vinicius-campos.py:74-83): dynamic allocation + external

@@ -959,6 +959,16 @@ object TextOps {
                           sampleHexCeil: String = "40"): DataFrame = {
     require(keepFrac > 0 && keepFrac <= 1, "keepFrac in (0,1]")
     import org.apache.spark.sql.expressions.Window
+    // The scored subtree is consumed by the sampled-quantile threshold
+    // AND the corpus keep-filter, but deliberately NOT persisted
+    // (contrast lmScoreBucketsThreshold, where persisting the scored
+    // table won a measured 8.1→4.3 s): here the sample filter on idCol
+    // pushes below the scoring join to the raw scan, so the threshold
+    // branch scores only the sampled fraction, while a persist forces a
+    // full-corpus materialization to serve that fractional read
+    // (measured at sf1: persist 5.85 s vs unpersisted 4.15 s; the
+    // rc/model and keep branches share the unfiltered rawB exchange via
+    // ReuseExchange — stage-probe data in PLANS.md round-10).
     val scored = dsirScores(raw, target, idCol, textCol, hexDigits)
     val samp = scored.filter(Sample.bernoulliPortable(idCol, sampleHexCeil))
     // Quantile by exact rank WITHIN THE SAMPLE (sample-sized sort): the
@@ -1125,8 +1135,13 @@ object TextOps {
                               sampleHexCeil: String = "80"): DataFrame = {
     require(buckets >= 2, "buckets must be >= 2")
     import org.apache.spark.sql.expressions.Window
+    // Score once, select twice (same discipline and sizing argument as
+    // dsirSelectThreshold): the cut estimation AND the bucketing pass
+    // both consume the scored table; unpersisted, each re-runs the LM
+    // model build + corpus scoring join.
     val scored = bigramLmScore(df, idCol, textCol)
       .join(df.select(col(idCol), col(groupCol)), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val samp = scored.filter(Sample.bernoulliPortable(idCol, sampleHexCeil))
       .withColumn("rn", row_number().over(
         Window.partitionBy(groupCol).orderBy(desc("avg_p"), col(idCol))))
