@@ -146,13 +146,21 @@ def run_one(sf_dir, out_dir, name, sql, q):
 
 
 def main(sf_dir, out_dir, timeout, partial=False):
-    # While the sweep is still writing, its oracle_sql.json doesn't exist
-    # yet — fall back to the sf0.01 dump (the SQL text is SF-independent;
-    # tables are per-sfDir views).
+    # While the sweep is still writing, its oracle_sql.json is missing or
+    # holds only the LAST CHUNK's entries — prefer ORACLE_SQL_PATH (or the
+    # sf0.01 full-registry dump) when it covers more gates (the SQL text
+    # is SF-independent; tables are per-sfDir views).
     sql_path = f"{out_dir}/oracle_sql.json"
-    if not os.path.exists(sql_path) and partial:
-        alt = f"{os.path.dirname(out_dir)}/verify-sf0.01/oracle_sql.json"
-        if os.path.exists(alt):
+    if partial:
+        alt = os.environ.get(
+            "ORACLE_SQL_PATH",
+            f"{os.path.dirname(out_dir)}/verify-sf0.01/oracle_sql.json")
+        def n_entries(p):
+            try:
+                return len(json.load(open(p)))
+            except Exception:
+                return -1
+        if os.path.exists(alt) and n_entries(alt) > n_entries(sql_path):
             sql_path = alt
     oracle = json.load(open(sql_path))
     results, n_pass, n_fail, n_skip, n_known = {}, 0, 0, 0, 0

@@ -13,13 +13,20 @@ OUT_DIR="${2:-/root/repo/target/verify_sf1_r10}"
 CHUNK="${3:-20}"
 cd /root/repo
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
-JOPTS="-Xmx16g --add-opens=java.base/java.lang=ALL-UNNAMED \
- --add-opens=java.base/java.nio=ALL-UNNAMED \
- --add-opens=java.base/java.util=ALL-UNNAMED \
- --add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
- --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
- --add-opens=java.base/jdk.internal.misc=ALL-UNNAMED \
- --add-opens=java.base/sun.security.action=ALL-UNNAMED"
+# The FULL JDK-17 module-opens set from build.sbt (JavaModuleOptions
+# .defaultModuleOptions()) — a partial list fails LOUDLY but LATE: a
+# missing sun.util.calendar open only surfaces when a gate decodes a
+# DATE row on the driver (o11_backfill at sf1, round 10).
+JOPTS="-Xmx16g"
+for p in java.base/java.lang java.base/java.lang.invoke \
+         java.base/java.lang.reflect java.base/java.io java.base/java.net \
+         java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent \
+         java.base/java.util.concurrent.atomic java.base/sun.nio.ch \
+         java.base/sun.nio.cs java.base/sun.security.action \
+         java.base/sun.util.calendar; do
+  JOPTS="$JOPTS --add-opens=$p=ALL-UNNAMED"
+done
 mkdir -p "$OUT_DIR"
 
 # x2_sparse_cosine's sf1 dump is intentionally absent: unpruned-unigram
