@@ -233,9 +233,13 @@ object Bench {
     // drift in THIS artifact vs the previous one estimates the machine
     // load factor — a total that moved with q1_agg is weather, one that
     // moved without it is code. Named in the artifact so the comparison
-    // is self-adjudicating instead of needing a judge probe.
+    // is self-adjudicating instead of needing a judge probe. Only named
+    // when it actually MEASURED — a crashed fork records -1.0 in
+    // queries, and naming that as the calibration would classify every
+    // drift as code.
     val calibration =
-      if (measured.exists(_._1 == "q1_agg")) "q1_agg" else ""
+      if (measured.exists { case (k, v) => k == "q1_agg" && v.isDefined })
+        "q1_agg" else ""
     println(
       f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qJson,"variance":$varJson,"runs":$childRuns,"isolation":"$isolation","calibration":"$calibration%s","refork":$refork%s,"failed":$failedJson%s,"sf":"$sf"}""")
     // A crashed query must not silently *shrink* the reported total — fail

@@ -100,15 +100,21 @@ object Sessions {
     // bloom A/B was run through a hand-overridden session whose OTHER
     // confs could differ, which is precisely the ambiguity the r9
     // verdict flagged in its residual-gap adjudication. Empty/unset =
-    // no effect; never set by the driver.
-    .pipe { b0 =>
-      sys.env.get("SPARK_GRAFT_CONF").toSeq
-        .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
-        .foldLeft(b0) { (bb, kv) =>
-          val Array(k, v) = kv.split("=", 2)
-          bb.config(k, v)
-        }
-    }
+    // no effect; never set by the driver. Also re-applied at the end of
+    // [[local]] and [[cluster]], whose own .config calls run after this
+    // one (review r10: an override of e.g. shuffle.partitions would
+    // otherwise be silently re-clobbered and the A/B would measure
+    // nothing).
+    .pipe(applyEnvConf)
+
+  private def applyEnvConf(b: SparkSession.Builder): SparkSession.Builder =
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
+      .foldLeft(b) { (bb, kv) =>
+        // Trim around '=' too: "k = v" must set key "k", not "k ".
+        val Array(k, v) = kv.split("=", 2).map(_.trim)
+        bb.config(k, v)
+      }
 
   /** The reference knobs that only make sense with real executors
     * (etl-on-gcp-vinicius-campos.py:74-83): dynamic allocation + external
@@ -133,20 +139,22 @@ object Sessions {
     "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> "1",
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "10")
 
-  /** Cluster profile: `withDefaults` + [[clusterEnvelope]]. */
+  /** Cluster profile: `withDefaults` + [[clusterEnvelope]]; the env
+    * probe seam is re-applied last so it wins over the envelope too.
+    */
   def cluster(b: SparkSession.Builder): SparkSession.Builder =
-    clusterEnvelope.foldLeft(withDefaults(b)) {
+    applyEnvConf(clusterEnvelope.foldLeft(withDefaults(b)) {
       case (bb, (k, v)) => bb.config(k, v)
-    }
+    })
 
   def local(
       cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       app: String = "graft"): SparkSession = {
-    val s = withDefaults(
+    val s = applyEnvConf(withDefaults(
       SparkSession.builder().master(s"local[$cores]").appName(app))
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", Scratch.warehouse)
+      .config("spark.sql.warehouse.dir", Scratch.warehouse))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -224,15 +224,26 @@ object Multimodal {
     * (SURVEY §2.1 S8: the reference's ingest boundary is files, not
     * in-plan rows). Distributed: each task writes its own partition's
     * files straight to shared storage, no driver collect; rewrites are
-    * idempotent (content is a pure function of the id). Caller owns
+    * idempotent (content is a pure function of the id). Writes go
+    * through the Hadoop `FileSystem` API resolved from the path scheme
+    * (review r10: `java.io.File` can only address executor-LOCAL posix
+    * paths — on a cluster each task would write to its own disk and the
+    * subsequent `binaryFile` scan would see a hole; `Path
+    * .getFileSystem` routes file:/ locally and hdfs:/gs:/s3a:/ to the
+    * shared store via the executor's Hadoop conf). Caller owns
     * directory lifecycle — pass a fresh dir per run for isolation.
     */
   def writeMediaFiles(ds: Dataset[MediaRow], dir: String, ext: String): Unit = {
-    new java.io.File(dir).mkdirs()
+    import org.apache.hadoop.fs.Path
+    def fs(p: Path) =
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val base = new Path(dir)
+    fs(base).mkdirs(base)
     ds.foreachPartition { (it: Iterator[MediaRow]) =>
+      val d = new Path(dir)
+      val filesystem = fs(d)
       it.foreach { r =>
-        val out = new java.io.FileOutputStream(
-          new java.io.File(dir, s"doc-${r.id}.$ext"))
+        val out = filesystem.create(new Path(d, s"doc-${r.id}.$ext"), true)
         try out.write(r.content) finally out.close()
       }
     }

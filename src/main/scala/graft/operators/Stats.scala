@@ -1895,13 +1895,30 @@ object Stats {
         sum(col("s")).as("stot"), sum(col("b6")).as("b6"),
         sum(col("d6")).as("d6"))
       .select(col("n").cast("long").as("n"), col("k").cast("long").as("k"),
-        when(col("k") > 1 && col("n") > col("k") && col("d6") > 0,
-          ((col("n") - col("k")).cast("double") /
-            (col("k") - 1).cast("double")) *
-            (col("b6").cast("double") / lit(1e6) -
-              (col("stot") * col("stot")).cast("double") /
-                col("n").cast("double")) /
-            (col("d6").cast("double") / lit(1e6))).as("w"))
+        // Cross-group envelope guard (review r10): each group's terms
+        // are bounded by the per-group guard above, but the SUMS over k
+        // groups (and stot²) can still overflow decimal(38,0) — e.g.
+        // two groups each just inside the bound — and a non-ANSI
+        // overflow is a silent NULL that the final when() would read as
+        // a degenerate input instead of an error. Inputs are non-null
+        // per group, so a null sum here can ONLY mean overflow: raise
+        // with the same named message. (k = 0 — empty input — has no
+        // rows at all, so the guard never misfires on it.)
+        coalesce(
+          assert_true(
+            col("b6").isNotNull && col("d6").isNotNull &&
+              col("stot").isNotNull &&
+              (col("stot") * col("stot")).isNotNull,
+            lit("brownForsythe: sum-of-Z envelope exceeded across " +
+              "groups — a cross-group decimal(38,0) sum overflowed; " +
+              "rebin binCol to a coarser grid")).cast("double"),
+          when(col("k") > 1 && col("n") > col("k") && col("d6") > 0,
+            ((col("n") - col("k")).cast("double") /
+              (col("k") - 1).cast("double")) *
+              (col("b6").cast("double") / lit(1e6) -
+                (col("stot") * col("stot")).cast("double") /
+                  col("n").cast("double")) /
+              (col("d6").cast("double") / lit(1e6)))).as("w"))
   }
 
   /** Theil–Sen slope estimator per series (Theil 1950, Sen 1968): the

@@ -1132,16 +1132,22 @@ object TextOps {
     */
   def lmScoreBucketsThreshold(df: DataFrame, idCol: String, textCol: String,
                               groupCol: String, buckets: Int = 3,
-                              sampleHexCeil: String = "80"): DataFrame = {
+                              sampleHexCeil: String = "80",
+                              materialize: Boolean = true): DataFrame = {
     require(buckets >= 2, "buckets must be >= 2")
     import org.apache.spark.sql.expressions.Window
-    // Score once, select twice (same discipline and sizing argument as
-    // dsirSelectThreshold): the cut estimation AND the bucketing pass
-    // both consume the scored table; unpersisted, each re-runs the LM
-    // model build + corpus scoring join.
-    val scored = bigramLmScore(df, idCol, textCol)
+    // Score once, select twice: the cut estimation AND the bucketing
+    // pass both consume the scored table; unpersisted, each re-runs the
+    // LM model build + corpus scoring join (measured 8.1 -> 4.3-5.3 s at
+    // sf1, PLANS.md round-10). The persist has no unpersist handle (the
+    // returned DataFrame is lazy), so a long-lived session calling this
+    // repeatedly should pass materialize=false or scrub persistent RDDs
+    // between calls, as Bench/Verify do — the minHashLsh contract.
+    val scored0 = bigramLmScore(df, idCol, textCol)
       .join(df.select(col(idCol), col(groupCol)), idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = if (materialize)
+      scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else scored0
     val samp = scored.filter(Sample.bernoulliPortable(idCol, sampleHexCeil))
       .withColumn("rn", row_number().over(
         Window.partitionBy(groupCol).orderBy(desc("avg_p"), col(idCol))))

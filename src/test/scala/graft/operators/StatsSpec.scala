@@ -963,4 +963,27 @@ class StatsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("sum-of-Z envelope exceeded")),
       s"expected the envelope guard, got: ${e.getMessage}")
   }
+
+  test("brownForsythe: CROSS-GROUP sum overflow is loud too (each group " +
+      "inside the per-group envelope)") {
+    // Three groups of (0, 4.9e15): per group S = 9.8e15 < 1e16 and
+    // n·Q = 9.6e31 < 1e32 (both guards pass), but each b6 ≈ 4.8e37 and
+    // sum(b6) ≈ 1.44e38 exceeds decimal(38,0) — the overflow must raise
+    // (ANSI: decimal out-of-range; non-ANSI: the named cross-group
+    // guard), never silently null W.
+    val big = 4900000000000000L // 4.9e15
+    val df = Seq(("a", 0L), ("a", big), ("b", 0L), ("b", big),
+      ("c", 0L), ("c", big)).toDF("g", "v")
+    val e = intercept[Exception] {
+      Stats.brownForsythe(df, "g", "v").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("sum-of-Z envelope exceeded across groups") ||
+        m.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+        m.contains("cannot be represented")),
+      s"expected a loud overflow, got: ${messages(e).take(3)}")
+  }
 }

@@ -240,6 +240,12 @@ def main(sf_dir, out_dir, timeout, partial=False):
             n_fail += 1
             print(f"FAIL {name} (rows-only): no spark output")
             continue
+        if partial and time.time() - os.path.getmtime(f"{out_dir}/{name}") < 30:
+            # Same mid-write guard as the oracle loop: a sweep may still be
+            # committing this dump; a partial part-file set would record a
+            # partial row count as permanent artifact evidence.
+            print(f"PEND {name} (rows-only): too fresh, may be mid-write")
+            continue
         con = duckdb.connect()
         n = con.sql(
             f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]

@@ -45,10 +45,19 @@ for f in "$OUT_DIR"/chunk.*; do
   i=$((i+1))
   names=$(paste -sd, "$f")
   echo "[sweep] chunk $i: $names"
+  # Remove the previous chunk's json first: a chunk whose JVM dies before
+  # Verify writes it must NOT inherit the stale file as its own dump
+  # (review r10 — the merge would silently drop the dead chunk's gates
+  # from the replayed registry).
+  rm -f "$OUT_DIR/oracle_sql.json"
   SPARK_GRAFT_CPUS=16 java $JOPTS -cp "$CP" graft.Verify \
     "$SF_DIR" "$OUT_DIR" "$names" 2>"$OUT_DIR/chunk$i.err" \
     || echo "[sweep] chunk $i exited nonzero"
-  cp "$OUT_DIR/oracle_sql.json" "$OUT_DIR/oracle_sql.chunk$i.json"
+  if [ -f "$OUT_DIR/oracle_sql.json" ]; then
+    cp "$OUT_DIR/oracle_sql.json" "$OUT_DIR/oracle_sql.chunk$i.json"
+  else
+    echo "[sweep] chunk $i wrote no oracle_sql.json — gates NOT merged"
+  fi
 done
 
 # Merge the per-chunk oracle jsons into the full registry json.
