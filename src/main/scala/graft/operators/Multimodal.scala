@@ -225,23 +225,30 @@ object Multimodal {
     * in-plan rows). Distributed: each task writes its own partition's
     * files straight to shared storage, no driver collect; rewrites are
     * idempotent (content is a pure function of the id). Writes go
-    * through the Hadoop `FileSystem` API resolved from the path scheme
-    * (review r10: `java.io.File` can only address executor-LOCAL posix
-    * paths — on a cluster each task would write to its own disk and the
-    * subsequent `binaryFile` scan would see a hole; `Path
-    * .getFileSystem` routes file:/ locally and hdfs:/gs:/s3a:/ to the
-    * shared store via the executor's Hadoop conf). Caller owns
+    * through the Hadoop `FileSystem` API resolved from the SESSION's
+    * hadoopConfiguration, serialized to tasks (review r10:
+    * `java.io.File` can only address executor-LOCAL posix paths — on a
+    * cluster each task would write to its own disk and the subsequent
+    * `binaryFile` scan would see a hole — and object-store settings
+    * such as fs.defaultFS / credentials live in the session conf, not
+    * in a bare executor-side `new Configuration()`). Caller owns
     * directory lifecycle — pass a fresh dir per run for isolation.
     */
   def writeMediaFiles(ds: Dataset[MediaRow], dir: String, ext: String): Unit = {
     import org.apache.hadoop.fs.Path
-    def fs(p: Path) =
-      p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // The SESSION's hadoopConfiguration, shipped to tasks as the same
+    // SerializableConfiguration Spark's own file sources use (the
+    // ZipTextSource convention): cluster storage settings arrive as
+    // spark.hadoop.* conf (fs.defaultFS, object-store credentials) and
+    // live in the session conf — a bare `new Configuration()` on the
+    // executor would miss them and fail on gs:/s3a: schemes.
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      ds.sparkSession.sparkContext.hadoopConfiguration)
     val base = new Path(dir)
-    fs(base).mkdirs(base)
+    base.getFileSystem(conf.value).mkdirs(base)
     ds.foreachPartition { (it: Iterator[MediaRow]) =>
       val d = new Path(dir)
-      val filesystem = fs(d)
+      val filesystem = d.getFileSystem(conf.value)
       it.foreach { r =>
         val out = filesystem.create(new Path(d, s"doc-${r.id}.$ext"), true)
         try out.write(r.content) finally out.close()

@@ -1901,14 +1901,18 @@ object Stats {
         // two groups each just inside the bound — and a non-ANSI
         // overflow is a silent NULL that the final when() would read as
         // a degenerate input instead of an error. Inputs are non-null
-        // per group, so a null sum here can ONLY mean overflow: raise
-        // with the same named message. (k = 0 — empty input — has no
-        // rows at all, so the guard never misfires on it.)
+        // per group, so with k > 0 a null sum can ONLY mean overflow:
+        // raise with the same named message. k = 0 (empty input) still
+        // emits ONE global-agg row whose sums are legitimately NULL —
+        // the guard must pass it through to the documented degenerate
+        // (null, 0, null) output, not cry overflow (second review pass
+        // caught exactly that misfire).
         coalesce(
           assert_true(
-            col("b6").isNotNull && col("d6").isNotNull &&
-              col("stot").isNotNull &&
-              (col("stot") * col("stot")).isNotNull,
+            col("k") === 0 ||
+              (col("b6").isNotNull && col("d6").isNotNull &&
+                col("stot").isNotNull &&
+                (col("stot") * col("stot")).isNotNull),
             lit("brownForsythe: sum-of-Z envelope exceeded across " +
               "groups — a cross-group decimal(38,0) sum overflowed; " +
               "rebin binCol to a coarser grid")).cast("double"),

@@ -964,6 +964,17 @@ class StatsSpec extends SparkSpec {
       s"expected the envelope guard, got: ${e.getMessage}")
   }
 
+  test("brownForsythe: empty input still yields the degenerate row, not " +
+      "a misfired cross-group guard") {
+    // A global agg over zero rows emits ONE row with NULL sums and k=0 —
+    // the guard must not read those legitimate NULLs as overflow
+    // (review regression: it raised 'envelope exceeded across groups').
+    val empty = Seq(("a", 1L)).toDF("g", "v").filter(col("v") < 0)
+    val out = Stats.brownForsythe(empty, "g", "v")
+      .as[(Option[Long], Long, Option[Double])].collect().toSeq
+    assert(out == Seq((None, 0L, None)))
+  }
+
   test("brownForsythe: CROSS-GROUP sum overflow is loud too (each group " +
       "inside the per-group envelope)") {
     // Three groups of (0, 4.9e15): per group S = 9.8e15 < 1e16 and

@@ -164,9 +164,14 @@ def main(sf_dir, out_dir, timeout, partial=False):
             sql_path = alt
     oracle = json.load(open(sql_path))
     results, n_pass, n_fail, n_skip, n_known = {}, 0, 0, 0, 0
-    prior = {}
+    prior, note = {}, None
     if partial and os.path.exists("ORACLE_sf1.json"):
-        prior = json.load(open("ORACLE_sf1.json")).get("gates", {})
+        prev_art = json.load(open("ORACLE_sf1.json"))
+        prior = prev_art.get("gates", {})
+        # The narrative note is maintained alongside the gates; a partial
+        # re-run must not silently drop it (gate entries themselves are
+        # always tool-produced — review r10).
+        note = prev_art.get("note")
     for name in sorted(oracle):
         if name in ORACLE_LIMITS:
             results[name] = {"skipped": True,
@@ -266,6 +271,8 @@ def main(sf_dir, out_dir, timeout, partial=False):
                 "n_known_boundary": n_known, "gates": results}
     if partial:
         artifact["n_pending"] = n_pending
+    if note:
+        artifact["note"] = note
     with open("ORACLE_sf1.json", "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(f"\n{n_pass} passed, {n_fail} failed, {n_skip} skipped "

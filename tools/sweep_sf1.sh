@@ -39,6 +39,12 @@ java $JOPTS -cp "$CP" graft.tools.ListGates 2>/dev/null \
 TOTAL=$(wc -l < "$OUT_DIR/gates.txt")
 echo "[sweep] $TOTAL gates, chunk=$CHUNK, sf=$SF_DIR -> $OUT_DIR"
 
+# Clear ALL prior-run chunk state (review r10 second pass): leftover
+# oracle_sql.chunk*.json would be merged even when this run's chunk died
+# before writing its own, and stale chunk.* split files from a longer
+# prior registry would be re-swept.
+rm -f "$OUT_DIR"/oracle_sql.chunk*.json "$OUT_DIR"/chunk.*
+
 i=0
 split -l "$CHUNK" "$OUT_DIR/gates.txt" "$OUT_DIR/chunk."
 for f in "$OUT_DIR"/chunk.*; do
