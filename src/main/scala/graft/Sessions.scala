@@ -107,13 +107,26 @@ object Sessions {
     // nothing).
     .pipe(applyEnvConf)
 
+  /** JVM-global scope caveat: the seam reads the process environment, so
+    * EVERY session built in this JVM (e.g. a spec's [[local]] while Bench
+    * runs) inherits the same overrides — fine for the single-session
+    * artifact flows it exists for, not a per-session knob. Malformed
+    * entries with an empty key ("=v") are dropped rather than setting an
+    * empty-string conf key, and every override actually applied is echoed
+    * to stderr so an artifact produced under a lingering probe env var
+    * records that it ran with a non-default conf (ADVICE r10).
+    */
   private def applyEnvConf(b: SparkSession.Builder): SparkSession.Builder =
     sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
       .foldLeft(b) { (bb, kv) =>
         // Trim around '=' too: "k = v" must set key "k", not "k ".
         val Array(k, v) = kv.split("=", 2).map(_.trim)
-        bb.config(k, v)
+        if (k.isEmpty) bb
+        else {
+          System.err.println(s"[graft] SPARK_GRAFT_CONF override: $k=$v")
+          bb.config(k, v)
+        }
       }
 
   /** The reference knobs that only make sense with real executors

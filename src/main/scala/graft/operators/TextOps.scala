@@ -1133,16 +1133,32 @@ object TextOps {
   def lmScoreBucketsThreshold(df: DataFrame, idCol: String, textCol: String,
                               groupCol: String, buckets: Int = 3,
                               sampleHexCeil: String = "80",
-                              materialize: Boolean = true): DataFrame = {
+                              materialize: Boolean = true): DataFrame =
+    lmScoreBucketsThresholdManaged(df, idCol, textCol, groupCol, buckets,
+      sampleHexCeil, materialize)._1
+
+  /** [[lmScoreBucketsThreshold]] with the persist lifecycle surfaced at
+    * the API (ADVICE r10): the second element unpersists the scored
+    * table once the returned report has been consumed. The unmanaged
+    * overload leaks one MEMORY_AND_DISK table per call by design —
+    * Bench/Verify scrub persistent RDDs between gates (the minHashLsh
+    * contract) — so any OTHER long-lived-session caller should use this
+    * form (or pass materialize=false) instead of relying on that scrub.
+    */
+  def lmScoreBucketsThresholdManaged(df: DataFrame, idCol: String,
+                                     textCol: String, groupCol: String,
+                                     buckets: Int = 3,
+                                     sampleHexCeil: String = "80",
+                                     materialize: Boolean = true)
+      : (DataFrame, () => Unit) = {
     require(buckets >= 2, "buckets must be >= 2")
     import org.apache.spark.sql.expressions.Window
     // Score once, select twice: the cut estimation AND the bucketing
     // pass both consume the scored table; unpersisted, each re-runs the
     // LM model build + corpus scoring join (measured 8.1 -> 4.3-5.3 s at
-    // sf1, PLANS.md round-10). The persist has no unpersist handle (the
-    // returned DataFrame is lazy), so a long-lived session calling this
-    // repeatedly should pass materialize=false or scrub persistent RDDs
-    // between calls, as Bench/Verify do — the minHashLsh contract.
+    // sf1, PLANS.md round-10). The returned report is lazy, so the
+    // persist cannot be dropped inside this function — the handle below
+    // hands the unpersist to the caller.
     val scored0 = bigramLmScore(df, idCol, textCol)
       .join(df.select(col(idCol), col(groupCol)), idCol)
     val scored = if (materialize)
@@ -1167,9 +1183,10 @@ object TextOps {
         (1 until buckets).foldLeft(lit(1L)) { (acc, b) =>
           acc + when(col("avg_p") < col(s"__c$b"), 1L).otherwise(0L)
         })
-    bucketed.groupBy(groupCol, "bucket")
+    val report = bucketed.groupBy(groupCol, "bucket")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_bigrams").as("sum_bigrams"),
         min("avg_p").as("min_p"), max("avg_p").as("max_p"))
+    (report, () => { if (materialize) scored.unpersist(); () })
   }
 }

@@ -106,28 +106,51 @@ object Relational extends QueryModule {
     },
 
     // TPC-H Q1-shaped grouped aggregation: partial+final HashAggregate.
+    //
+    // Exactness discipline (r10 verdict item 1, SURVEY §5.2): the old form
+    // cast the DOUBLE 3-factor product to DECIMAL(18,6) per row, and the
+    // two engines round a double that lands within an ulp of a .xxxxx5
+    // boundary differently (Spark rounds the shortest decimal rendering,
+    // DuckDB the exact binary expansion — PLANS r5, ~1 row in 6M at sf1).
+    // Fixed at the root: each RAW column (a 2-decimal-grid value, whose
+    // double→decimal rounding is unambiguous in both engines) is cast to
+    // decimal FIRST and the product is computed in exact decimal
+    // arithmetic, so no rounding of a computed value ever happens; the
+    // sums then render as DECIMAL(18,6) (in the §5.2 contract) instead of
+    // re-rounding through DOUBLE. Factor widths keep every intermediate
+    // inside DECIMAL(38,*) in both engines: (12,6)*(8,6)*(8,6) → (30,18).
     QueryDef("q1_agg", Some("""
       SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,6))) AS DECIMAL(18,6)) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,6))) AS DECIMAL(18,6)) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,6))
+                 * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6))))
+             AS DECIMAL(18,6)) AS sum_disc_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,6))
+                 * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6)))
+                 * (CAST(1 AS DECIMAL(7,6)) + CAST(l_tax AS DECIMAL(7,6))))
+             AS DECIMAL(18,6)) AS sum_charge,
         CAST(count(*) AS BIGINT) AS count_order,
         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""), bench = true) { (s, dir) =>
+      val ext = col("l_extendedprice").cast("decimal(12,6)")
+      val oneMinusDisc =
+        lit(1).cast("decimal(7,6)") - col("l_discount").cast("decimal(7,6)")
+      val onePlusTax =
+        lit(1).cast("decimal(7,6)") + col("l_tax").cast("decimal(7,6)")
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= expr("TIMESTAMP '1998-09-01 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          dsum("l_quantity").as("sum_qty"),
-          dsum("l_extendedprice").as("sum_base_price"),
-          dsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)")
-            .as("sum_disc_price"),
-          dsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * " +
-            "(CAST(1 AS DOUBLE) + l_tax)").as("sum_charge"),
+          sum(col("l_quantity").cast("decimal(12,6)"))
+            .cast("decimal(18,6)").as("sum_qty"),
+          sum(ext).cast("decimal(18,6)").as("sum_base_price"),
+          sum(ext * oneMinusDisc).cast("decimal(18,6)").as("sum_disc_price"),
+          sum(ext * oneMinusDisc * onePlusTax)
+            .cast("decimal(18,6)").as("sum_charge"),
           count(lit(1)).as("count_order"),
           countDistinct(col("l_partkey")).as("n_parts"))
         .orderBy("l_returnflag", "l_linestatus")

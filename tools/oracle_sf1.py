@@ -235,6 +235,17 @@ def main(sf_dir, out_dir, timeout, partial=False):
     # weaker-but-real replay evidence the registry defines for them.
     n_rows_only = 0
     for name in ROWS_ONLY:
+        # Carry prior rows-only evidence forward in --partial, mirroring
+        # the value_match carry-over in the oracle loop: a partial re-run
+        # while a dump is missing or mid-write must not silently drop a
+        # previously recorded nonempty result from the artifact (ADVICE
+        # r10).
+        prev = prior.get(name)
+        if partial and prev and prev.get("rows_only") and prev.get("nonempty"):
+            results[name] = prev
+            n_rows_only += 1
+            print(f"ROWS {name}: {prev.get('spark_rows')} rows (prior)")
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             if partial:
