@@ -2666,6 +2666,51 @@ object Extensions extends QueryModule {
       Graph.pageRankInt(pairs, iters = 3, dangling = true).orderBy("id")
     },
 
+    // Oracle-replayable dangling-PageRank companion (same
+    // Graph.pageRankInt code path, dangling = true): the FULL
+    // x8_pagerank_dangling sf1 oracle spills >78GB — the dangling-mass
+    // redistribution makes every unrolled iteration dense — so its sf1
+    // correctness rested on sf0.1 alone (r10 verdict, missing #2). This
+    // gate runs the identical recurrence on the l_suppkey % 4 subsample
+    // of the co-purchase graph (~16x fewer edges, ~64x less iteration
+    // mass), which DuckDB replays at sf1, carrying the 100x-scale value
+    // evidence for the dangling family the x8_ktruss_s4 way.
+    QueryDef("x8_pagerank_dangling_s4", Some(s"""
+      WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                  WHERE l_suppkey % 4 = 0),
+      pr AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      nodes AS (SELECT DISTINCT id FROM
+        (SELECT src AS id FROM pr UNION ALL SELECT dst FROM pr)),
+      deg AS (SELECT src, count(*) AS outdeg FROM pr GROUP BY src),
+      nn AS (SELECT count(*) AS c FROM nodes),
+      r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM nodes)""" +
+      (1 to 3).map { i =>
+        s""",
+      s${i - 1} AS (SELECT coalesce(sum(rank), 0) AS s FROM r${i - 1} n
+        WHERE NOT EXISTS (SELECT 1 FROM deg d WHERE d.src = n.id)),
+      r$i AS (SELECT n.id,
+        CAST(150000000 + (17 * (coalesce(f.i, 0)
+          + (SELECT s FROM s${i - 1}) // (SELECT c FROM nn))) // 20
+          AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS id, sum(r.rank // d.outdeg) AS i
+          FROM pr e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON r.id = e.src
+          GROUP BY e.dst) f ON f.id = n.id)"""
+      }.mkString + """
+      SELECT id, rank FROM r3 ORDER BY id""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .filter(col("l_suppkey") % 4 === 0)
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+      Graph.pageRankInt(pairs, iters = 3, dangling = true).orderBy("id")
+    },
+
     // Personalized PageRank (Graph.personalizedPageRankInt): teleport
     // restricted to a seed set — "rank relative to these suppliers", the
     // recommendation/relevance variant. Same integer recurrence and plan
@@ -2741,6 +2786,52 @@ object Extensions extends QueryModule {
       FROM nodes n LEFT JOIN h2 ON h2.id = n.id LEFT JOIN a2 ON a2.id = n.id
       ORDER BY n.id""")) { (s, dir) =>
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .distinct()
+      val edges = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+      Graph.hitsInt(edges, iters = 2).orderBy("id")
+    },
+
+    // Oracle-replayable HITS companion (same Graph.hitsInt code path):
+    // the FULL x8_hits sf1 oracle pins >18GB of non-spillable hash
+    // blocks across the unrolled hub/authority iterations, leaving the
+    // family's sf1 correctness resting on sf0.1 alone (r10 verdict,
+    // missing #2). Identical two-iteration recurrence on the
+    // l_suppkey % 4 subsample — DuckDB replays it at sf1.
+    QueryDef("x8_hits_s4", Some("""
+      WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                  WHERE l_suppkey % 4 = 0),
+      pr AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+      nodes AS (SELECT DISTINCT id FROM
+        (SELECT src AS id FROM pr UNION ALL SELECT dst AS id FROM pr)),
+      h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+      a1p AS (SELECT e.dst AS id, sum(h.h) AS ap
+              FROM pr e JOIN h0 h ON h.id = e.src GROUP BY e.dst),
+      a1m AS (SELECT max(ap) AS am FROM a1p),
+      a1 AS (SELECT id, (ap * 1000000) // am AS a FROM a1p, a1m),
+      h1p AS (SELECT e.src AS id, sum(a.a) AS hp
+              FROM pr e JOIN a1 a ON a.id = e.dst GROUP BY e.src),
+      h1m AS (SELECT max(hp) AS hm FROM h1p),
+      h1 AS (SELECT id, (hp * 1000000) // hm AS h FROM h1p, h1m),
+      a2p AS (SELECT e.dst AS id, sum(h.h) AS ap
+              FROM pr e JOIN h1 h ON h.id = e.src GROUP BY e.dst),
+      a2m AS (SELECT max(ap) AS am FROM a2p),
+      a2 AS (SELECT id, (ap * 1000000) // am AS a FROM a2p, a2m),
+      h2p AS (SELECT e.src AS id, sum(a.a) AS hp
+              FROM pr e JOIN a2 a ON a.id = e.dst GROUP BY e.src),
+      h2m AS (SELECT max(hp) AS hm FROM h2p),
+      h2 AS (SELECT id, (hp * 1000000) // hm AS h FROM h2p, h2m)
+      SELECT n.id, CAST(coalesce(h2.h, 0) AS BIGINT) AS hub,
+             CAST(coalesce(a2.a, 0) AS BIGINT) AS auth
+      FROM nodes n LEFT JOIN h2 ON h2.id = n.id LEFT JOIN a2 ON a2.id = n.id
+      ORDER BY n.id""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .filter(col("l_suppkey") % 4 === 0)
         .distinct()
       val edges = li.as("a").join(li.as("b"), "l_orderkey")
         .filter(col("a.l_suppkey") < col("b.l_suppkey"))
@@ -3436,6 +3527,39 @@ object Extensions extends QueryModule {
       // The pair table feeds three join sides — persist it or the
       // lineitem self-join recomputes per branch (harness unpersists
       // between queries).
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Graph.triangleCounts(pairs).orderBy("id")
+    },
+
+    // Oracle-replayable triangle-count companion (same
+    // Graph.triangleCounts code path): the FULL x8_triangles sf1 oracle
+    // hits the same ~495M-wedge wall as x8_linkpred (OOM at 18GB,
+    // temp-disk exhaustion at 60GB+spill) while the Spark side
+    // bloom-prunes wedges in-pipeline — so the parent's 100x value
+    // claim was asserted, not checked (r10 verdict, missing #2). Same
+    // per-node counts on the l_suppkey % 4 subsample (~64x fewer
+    // wedges), replayable by DuckDB at sf1.
+    QueryDef("x8_triangles_s4", Some("""
+      WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                  WHERE l_suppkey % 4 = 0),
+      pr AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+             FROM li a JOIN li b
+               ON a.l_orderkey = b.l_orderkey
+              AND a.l_suppkey < b.l_suppkey),
+      w AS (SELECT p1.src AS a, p1.dst AS b, p2.dst AS c
+            FROM pr p1 JOIN pr p2 ON p1.dst = p2.src),
+      tri AS (SELECT w.a, w.b, w.c
+              FROM w JOIN pr p3 ON p3.src = w.a AND p3.dst = w.c),
+      n AS (SELECT unnest([a, b, c]) AS id FROM tri)
+      SELECT id, CAST(count(*) AS BIGINT) AS triangles
+      FROM n GROUP BY id ORDER BY id""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .filter(col("l_suppkey") % 4 === 0)
+        .distinct()
       val pairs = li.as("a").join(li.as("b"), "l_orderkey")
         .filter(col("a.l_suppkey") < col("b.l_suppkey"))
         .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
@@ -4604,6 +4728,56 @@ object Extensions extends QueryModule {
       // hub degrees overflow BIGINT at scale — but the GATE renders it
       // as a string (SURVEY §5.2 output-type contract).
       graft.operators.Graph.linkPredict(pairs, minCommon = 10)
+        .withColumn("pa", col("pa").cast("string"))
+        .orderBy("u", "v")
+    },
+
+    // Oracle-replayable link-prediction companion (same
+    // Graph.linkPredict code path): the FULL x8_linkpred sf1 oracle
+    // pins >18GB enumerating ~495M wedges (then >49GB of temp disk when
+    // allowed to spill), so the parent had no sf1 value evidence (r10
+    // verdict, missing #2). Same scoring on the l_partkey % 4 subsample
+    // (~64x fewer wedges). minCommon recalibration: node subsampling at
+    // 1/4 keeps ~1/4 of each pair's common neighbors, and the signal
+    // band contracts with scale like the parent's (measured non-adjacent
+    // max cn on the subgraph: 10 at sf0.01, 5 at sf0.1) — 3 keeps the
+    // sweep non-empty at all three gate scales (28186 rows at sf0.01,
+    // 12207 at sf0.1, measured in DuckDB).
+    QueryDef("x8_linkpred_s4", Some("""
+      WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                  WHERE l_partkey % 4 = 0),
+      pr AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      eg AS (SELECT src, dst FROM pr
+             UNION ALL SELECT dst AS src, src AS dst FROM pr),
+      deg AS (SELECT src AS id, count(*) AS d FROM eg GROUP BY 1),
+      w AS (SELECT a.src AS z, a.dst AS u, b.dst AS v
+            FROM eg a JOIN eg b ON a.src = b.src AND a.dst < b.dst),
+      sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+               CAST(sum(1000000000 // dz.d) AS BIGINT) AS ra
+             FROM w JOIN deg dz ON w.z = dz.id
+             GROUP BY u, v HAVING count(*) >= 3),
+      ne AS (SELECT sc.* FROM sc LEFT JOIN pr
+               ON pr.src = sc.u AND pr.dst = sc.v
+             WHERE pr.src IS NULL)
+      SELECT ne.u, ne.v, ne.cn, ne.ra,
+             CAST(CAST(CAST(du.d AS DECIMAL(38,0)) * dv.d AS DECIMAL(38,0))
+               AS VARCHAR) AS pa
+      FROM ne JOIN deg du ON du.id = ne.u
+              JOIN deg dv ON dv.id = ne.v
+      ORDER BY u, v""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .filter(col("l_partkey") % 4 === 0)
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      // pa rendered as string per the SURVEY §5.2 contract, as in the
+      // parent gate.
+      graft.operators.Graph.linkPredict(pairs, minCommon = 3)
         .withColumn("pa", col("pa").cast("string"))
         .orderBy("u", "v")
     },

@@ -50,18 +50,21 @@ ORACLE_LIMITS = {
     "x8_linkpred": "the common-neighbor wedge enumeration (~495M wedges "
                    "on the 12M-edge sf1 co-order graph) pins >18GB of "
                    "non-spillable join blocks, then fills >49GB of temp "
-                   "disk when allowed to spill; companion x8_ktruss_s4 "
-                   "replays wedge machinery on the 1/4-subsampled graph "
-                   "at sf1",
+                   "disk when allowed to spill; companion x8_linkpred_s4 "
+                   "(r11) replays the same linkPredict path on the "
+                   "l_partkey % 4 subgraph at sf1, minCommon "
+                   "recalibrated to the subsampled cn band",
     "x8_triangles": "same ~495M-wedge wall as x8_linkpred (OOM at 18GB, "
                     "temp-disk exhaustion at 60GB+spill); the Spark side "
                     "bloom-prunes wedges inside the join pipeline and "
-                    "never materializes the set (27.4s at sf1, BENCH_sf1)",
+                    "never materializes the set (27.4s at sf1, "
+                    "BENCH_sf1); companion x8_triangles_s4 (r11) replays "
+                    "triangleCounts on the l_suppkey % 4 subgraph at sf1",
     "x8_hits": "the unrolled hub/authority iterations pin >18GB of "
                "non-spillable hash blocks (OOM at 600s/8-way, at the "
                "18GB cap, and on the disk wall solo); companion "
-               "x8_pagerank replays the same iterated edge-join shape "
-               "green at sf1 (30.9s)",
+               "x8_hits_s4 (r11) replays hitsInt itself on the "
+               "l_suppkey % 4 subgraph at sf1",
     "x8_modularity": "community-pair aggregation over the sf1 edge table "
                      "pins >18GB non-spillable; companions x8_labelprop "
                      "and x8_conductance replay the community family "
@@ -69,8 +72,9 @@ ORACLE_LIMITS = {
     "x8_pagerank_dangling": "the dangling-mass redistribution makes every "
                             "unrolled iteration dense: spills >78GB of "
                             "temp even at a 60GB memory budget; companion "
-                            "x8_pagerank (same loop, no dangling "
-                            "redistribution) replays green at sf1",
+                            "x8_pagerank_dangling_s4 (r11) replays "
+                            "pageRankInt(dangling=true) itself on the "
+                            "l_suppkey % 4 subgraph at sf1",
 }
 
 
@@ -84,13 +88,13 @@ ROWS_ONLY = ["x2_minhash_fast", "x2_minhash_k64", "x2_minhash_k128",
 # Gates whose compare may fail at sf1 for a ROOT-CAUSED cross-engine
 # boundary (PLANS.md round-5 session 2): recorded as known_boundary, not
 # as a red gate, but still run — if they pass, they count as passes.
-KNOWN_BOUNDARIES = {
-    "q1_agg": "DOUBLE->DECIMAL(18,6) rounding tie: Spark rounds the "
-              "shortest decimal rendering, DuckDB the exact binary "
-              "expansion; they disagree ~1 row in 6M on full-range "
-              "synthetic prices (one unit in the 15th digit), never on "
-              "the driver fixtures",
-}
+# Empty since round 11: q1_agg's DOUBLE->DECIMAL(18,6) rounding tie
+# (Spark rounds the shortest decimal rendering, DuckDB the exact binary
+# expansion, disagreeing ~1 row in 6M on full-range synthetic prices)
+# was retired at the root — the gate now casts the raw grid-valued
+# columns to decimal FIRST and multiplies in exact decimal arithmetic,
+# so no computed double is ever rounded (Relational.scala q1_agg).
+KNOWN_BOUNDARIES = {}
 
 
 def canon(v):
