@@ -123,6 +123,152 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec through the same [[Decoder]] seam: JDK-native
+    * `javax.sound.sampled` WAV/PCM parse+decode (zero external
+    * dependencies — the ImageIO precedent, r10 verdict next-round #3).
+    * Features are exact integer sample statistics per channel:
+    * codes = [sampleRate, channels, nFrames,
+    *          sumC0, minC0, maxC0, zeroCrossingsC0,
+    *          sumC1, minC1, maxC1, zeroCrossingsC1, ...]
+    * over the signed 16-bit PCM samples. PCM is lossless, so on a
+    * generated fixture these are bit-reproducible from the sample
+    * closed form alone — the same true end-to-end decode check the
+    * image gates run, with zero-crossing counts as the audio-specific
+    * statistic (the sign convention is exact: a crossing at frame i>0
+    * iff (s[i] >= 0) != (s[i-1] >= 0)). Non-PCM encodings and
+    * undecodable payloads quarantine to empty codes instead of killing
+    * the task — `AudioSystem.getAudioInputStream` throws on a truncated
+    * RIFF header, and the NonFatal catch covers unchecked codec paths
+    * the same way [[ImageIoDecoder]]'s does.
+    */
+  object WavDecoder extends Decoder {
+    def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val feats =
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.content))
+            try {
+              val fmt = in.getFormat
+              val ok = fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+              if (!ok) null
+              else {
+                val ch = fmt.getChannels
+                val bytes = in.readAllBytes()
+                val nFrames = bytes.length / fmt.getFrameSize
+                val sum = Array.fill(ch)(0L)
+                val min = Array.fill(ch)(Long.MaxValue)
+                val max = Array.fill(ch)(Long.MinValue)
+                val zc = Array.fill(ch)(0L)
+                val prevNonNeg = Array.fill(ch)(false)
+                var i = 0
+                while (i < nFrames) {
+                  var c = 0
+                  while (c < ch) {
+                    val o = i * fmt.getFrameSize + 2 * c
+                    val v = ((bytes(o) & 0xff) |
+                      (bytes(o + 1).toInt << 8)).toShort.toLong
+                    sum(c) += v
+                    if (v < min(c)) min(c) = v
+                    if (v > max(c)) max(c) = v
+                    val nonNeg = v >= 0
+                    if (i > 0 && nonNeg != prevNonNeg(c)) zc(c) += 1
+                    prevNonNeg(c) = nonNeg
+                    c += 1
+                  }
+                  i += 1
+                }
+                if (nFrames == 0) null
+                else Array(fmt.getSampleRate.toLong, ch.toLong,
+                  nFrames.toLong) ++
+                  (0 until ch).flatMap(c =>
+                    Seq(sum(c), min(c), max(c), zc(c)))
+              }
+            } finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (feats == null)
+          MediaFeatures(r.id, r.content.length.toLong, Array.empty[Long])
+        else MediaFeatures(r.id, r.content.length.toLong, feats)
+      }
+  }
+
+  /** Shared audio fixture encoder: `256 + id mod 64` frames of stereo
+    * 16-bit PCM at 8 kHz, samples from `sampleOf(channel, frame)`,
+    * encoded through the JDK WAV writer (so the DECODER parses a real
+    * RIFF container, not bytes we laid out ourselves).
+    */
+  private def encodeWav(id: Long,
+                        sampleOf: (Int, Int) => Short): MediaRow = {
+    val n = (256 + Math.floorMod(id, 64L)).toInt
+    val ch = 2
+    val pcm = new Array[Byte](n * ch * 2)
+    var i = 0
+    while (i < n) {
+      var c = 0
+      while (c < ch) {
+        val v = sampleOf(c, i)
+        val o = (i * ch + c) * 2
+        pcm(o) = (v & 0xff).toByte
+        pcm(o + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, ch, ch * 2, 8000f, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    MediaRow(id, out.toByteArray, MediaMeta("wav", n, ch))
+  }
+
+  /** Deterministic stereo WAV fixture generator for the [[WavDecoder]]
+    * gates: two INDEPENDENT per-channel sample closed forms —
+    * left(i) = ((7i + id) mod 65536) − 32768,
+    * right(i) = ((11i + 2id) mod 65536) − 32768 — so a decoder that
+    * deinterleaves the wrong stride or reads one plane twice cannot
+    * pass (the x4_decode_rgb lesson applied to audio). An external
+    * engine re-evaluates the formulas per frame, giving the decoded
+    * statistics an exact oracle even though the RIFF byte stream is
+    * writer-specific.
+    */
+  def syntheticWavs(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      encodeWav(id, { (c, i) =>
+        val raw = if (c == 0) 7L * i + id else 11L * i + 2L * id
+        (Math.floorMod(raw, 65536L) - 32768L).toShort
+      })
+    }
+  }
+
+  /** Intact/poisoned WAV mix for the audio QUARANTINE gate: odd ids are
+    * truncated to the first 16 bytes (RIFF magic + partial fmt — the
+    * header parse itself fails, the checked-exception analogue of the
+    * image gate's truncated IHDR). Even ids always decode; odd ids must
+    * quarantine to empty codes without killing the task.
+    */
+  def syntheticMixedWavs(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val row = encodeWav(id, { (c, i) =>
+        val raw = if (c == 0) 7L * i + id else 11L * i + 2L * id
+        (Math.floorMod(raw, 65536L) - 32768L).toShort
+      })
+      if (Math.floorMod(id, 2L) == 1L)
+        row.copy(content = row.content.take(16),
+          meta = row.meta.copy(format = "wav_trunc"))
+      else row
+    }
+  }
+
   /** Shared fixture encoder: `(8 + id mod 9) × (8 + 3·id mod 9)` pixels
     * whose per-channel values come from `rgbOf(x, y)`, encoded via the
     * JDK writer for `format` ("png"/"jpg"). `Math.floorMod` keeps the

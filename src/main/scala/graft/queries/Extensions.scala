@@ -2083,6 +2083,136 @@ object Extensions extends QueryModule {
         .orderBy("kind")
     },
 
+    // REAL audio decode (r10 verdict next-round #3 — the second modality
+    // through the Decoder seam, the ImageIoDecoder treatment for sound):
+    // generated stereo 16-bit PCM WAVs with two INDEPENDENT per-channel
+    // sample closed forms are decoded by WavDecoder (JDK
+    // javax.sound.sampled, zero deps) inside the same batched
+    // mapPartitions path, and the decoded per-channel statistics —
+    // sum/min/max/zero-crossings — replay exactly in SQL from the
+    // generator formulas because PCM is lossless. A decoder that
+    // deinterleaved at the wrong stride or read one plane twice cannot
+    // pass.
+    QueryDef("x4_audio_decode", Some("""
+      WITH d AS (SELECT doc_id, 256 + doc_id % 64 AS n
+                 FROM documents WHERE doc_id < 100),
+      s AS (SELECT doc_id, n, i.i AS i,
+              ((7*i.i + doc_id) % 65536) - 32768 AS l,
+              ((11*i.i + 2*doc_id) % 65536) - 32768 AS r
+            FROM d, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+      g AS (SELECT doc_id, n, i, l, r,
+              lag(l) OVER (PARTITION BY doc_id ORDER BY i) AS pl,
+              lag(r) OVER (PARTITION BY doc_id ORDER BY i) AS pr
+            FROM s)
+      SELECT doc_id AS id, CAST(8000 AS BIGINT) AS rate,
+             CAST(2 AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_frames,
+             CAST(sum(l) AS BIGINT) AS sum_l,
+             CAST(min(l) AS BIGINT) AS min_l,
+             CAST(max(l) AS BIGINT) AS max_l,
+             CAST(sum(CASE WHEN pl IS NOT NULL
+                            AND ((l >= 0) != (pl >= 0))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zc_l,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(min(r) AS BIGINT) AS min_r,
+             CAST(max(r) AS BIGINT) AS max_r,
+             CAST(sum(CASE WHEN pr IS NOT NULL
+                            AND ((r >= 0) != (pr >= 0))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zc_r
+      FROM g GROUP BY doc_id, n ORDER BY id""")) { (s, dir) =>
+      val ids = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 100)
+      val media = Multimodal.syntheticWavs(ids, "doc_id")
+      val feats = Multimodal.extractFeatures(media, Multimodal.WavDecoder)
+      val field = Seq("rate", "channels", "n_frames",
+        "sum_l", "min_l", "max_l", "zc_l",
+        "sum_r", "min_r", "max_r", "zc_r")
+      feats.toDF().select(col("id") +:
+          field.zipWithIndex.map { case (f, i) =>
+            element_at(col("codes"), i + 1).as(f) }: _*)
+        .orderBy("id")
+    },
+
+    // REAL-FILE audio ingestion: the generated WAVs are written as
+    // individual files (distributed writeMediaFiles — the S8 ingest
+    // boundary), read back through Spark's `binaryFile` source, id
+    // parsed from the path, decoded by the SAME WavDecoder. The
+    // statistics oracle is unchanged — the closed form doesn't care how
+    // the bytes arrived (the x4_binary_files recipe for the audio
+    // modality).
+    QueryDef("x4_audio_files", Some("""
+      WITH d AS (SELECT doc_id, 256 + doc_id % 64 AS n
+                 FROM documents WHERE doc_id < 100),
+      s AS (SELECT doc_id, n, i.i AS i,
+              ((7*i.i + doc_id) % 65536) - 32768 AS l,
+              ((11*i.i + 2*doc_id) % 65536) - 32768 AS r
+            FROM d, LATERAL (SELECT unnest(range(0, n)) AS i) i),
+      g AS (SELECT doc_id, n, i, l, r,
+              lag(l) OVER (PARTITION BY doc_id ORDER BY i) AS pl
+            FROM s)
+      SELECT doc_id AS id, CAST(n AS BIGINT) AS n_frames,
+             CAST(sum(l) AS BIGINT) AS sum_l,
+             CAST(min(l) AS BIGINT) AS min_l,
+             CAST(max(l) AS BIGINT) AS max_l,
+             CAST(sum(CASE WHEN pl IS NOT NULL
+                            AND ((l >= 0) != (pl >= 0))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zc_l
+      FROM g GROUP BY doc_id, n ORDER BY id""")) { (s, dir) =>
+      import s.implicits._
+      val ids = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 100)
+      val landing = graft.Scratch.fresh("x4wav")
+      Multimodal.writeMediaFiles(
+        Multimodal.syntheticWavs(ids, "doc_id"), landing, "wav")
+      val rows = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav").load(landing)
+        .select(
+          regexp_extract(col("path"), "doc-(\\d+)\\.wav$", 1)
+            .cast("long").as("id"),
+          col("content"),
+          struct(lit("wav").as("format"), lit(0).as("width"),
+            lit(0).as("height")).as("meta"))
+        .as[Multimodal.MediaRow]
+      val feats = Multimodal.extractFeatures(rows, Multimodal.WavDecoder)
+      feats.toDF().select(col("id"),
+          element_at(col("codes"), 3).as("n_frames"),
+          element_at(col("codes"), 4).as("sum_l"),
+          element_at(col("codes"), 5).as("min_l"),
+          element_at(col("codes"), 6).as("max_l"),
+          element_at(col("codes"), 7).as("zc_l"))
+        .orderBy("id")
+    },
+
+    // Audio poison-row quarantine: odd ids are WAVs truncated to 16
+    // bytes (RIFF magic + partial header — the container parse itself
+    // fails), even ids intact. Truncated payloads must quarantine to
+    // empty codes without killing the task; the decoded-vs-quarantined
+    // counts are portable, so the oracle derives them from the id
+    // partition alone (the x4_quarantine recipe).
+    QueryDef("x4_audio_quarantine", Some("""
+      SELECT CASE doc_id % 2 WHEN 0 THEN 'wav' ELSE 'wav_trunc' END AS kind,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_decoded,
+             CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_quarantined
+      FROM documents WHERE doc_id < 100
+      GROUP BY 1 ORDER BY kind""")) { (s, dir) =>
+      val ids = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 100)
+      val media = Multimodal.syntheticMixedWavs(ids, "doc_id")
+      val feats = Multimodal.extractFeatures(media, Multimodal.WavDecoder)
+      feats.toDF()
+        .withColumn("kind",
+          when(pmod(col("id"), lit(2)) === 0, "wav").otherwise("wav_trunc"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(size(col("codes")) > 0, 1L).otherwise(0L))
+            .as("n_decoded"),
+          sum(when(size(col("codes")) === 0, 1L).otherwise(0L))
+            .as("n_quarantined"))
+        .orderBy("kind")
+    },
+
     // Perceptual-hash near-dup media pairs (Multimodal.avgHash +
     // phashPairs): 8-bit average-hash over the batched mapPartitions
     // decode, nibble-band blocking (pigeonhole-complete for Hamming ≤ 1),

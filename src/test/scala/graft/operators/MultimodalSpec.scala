@@ -269,4 +269,54 @@ class MultimodalSpec extends SparkSpec {
     assert(schemaLine.nonEmpty && !schemaLine.contains("content"),
       s"binaryFile metadata read did not prune content: $schemaLine")
   }
+
+  test("WavDecoder: PCM decode reproduces both channel closed forms " +
+      "exactly, including zero-crossing counts") {
+    // Negative ids included: encodeWav's frame count uses floorMod, so
+    // the generator must be total over all longs like the image one.
+    val ids = Seq(0L, 3L, 17L, -8L).toDF("doc_id")
+    val feats = Multimodal
+      .extractFeatures(Multimodal.syntheticWavs(ids, "doc_id"),
+        Multimodal.WavDecoder, batchSize = 2)
+      .collect().sortBy(_.id)
+    assert(feats.length == 4)
+    for (f <- feats) {
+      val id = f.id
+      val n = (256 + Math.floorMod(id, 64L)).toInt
+      def chan(a: Long, b: Long): Seq[Long] = {
+        val s = (0 until n).map(i =>
+          Math.floorMod(a * i + b * id, 65536L) - 32768L)
+        val zc = (1 until n).count(i => (s(i) >= 0) != (s(i - 1) >= 0))
+        Seq(s.sum, s.min, s.max, zc.toLong)
+      }
+      assert(f.codes.toSeq ==
+        Seq(8000L, 2L, n.toLong) ++ chan(7, 1) ++ chan(11, 2),
+        s"id=$id decoded sample stats diverge from the closed forms")
+      // The two channels genuinely differ — a decoder deinterleaving at
+      // the wrong stride or reading one plane twice cannot pass.
+      assert(f.codes.slice(3, 7).toSeq != f.codes.slice(7, 11).toSeq)
+    }
+    // Non-audio payloads must not kill the task — empty codes instead.
+    val junk = Multimodal.extractFeatures(
+      Multimodal.fromText(Seq((9L, "not a wav")).toDF("id", "text"),
+        "id", "text"),
+      Multimodal.WavDecoder).collect()
+    assert(junk.length == 1 && junk.head.codes.isEmpty)
+  }
+
+  test("syntheticMixedWavs: intact WAVs decode, 16-byte truncations " +
+      "quarantine without killing the task") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val media = Multimodal.syntheticMixedWavs(ids, "doc_id")
+    val feats = Multimodal
+      .extractFeatures(media, Multimodal.WavDecoder, batchSize = 8)
+      .collect()
+    assert(feats.length == 40)
+    val (decoded, quarantined) = feats.partition(_.codes.nonEmpty)
+    assert(decoded.map(_.id).toSet == (0L until 40L).filter(_ % 2 == 0).toSet)
+    assert(quarantined.map(_.id).toSet ==
+      (0L until 40L).filter(_ % 2 == 1).toSet)
+    assert(media.collect().filter(_.id % 2 == 1)
+      .forall(_.content.length == 16))
+  }
 }
