@@ -1029,6 +1029,74 @@ object Dedup {
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
+  /** EXACT substring dedup (the Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" family, re-expressed relationally
+    * — r10 verdict next-round #5): every cross-document pair sharing an
+    * exact token run of length >= `minRun`, with the pair's LONGEST shared
+    * run measured exactly. Catches partially-copied documents whose shared
+    * region straddles the fixed boundaries [[segmentDedup]] and
+    * [[cdcChunkDedup]] cut on.
+    *
+    * Method — anchor equivalence instead of suffix arrays: two documents
+    * share a run of >= L tokens IFF they share an L-token shingle (the
+    * run's first window), so the positional L-shingle self-join is
+    * simultaneously candidate generation (perfect recall, no sketch) and
+    * the verification lattice. A shared run of t tokens produces exactly
+    * t−L+1 shingle matches at CONSECUTIVE a-positions on one DIAGONAL
+    * (pa − pb constant); the classic gaps-and-islands window recovers each
+    * maximal run as one island, and longest_run = max island + L − 1 —
+    * exact, including multiple disjoint shared runs and grams repeated
+    * within one document (a repeat lands on another diagonal).
+    *
+    * Scale posture: one explode + one equi-join keyed on the shingle text
+    * (never doc×doc — pair mass is Σ df(g)² over duplicated grams only,
+    * i.e. proportional to true shared-run mass) + one keyed window + two
+    * aggregates. `maxDf` is the boilerplate valve: grams shared by more
+    * than maxDf docs (license headers, navigation chrome) are dropped
+    * before the join — at 100 TB a viral 8-gram would otherwise contribute
+    * df² pairs that the exact-dedup / cluster-resolution family handles
+    * better than a pair list ever could. With maxDf = None the operator
+    * is exhaustively exact.
+    *
+    * Output: (da, db, longest_run, n_anchor_matches, min_pa, min_pb) per
+    * pair sharing at least one run — longest_run in tokens; min_pa/min_pb
+    * the earliest shared-gram position in each doc (0-based).
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     minRun: Int, maxDf: Option[Long] = None): DataFrame = {
+    require(minRun >= 2, "minRun must be >= 2 tokens")
+    val shg = Par.spread(df).select(col(idCol).as("__id"),
+      posexplode(TextOps.shingles(TextOps.tokens(col(textCol)), minRun))
+        .as(Seq("pos", "g")))
+    val pruned = maxDf match {
+      case Some(m) =>
+        val keep = shg.groupBy("g")
+          .agg(countDistinct(col("__id")).as("__df"))
+          .filter(col("__df") <= m).select("g")
+        shg.join(keep, "g")
+      case None => shg
+    }
+    val a = pruned.select(col("g"), col("__id").as("da"), col("pos").as("pa"))
+    val b = pruned.select(col("g"), col("__id").as("db"), col("pos").as("pb"))
+    val m = a.join(b, "g").filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        col("pa").cast("long").as("pa"), col("pb").cast("long").as("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+    // (pa, pb) is unique per (da, db, diag) — diag pins pb to pa — so the
+    // island id pa − row_number is well-defined with no tiebreak column.
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
+    val isl = m.withColumn("__rn", row_number().over(wIsl))
+      .withColumn("__grp", col("pa") - col("__rn"))
+      .groupBy("da", "db", "diag", "__grp")
+      .agg(count(lit(1)).as("__cnt"),
+        min("pa").as("__pa0"), min("pb").as("__pb0"))
+    isl.groupBy("da", "db")
+      .agg((max("__cnt") + lit(minRun - 1).cast("long")).as("longest_run"),
+        sum("__cnt").as("n_anchor_matches"),
+        min("__pa0").as("min_pa"), min("__pb0").as("min_pb"))
+  }
+
   /** Incremental (new-batch-vs-corpus) exact dedup: rows of `newBatch`
     * whose content hash does not already occur in `corpus`. The daily-crawl
     * pattern — dedup the delta against the standing corpus without ever

@@ -1609,6 +1609,39 @@ object Extensions extends QueryModule {
 
     // ---------------- segment dedup / incremental dedup ----------------
 
+    // EXACT substring dedup (Dedup.substringDedup — the Lee et al. 2022
+    // suffix-array family, re-expressed relationally; r10 verdict
+    // next-round #5): every doc pair sharing an exact >= 8-token run,
+    // with the longest shared run measured exactly via the
+    // diagonal-islands identity (a t-token shared run = t−7 consecutive
+    // same-diagonal positional 8-shingle matches). Sharing an 8-shingle
+    // is EQUIVALENT to sharing a run >= 8, so the anchor join has perfect
+    // recall with no sketch — the form that catches partially-copied
+    // documents whose shared region straddles segment/CDC boundaries.
+    QueryDef("x2_substring_dedup", Some("""
+      WITH sh AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7],' ') AS g
+        FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents) dd,
+             LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-6,1))) AS i) ii),
+      m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id),
+      r AS (SELECT da, db, pa, pb, pa - pb AS diag,
+              row_number() OVER (PARTITION BY da, db, pa - pb
+                                 ORDER BY pa) AS rn
+            FROM m),
+      isl AS (SELECT da, db, count(*) AS cnt,
+                     min(pa) AS pa0, min(pb) AS pb0
+              FROM r GROUP BY da, db, diag, pa - rn)
+      SELECT da, db, CAST(max(cnt) + 7 AS BIGINT) AS longest_run,
+             CAST(sum(cnt) AS BIGINT) AS n_anchor_matches,
+             CAST(min(pa0) AS BIGINT) AS min_pa,
+             CAST(min(pb0) AS BIGINT) AS min_pb
+      FROM isl GROUP BY da, db ORDER BY da, db""")) { (s, dir) =>
+      Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text",
+          minRun = 8)
+        .orderBy("da", "db")
+    },
+
     // Corpus-wide segment-level exact dedup (the line/paragraph-dedup step
     // of web curation, on fixed 8-word segments): keep only the first
     // occurrence of every distinct segment, rebuild docs from survivors.

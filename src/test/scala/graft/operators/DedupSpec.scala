@@ -479,4 +479,76 @@ class DedupSpec extends SparkSpec {
     // value is zero evidence (Fellegi–Sunter), so only f2's 2 -> dropped.
     assert(out == Set((1L, 2L, 5L)))
   }
+
+  /** Driver-side brute force: longest common token run of two docs by
+    * O(n·m) diagonal scan — the ground truth substringDedup must equal.
+    */
+  private def bruteLongestRun(a: Seq[String], b: Seq[String]): Int = {
+    var best = 0
+    for (d <- -(b.length - 1) to (a.length - 1)) {
+      var run = 0
+      for (i <- math.max(0, d) until math.min(a.length, b.length + d)) {
+        if (a(i) == b(i - d)) { run += 1; if (run > best) best = run }
+        else run = 0
+      }
+    }
+    best
+  }
+
+  test("substringDedup equals the brute-force longest common run on " +
+      "every pair (boundary-straddling, repeats, multiple islands)") {
+    // Crafted shapes: a copied 9-token span straddling any 8-word segment
+    // boundary (docs 1/2), a doc with an internal repeat (3), two disjoint
+    // shared runs (4/5 — islands on different diagonals), an exact-dup
+    // pair (6/7), and an unrelated doc (8).
+    val texts = Seq(
+      1L -> "q w e r alpha beta gamma delta epsilon zeta eta theta iota z",
+      2L -> "x alpha beta gamma delta epsilon zeta eta theta iota y u i o p",
+      3L -> "m alpha beta gamma delta epsilon zeta eta theta n alpha beta gamma delta epsilon zeta eta theta k",
+      4L -> "a1 a2 a3 a4 a5 a6 a7 a8 mid b1 b2 b3 b4 b5 b6 b7 b8 tail1",
+      5L -> "pre a1 a2 a3 a4 a5 a6 a7 a8 gap gap2 b1 b2 b3 b4 b5 b6 b7 b8",
+      6L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",
+      7L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",
+      8L -> "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10")
+    val df = texts.toDF("doc_id", "text")
+    val got = Dedup.substringDedup(df, "doc_id", "text", minRun = 8)
+      .select("da", "db", "longest_run")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, r) => (a, b) -> r }.toMap
+    val tok = texts.toMap.view.mapValues(_.split(" ").toSeq).toMap
+    val want = (for {
+      a <- texts.map(_._1); b <- texts.map(_._1) if a < b
+      r = bruteLongestRun(tok(a), tok(b)) if r >= 8
+    } yield (a, b) -> r.toLong).toMap
+    assert(got == want,
+      s"pairs/runs diverge from brute force:\n got=$got\n want=$want")
+    // The crafted shapes actually exercised what they claim.
+    assert(want((1L, 2L)) == 9L)   // straddles segment boundaries
+    assert(want((4L, 5L)) == 8L)   // two disjoint 8-runs, max is 8
+    assert(want((6L, 7L)) == 10L)  // exact dup
+    assert(!want.contains((1L, 8L)))
+    // n_anchor_matches counts every same-diagonal match: doc 3 repeats
+    // its 8-token block, so vs doc 1's single block it anchors 2 islands
+    // of one 8-gram each.
+    val m13 = Dedup.substringDedup(df, "doc_id", "text", minRun = 8)
+      .filter(col("da") === 1L && col("db") === 3L)
+      .select("n_anchor_matches").as[Long].head()
+    assert(m13 == 2L)
+  }
+
+  test("substringDedup maxDf drops viral grams before the pair join") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = (1L to 5L).map(i => i -> s"$boiler unique$i tail$i") :+
+      (6L -> "u1 u2 u3 u4 u5 u6 u7 u8 x") :+
+      (7L -> "y u1 u2 u3 u4 u5 u6 u7 u8")
+    val df = docs.toDF("doc_id", "text")
+    val all = Dedup.substringDedup(df, "doc_id", "text", minRun = 8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(all.size == 11) // C(5,2) boilerplate pairs + (6,7)
+    val cut = Dedup.substringDedup(df, "doc_id", "text", minRun = 8,
+        maxDf = Some(2L))
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(cut == Set((6L, 7L)),
+      "maxDf must drop the 5-doc boilerplate gram but keep the df-2 run")
+  }
 }
