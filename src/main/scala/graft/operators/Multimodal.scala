@@ -402,6 +402,152 @@ object Multimodal {
     }
   }
 
+  /** REAL video container parse (r10 verdict stretch #8 — replaces the
+    * byte-block [[sampleFrames]] simulation for real containers): walk a
+    * RIFF/AVI payload chunk by chunk (4-char id + LE u32 size + body,
+    * bodies padded to even offsets per the RIFF spec), descend into the
+    * 'movi' LIST, and emit one row per video frame chunk ('##dc'/'##db').
+    * The frame PAYLOAD is returned as-is — decoding stays a separate
+    * concern: feed the frames through the existing [[ImageIoDecoder]]
+    * (MJPEG = JPEG-per-frame; PNG-in-AVI for lossless oracles). Runs as
+    * flatMap (one pass per payload, no shuffle); malformed or truncated
+    * containers quarantine to ZERO frame rows instead of killing the
+    * task — the same posture as the decode seam.
+    *
+    * Output: (id, frame_no, frame) — frame_no is the 0-based position in
+    * the movi stream.
+    */
+  def parseAviFrames(ds: Dataset[MediaRow]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { r =>
+      try {
+        val b = r.content
+        def u32(o: Int): Long =
+          (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+            ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+        def tag(o: Int): String =
+          new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ")
+          Iterator.empty
+        else {
+          val frames = Seq.newBuilder[(Long, Int, Array[Byte])]
+          var n = 0
+          // Walk top-level chunks; descend one level into LIST 'movi'.
+          var o = 12
+          val end = math.min(b.length.toLong, 8L + u32(4)).toInt
+          while (o + 8 <= end) {
+            val id = tag(o)
+            val sz = u32(o + 4)
+            if (id == "LIST" && o + 12 <= end && tag(o + 8) == "movi") {
+              var p = o + 12
+              val lend = math.min(end.toLong, o + 8L + sz).toInt
+              while (p + 8 <= lend) {
+                val cid = tag(p)
+                val csz = u32(p + 4)
+                if (p + 8 + csz <= lend &&
+                    cid.length == 4 && cid(0).isDigit && cid(1).isDigit &&
+                    (cid.endsWith("dc") || cid.endsWith("db"))) {
+                  frames += ((r.id, n,
+                    java.util.Arrays.copyOfRange(b, p + 8, p + 8 + csz.toInt)))
+                  n += 1
+                }
+                p += 8 + csz.toInt + (csz.toInt & 1) // even padding
+              }
+            }
+            o += 8 + sz.toInt + (sz.toInt & 1)
+          }
+          frames.result().iterator
+        }
+      } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+    }.toDF("id", "frame_no", "frame")
+  }
+
+  /** Deterministic AVI fixture generator: `2 + id mod 4` PNG frames per
+    * video (PNG — not MJPEG — so the per-frame pixel statistics replay
+    * losslessly from the closed form; the container walk is identical
+    * for '##dc' JPEG payloads), frame f's pixels
+    * gray(x, y, f) = (7x + 13y + id + 19f) mod 256 so every frame of
+    * every video differs. The writer emits the minimal spec-shaped RIFF
+    * ('RIFF'/'AVI ' + LIST 'hdrl' with an avih header + LIST 'movi' with
+    * even-padded '00dc' chunks); [[parseAviFrames]] performs a generic
+    * RIFF walk and does not depend on this writer's layout choices.
+    */
+  def syntheticAvis(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val nf = (2 + Math.floorMod(id, 4L)).toInt
+      val frames = (0 until nf).map { f =>
+        encodeImage(id, "png", { (x, y) =>
+          val g = Math.floorMod(7L * x + 13L * y + id + 19L * f, 256L).toInt
+          (g << 16) | (g << 8) | g
+        }).content
+      }
+      MediaRow(id, encodeAvi(frames), MediaMeta("avi", nf, 0))
+    }
+  }
+
+  /** Intact/poisoned AVI mix for the video QUARANTINE gate: odd ids are
+    * truncated to the first 16 bytes (RIFF magic + partial size — the
+    * container walk finds no movi list and must emit zero frames without
+    * killing the task).
+    */
+  def syntheticMixedAvis(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val nf = (2 + Math.floorMod(id, 4L)).toInt
+      val frames = (0 until nf).map { f =>
+        encodeImage(id, "png", { (x, y) =>
+          val g = Math.floorMod(7L * x + 13L * y + id + 19L * f, 256L).toInt
+          (g << 16) | (g << 8) | g
+        }).content
+      }
+      val row = MediaRow(id, encodeAvi(frames), MediaMeta("avi", nf, 0))
+      if (Math.floorMod(id, 2L) == 1L)
+        row.copy(content = row.content.take(16),
+          meta = row.meta.copy(format = "avi_trunc"))
+      else row
+    }
+  }
+
+  private def encodeAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    // avih main header: 14 u32 fields (56 bytes) — frame count and stream
+    // count filled, the rest zero (readers that only walk movi ignore it).
+    val avih = new java.io.ByteArrayOutputStream()
+    val aviu = (v: Long) => {
+      avih.write((v & 0xff).toInt); avih.write(((v >> 8) & 0xff).toInt)
+      avih.write(((v >> 16) & 0xff).toInt); avih.write(((v >> 24) & 0xff).toInt)
+    }
+    aviu(33333L); aviu(0L); aviu(0L); aviu(0L)        // usec/frame, rate...
+    aviu(frames.length.toLong); aviu(0L); aviu(1L); aviu(0L) // totalFrames, streams=1
+    (0 until 6).foreach(_ => aviu(0L))
+    val hdrlBody = avih.toByteArray // avih chunk body
+    val moviChunks = frames.map { f =>
+      8 + f.length + (f.length & 1)
+    }.sum
+    val hdrlList = 4 + 8 + hdrlBody.length // 'hdrl' + avih chunk
+    val moviList = 4 + moviChunks          // 'movi' + frame chunks
+    val riffSize = 4 + (8 + hdrlList) + (8 + moviList)
+    tag("RIFF"); u32(riffSize.toLong); tag("AVI ")
+    tag("LIST"); u32(hdrlList.toLong); tag("hdrl")
+    tag("avih"); u32(hdrlBody.length.toLong); out.write(hdrlBody)
+    tag("LIST"); u32(moviList.toLong); tag("movi")
+    frames.foreach { f =>
+      tag("00dc"); u32(f.length.toLong); out.write(f)
+      if ((f.length & 1) == 1) out.write(0) // RIFF even padding
+    }
+    out.toByteArray
+  }
+
   /** Wrap a text column as a binary media column with synthesized metadata
     * (the shape a real ingest would produce from image/audio files).
     */

@@ -2246,6 +2246,87 @@ object Extensions extends QueryModule {
         .orderBy("kind")
     },
 
+    // REAL video container decode (r10 verdict stretch #8 — retires the
+    // byte-block sampleFrames simulation for real containers): generated
+    // RIFF/AVI payloads are walked chunk-by-chunk (Multimodal
+    // .parseAviFrames — generic RIFF walk, even-padding, movi descent),
+    // every frame payload decoded by the SAME ImageIoDecoder (the
+    // MJPEG-per-frame shape; PNG frames here so the per-frame pixel
+    // statistics replay losslessly). Frame f of video id carries
+    // gray(x,y) = (7x+13y+id+19f) mod 256 — every frame of every video
+    // differs, so a parser that misses frames, double-reads a chunk, or
+    // mis-seeks past the padding cannot pass. Frame count per video is
+    // implied by the row set (2 + id mod 4 rows per id).
+    QueryDef("x4_video_decode", Some("""
+      WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (3*doc_id) % 9 AS h,
+                        2 + doc_id % 4 AS nf
+                 FROM documents WHERE doc_id < 100),
+      fr AS (SELECT doc_id, w, h, f.f AS f
+             FROM d, LATERAL (SELECT unnest(range(0, nf)) AS f) f),
+      px AS (SELECT doc_id, w, h, f,
+               (7*x.x + 13*y.y + doc_id + 19*f) % 256 AS g
+             FROM fr,
+               LATERAL (SELECT unnest(range(0, w)) AS x) x,
+               LATERAL (SELECT unnest(range(0, h)) AS y) y)
+      SELECT doc_id AS id, CAST(f AS BIGINT) AS frame_no,
+             CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(min(g) AS BIGINT) AS min_g,
+             CAST(max(g) AS BIGINT) AS max_g
+      FROM px GROUP BY doc_id, f, w, h ORDER BY id, frame_no""")) {
+      (s, dir) =>
+      import s.implicits._
+      val ids = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 100)
+      val frames = Multimodal.parseAviFrames(
+        Multimodal.syntheticAvis(ids, "doc_id"))
+      // Composite id = video*16 + frame_no rides through the Decoder seam
+      // (nf <= 5 < 16, gate ids < 100 — collision-free by construction).
+      val rows = frames.select(
+          (col("id") * 16 + col("frame_no")).as("id"),
+          col("frame").as("content"),
+          struct(lit("png").as("format"), lit(0).as("width"),
+            lit(0).as("height")).as("meta"))
+        .as[Multimodal.MediaRow]
+      val feats = Multimodal.extractFeatures(rows, Multimodal.ImageIoDecoder)
+      feats.toDF().select(
+          (col("id") / 16).cast("long").as("id"),
+          pmod(col("id"), lit(16)).cast("long").as("frame_no"),
+          element_at(col("codes"), 1).as("w"),
+          element_at(col("codes"), 2).as("h"),
+          element_at(col("codes"), 3).as("sum_g"),
+          element_at(col("codes"), 4).as("min_g"),
+          element_at(col("codes"), 5).as("max_g"))
+        .orderBy("id", "frame_no")
+    },
+
+    // Video poison-row quarantine: odd ids are AVIs truncated to 16
+    // bytes — the container walk finds no movi list and must emit ZERO
+    // frame rows without killing the task; even ids parse all their
+    // frames. The oracle derives both counts from the id partition
+    // (frames per even video = 2 + id mod 4).
+    QueryDef("x4_video_quarantine", Some("""
+      SELECT CASE doc_id % 2 WHEN 0 THEN 'avi' ELSE 'avi_trunc' END AS kind,
+             CAST(count(*) AS BIGINT) AS n_videos,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 4
+                           ELSE 0 END) AS BIGINT) AS n_frames
+      FROM documents WHERE doc_id < 100
+      GROUP BY 1 ORDER BY kind""")) { (s, dir) =>
+      val ids = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 100)
+      val frames = Multimodal.parseAviFrames(
+        Multimodal.syntheticMixedAvis(ids, "doc_id"))
+      val cnt = frames.groupBy("id").agg(count(lit(1)).as("nf"))
+      ids.select(col("doc_id").cast("long").as("id"))
+        .join(cnt, Seq("id"), "left")
+        .withColumn("kind",
+          when(pmod(col("id"), lit(2)) === 0, "avi").otherwise("avi_trunc"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_videos"),
+          sum(coalesce(col("nf"), lit(0L))).as("n_frames"))
+        .orderBy("kind")
+    },
+
     // Perceptual-hash near-dup media pairs (Multimodal.avgHash +
     // phashPairs): 8-bit average-hash over the batched mapPartitions
     // decode, nibble-band blocking (pigeonhole-complete for Hamming ≤ 1),

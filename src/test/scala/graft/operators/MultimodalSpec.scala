@@ -304,6 +304,41 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.length == 1 && junk.head.codes.isEmpty)
   }
 
+  test("parseAviFrames: round-trips every frame payload in order " +
+      "(incl. odd-size bodies under RIFF even padding); malformed " +
+      "containers yield zero rows") {
+    val ids = Seq(0L, 1L, 5L, 14L).toDF("doc_id")
+    val media = Multimodal.syntheticAvis(ids, "doc_id")
+    val frames = Multimodal.parseAviFrames(media)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2)))
+    // Frame counts: 2 + id mod 4.
+    val counts = frames.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(counts == Map(0L -> 2, 1L -> 3, 5L -> 3, 14L -> 4))
+    // Every parsed frame payload decodes as the exact PNG the generator
+    // wrote for (id, frame_no) — byte-identical round-trip through the
+    // container, so padding/seek errors cannot hide.
+    for ((id, f, payload) <- frames) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      assert(img != null, s"frame ($id, $f) not a decodable image")
+      val g0 = Math.floorMod(id + 19L * f, 256L).toInt // pixel (0,0)
+      assert((img.getRGB(0, 0) & 0xff) == g0,
+        s"frame ($id, $f) pixel(0,0) mismatch")
+    }
+    // Some PNG bodies are odd-sized, or the padding path went untested.
+    assert(frames.exists(_._3.length % 2 == 1),
+      "fixture produced no odd-size frame body — padding path untested")
+    // Truncated and junk containers quarantine to zero rows.
+    val bad = Multimodal.parseAviFrames(
+      Multimodal.syntheticMixedAvis(Seq(3L).toDF("doc_id"), "doc_id"))
+    assert(bad.count() == 0L)
+    val junk = Multimodal.parseAviFrames(
+      Multimodal.fromText(Seq((9L, "not an avi")).toDF("id", "text"),
+        "id", "text"))
+    assert(junk.count() == 0L)
+  }
+
   test("syntheticMixedWavs: intact WAVs decode, 16-byte truncations " +
       "quarantine without killing the task") {
     val ids = (0L until 40L).toDF("doc_id")
