@@ -2300,6 +2300,60 @@ object Extensions extends QueryModule {
         .orderBy("id", "frame_no")
     },
 
+    // REAL-FILE video ingestion: generated AVIs written as individual
+    // files (distributed writeMediaFiles), read back through the
+    // `binaryFile` source, id parsed from the path, container-walked by
+    // the SAME parseAviFrames and frame-decoded by the SAME
+    // ImageIoDecoder — the x4_binary_files / x4_audio_files recipe for
+    // the third modality. Reduced projection: per-video frame count and
+    // the exact cross-frame pixel-sum total.
+    QueryDef("x4_video_files", Some("""
+      WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (3*doc_id) % 9 AS h,
+                        2 + doc_id % 4 AS nf
+                 FROM documents WHERE doc_id < 100),
+      fr AS (SELECT doc_id, w, h, f.f AS f
+             FROM d, LATERAL (SELECT unnest(range(0, nf)) AS f) f),
+      px AS (SELECT doc_id, f,
+               (7*x.x + 13*y.y + doc_id + 19*f) % 256 AS g
+             FROM fr,
+               LATERAL (SELECT unnest(range(0, w)) AS x) x,
+               LATERAL (SELECT unnest(range(0, h)) AS y) y)
+      SELECT doc_id AS id, CAST(count(DISTINCT f) AS BIGINT) AS n_frames,
+             CAST(sum(g) AS BIGINT) AS sum_g
+      FROM px GROUP BY doc_id ORDER BY id""")) { (s, dir) =>
+      import s.implicits._
+      val ids = t(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 100)
+      val landing = graft.Scratch.fresh("x4avi")
+      Multimodal.writeMediaFiles(
+        Multimodal.syntheticAvis(ids, "doc_id"), landing, "avi")
+      val vids = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avi").load(landing)
+        .select(
+          regexp_extract(col("path"), "doc-(\\d+)\\.avi$", 1)
+            .cast("long").as("id"),
+          col("content"),
+          struct(lit("avi").as("format"), lit(0).as("width"),
+            lit(0).as("height")).as("meta"))
+        .as[Multimodal.MediaRow]
+      val frames = Multimodal.parseAviFrames(vids)
+      val rows = frames.select(
+          (col("id") * 16 + col("frame_no")).as("id"),
+          col("frame").as("content"),
+          struct(lit("png").as("format"), lit(0).as("width"),
+            lit(0).as("height")).as("meta"))
+        .as[Multimodal.MediaRow]
+      val feats = Multimodal.extractFeatures(rows, Multimodal.ImageIoDecoder)
+      feats.toDF()
+        .select((col("id") / 16).cast("long").as("id"),
+          pmod(col("id"), lit(16)).cast("long").as("frame_no"),
+          element_at(col("codes"), 3).as("sum_g"))
+        .groupBy("id")
+        .agg(countDistinct(col("frame_no")).as("n_frames"),
+          sum("sum_g").as("sum_g"))
+        .orderBy("id")
+    },
+
     // Video poison-row quarantine: odd ids are AVIs truncated to 16
     // bytes — the container walk finds no movi list and must emit ZERO
     // frame rows without killing the task; even ids parse all their
