@@ -66,23 +66,36 @@ object Density {
       .withColumn("cx", floor(element_at(col("v"), 1) / eps).cast("long"))
       .withColumn("cy", floor(element_at(col("v"), 2) / eps).cast("long"))
       .persist(lvl)
-    // Directed neighbor pairs: each point probes its 3×3 cell
-    // neighborhood; the exact all-dimension distance prunes. Directed
-    // (ia, ib) kept — the degree count needs per-point rows anyway.
-    val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
-      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    // Neighbor pairs via HALF-neighborhood probing (r11): the pair set is
+    // symmetric, so each point probes only the 4 "positive" adjacent
+    // cells plus its own (with ia < ib de-duping same-cell pairs) — every
+    // unordered eps-pair is found exactly once through 5n probe rows
+    // instead of 9n, and the directed pair table the degree count needs
+    // is recovered by a shuffle-free symmetrizing union. Measured at sf1:
+    // the probe join's stage time drops ~45% for the identical `nbr`
+    // table (StageProbe, PLANS round 11). The exact all-dimension
+    // distance residual still prunes after the cell equijoin.
+    val offsets = Seq((0L, 0L), (1L, 0L), (1L, -1L), (0L, 1L), (1L, 1L))
+      .map { case (dx, dy) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy")) }
     val probes = v.select(col("id").as("ia"), col("v").as("va"),
         col("cx"), col("cy"), explode(array(offsets: _*)).as("o"))
       .select(col("ia"), col("va"),
-        (col("cx") + col("o.dx")).as("px"), (col("cy") + col("o.dy")).as("py"))
-    val nbr = probes.join(
+        (col("cx") + col("o.dx")).as("px"), (col("cy") + col("o.dy")).as("py"),
+        (col("o.dx") === 0 && col("o.dy") === 0).as("same"))
+    // The HALF table is what persists — both union branches then read the
+    // cache, so the probe join runs ONCE (persisting the union instead
+    // would recompute the join once per branch).
+    val half = probes.join(
         v.select(col("id").as("ib"), col("v").as("vb"),
           col("cx"), col("cy")),
         col("px") === col("cx") && col("py") === col("cy") &&
-          col("ia") =!= col("ib"))
+          (!col("same") || col("ia") < col("ib")))
       .filter(d2(col("va"), col("vb")) <= lit(eps * eps))
       .select("ia", "ib")
       .persist(lvl)
+    val nbr = half.unionByName(
+        half.select(col("ib").as("ia"), col("ia").as("ib")))
     val cores = nbr.groupBy(col("ia").as("id"))
       .agg(count(lit(1)).as("__deg"))
       .filter(col("__deg") + 1 >= minPts)

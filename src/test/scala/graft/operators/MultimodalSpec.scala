@@ -339,6 +339,39 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.count() == 0L)
   }
 
+  test("WavDecoder: out-of-contract PCM encodings quarantine (8-bit, " +
+      "big-endian) — only 16-bit little-endian signed PCM decodes") {
+    import javax.sound.sampled._
+    def wav(bits: Int, bigEndian: Boolean): Array[Byte] = {
+      val n = 32
+      val fsz = bits / 8
+      val pcm = new Array[Byte](n * fsz)
+      val fmt = new AudioFormat(
+        if (bits == 8) AudioFormat.Encoding.PCM_UNSIGNED
+        else AudioFormat.Encoding.PCM_SIGNED,
+        8000f, bits, 1, fsz, 8000f, bigEndian)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, wav(8, bigEndian = false),
+        Multimodal.MediaMeta("wav", 32, 1)),
+      Multimodal.MediaRow(2L, wav(16, bigEndian = true),
+        Multimodal.MediaMeta("wav", 32, 1)))
+    val feats = Multimodal.WavDecoder.decodeBatch(rows)
+    // 8-bit unsigned and big-endian 16-bit are outside the decoder's
+    // declared contract — both must quarantine, not mis-decode.
+    // (The JDK WAV writer stores 16-bit WAVE as little-endian regardless
+    // of the stream format, so the big-endian case may legitimately
+    // decode IF the container declares LE — accept either quarantine or
+    // a correct-by-container decode, but never a crash.)
+    assert(feats.head.codes.isEmpty, "8-bit PCM must quarantine")
+    assert(feats.length == 2)
+  }
+
   test("syntheticMixedWavs: intact WAVs decode, 16-byte truncations " +
       "quarantine without killing the task") {
     val ids = (0L until 40L).toDF("doc_id")
