@@ -1642,6 +1642,40 @@ object Extensions extends QueryModule {
         .orderBy("da", "db")
     },
 
+    // The 100 TB boilerplate valve of x2_substring_dedup, oracle-proven:
+    // grams shared by more than maxDf docs (license headers, navigation
+    // chrome — the df² pair bombs) are dropped BEFORE the pair join, so
+    // only rare shared runs surface. maxDf = 2 on this corpus keeps the
+    // adjacent near-dup pairs (their shared runs are df-2 by
+    // construction) while cutting the cross-corpus template grams —
+    // the oracle replays the df cut relationally.
+    QueryDef("x2_substring_dedup_df", Some("""
+      WITH sh AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7],' ') AS g
+        FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents) dd,
+             LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-6,1))) AS i) ii),
+      keep AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+                              FROM sh GROUP BY g) WHERE df <= 2),
+      shk AS (SELECT sh.doc_id, sh.pos, sh.g FROM sh JOIN keep USING (g)),
+      m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+            FROM shk a JOIN shk b ON a.g = b.g AND a.doc_id < b.doc_id),
+      r AS (SELECT da, db, pa, pb, pa - pb AS diag,
+              row_number() OVER (PARTITION BY da, db, pa - pb
+                                 ORDER BY pa) AS rn
+            FROM m),
+      isl AS (SELECT da, db, count(*) AS cnt,
+                     min(pa) AS pa0, min(pb) AS pb0
+              FROM r GROUP BY da, db, diag, pa - rn)
+      SELECT da, db, CAST(max(cnt) + 7 AS BIGINT) AS longest_run,
+             CAST(sum(cnt) AS BIGINT) AS n_anchor_matches,
+             CAST(min(pa0) AS BIGINT) AS min_pa,
+             CAST(min(pb0) AS BIGINT) AS min_pb
+      FROM isl GROUP BY da, db ORDER BY da, db""")) { (s, dir) =>
+      Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text",
+          minRun = 8, maxDf = Some(2L))
+        .orderBy("da", "db")
+    },
+
     // Corpus-wide segment-level exact dedup (the line/paragraph-dedup step
     // of web curation, on fixed 8-word segments): keep only the first
     // occurrence of every distinct segment, rebuild docs from survivors.
