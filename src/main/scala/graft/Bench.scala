@@ -240,8 +240,26 @@ object Bench {
     val calibration =
       if (measured.exists { case (k, v) => k == "q1_agg" && v.isDefined })
         "q1_agg" else ""
-    println(
-      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qJson,"variance":$varJson,"runs":$childRuns,"isolation":"$isolation","calibration":"$calibration%s","refork":$refork%s,"failed":$failedJson%s,"sf":"$sf"}""")
+    // Artifact-ordering contract (VERDICT r11 item 3): the driver captures
+    // only the last ~2000 chars of stdout and parses the line starting
+    // with {"metric": — in r11 the single detailed line (queries +
+    // variance + refork) outgrew that window and was truncated at the
+    // FRONT, so the round recorded "parsed": null. Print the detailed
+    // line FIRST (humans, PLANS, stderr copy), then a compact line LAST
+    // whose size is guarded: per-query medians ride along only while the
+    // line stays well inside the window; variance/refork never do (they
+    // are in the detailed line and on stderr).
+    val detailed =
+      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qJson,"variance":$varJson,"runs":$childRuns,"isolation":"$isolation","calibration":"$calibration%s","refork":$refork%s,"failed":$failedJson%s,"sf":"$sf"}"""
+    println(detailed)
+    System.err.println(detailed)
+    val compactWithQ =
+      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qJson,"runs":$childRuns,"isolation":"$isolation","calibration":"$calibration%s","failed":$failedJson%s,"sf":"$sf"}"""
+    val compact =
+      if (compactWithQ.length <= 1800) compactWithQ
+      else
+        f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","runs":$childRuns,"isolation":"$isolation","calibration":"$calibration%s","failed":$failedJson%s,"sf":"$sf"}"""
+    println(compact)
     // A crashed query must not silently *shrink* the reported total — fail
     // the whole bench run loudly (after printing, so the JSON still shows
     // which queries died).

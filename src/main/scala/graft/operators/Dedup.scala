@@ -1063,7 +1063,22 @@ object Dedup {
     * the earliest shared-gram position in each doc (0-based).
     */
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
-                     minRun: Int, maxDf: Option[Long] = None): DataFrame = {
+                     minRun: Int, maxDf: Option[Long] = None): DataFrame =
+    substringIslands(df, idCol, textCol, minRun, maxDf)
+      .groupBy("da", "db")
+      .agg((max("__cnt") + lit(minRun - 1).cast("long")).as("longest_run"),
+        sum("__cnt").as("n_anchor_matches"),
+        min("__pa0").as("min_pa"), min("__pb0").as("min_pb"))
+
+  /** The maximal-shared-run ("island") table both [[substringDedup]] and
+    * [[substringRemove]] aggregate from: one row per maximal cross-doc
+    * shared token run — (da, db, diag, __cnt anchor matches, __pa0/__pb0
+    * run start in each doc); run length in tokens = __cnt + minRun − 1.
+    * See [[substringDedup]] for the diagonal-islands derivation.
+    */
+  private def substringIslands(df: DataFrame, idCol: String,
+                               textCol: String, minRun: Int,
+                               maxDf: Option[Long]): DataFrame = {
     require(minRun >= 2, "minRun must be >= 2 tokens")
     val shg = Par.spread(df).select(col(idCol).as("__id"),
       posexplode(TextOps.shingles(TextOps.tokens(col(textCol)), minRun))
@@ -1086,15 +1101,64 @@ object Dedup {
     // island id pa − row_number is well-defined with no tiebreak column.
     val wIsl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
-    val isl = m.withColumn("__rn", row_number().over(wIsl))
+    m.withColumn("__rn", row_number().over(wIsl))
       .withColumn("__grp", col("pa") - col("__rn"))
       .groupBy("da", "db", "diag", "__grp")
       .agg(count(lit(1)).as("__cnt"),
         min("pa").as("__pa0"), min("pb").as("__pb0"))
-    isl.groupBy("da", "db")
-      .agg((max("__cnt") + lit(minRun - 1).cast("long")).as("longest_run"),
-        sum("__cnt").as("n_anchor_matches"),
-        min("__pa0").as("min_pa"), min("__pb0").as("min_pb"))
+  }
+
+  /** Exact substring REMOVAL — the second half of the Lee et al. 2022
+    * dedup pipeline (r11 verdict stretch #7): [[substringDedup]] finds
+    * the cross-document shared runs; this operator REMOVES them, keeping
+    * the occurrence in the earliest document. Semantics, precisely: a
+    * token position p of document d is dropped IFF p lies inside a
+    * maximal shared run (length >= minRun) between d and some EARLIER
+    * document (id order). The earliest document carrying a span keeps it
+    * untouched — so every duplicated span survives exactly once in
+    * id-earliest position — and transitive chains resolve themselves:
+    * for docs A < B < C all sharing a span, B drops it against A and C
+    * drops it against both; A keeps it. Within-document repetition is
+    * intentionally preserved (the pair lattice is cross-doc, da < db);
+    * that is segment/exact dedup's job.
+    *
+    * Scale posture: everything downstream of the island table is keyed
+    * equi-work — dropped positions materialize by exploding each
+    * island's [pb0, pb0 + run) interval (linear in true duplicated mass,
+    * never doc×doc), distinct to a (doc, pos) drop set, then ONE keyed
+    * left join against the token table and one per-doc reassembly
+    * aggregate. No range join (a BETWEEN join would plan a nested loop),
+    * no per-doc driver logic. `maxDf` is the same boilerplate valve as
+    * [[substringDedup]] — at 100 TB, viral template grams must be cut
+    * before the pair join, and with the valve on, removal degrades
+    * gracefully to "remove rare shared runs only".
+    *
+    * Output: (idCol, n_tokens, n_dropped, text_kept) — text_kept is the
+    * document's surviving tokens in order, space-joined ("" when the
+    * whole doc was duplicated from earlier docs).
+    */
+  def substringRemove(df: DataFrame, idCol: String, textCol: String,
+                      minRun: Int, maxDf: Option[Long] = None): DataFrame = {
+    val isl = substringIslands(df, idCol, textCol, minRun, maxDf)
+    // db-side covered positions: [__pb0, __pb0 + __cnt + minRun − 1).
+    val drop = isl.select(col("db").as("__id"),
+        explode(sequence(col("__pb0"),
+          col("__pb0") + col("__cnt") + lit(minRun.toLong - 2L))).as("pos"))
+      .distinct()
+      .withColumn("__drop", lit(1L))
+    val toks = Par.spread(df).select(col(idCol).as("__id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")))
+    toks.withColumn("pos", col("pos").cast("long"))
+      .join(drop, Seq("__id", "pos"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum("__drop"), lit(0L)).as("n_dropped"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(
+            when(col("__drop").isNull, struct(col("pos"), col("w"))))),
+            x => x.getItem("w"))).as("text_kept"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("n_dropped"),
+        col("text_kept"))
   }
 
   /** Incremental (new-batch-vs-corpus) exact dedup: rows of `newBatch`

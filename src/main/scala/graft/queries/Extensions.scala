@@ -1676,6 +1676,45 @@ object Extensions extends QueryModule {
         .orderBy("da", "db")
     },
 
+    // Exact substring REMOVAL (Dedup.substringRemove — the second half
+    // of the Lee et al. pipeline, r11 verdict stretch #7): every token
+    // position covered by a >= 8-token run shared with an EARLIER doc is
+    // dropped; the earliest doc keeps its copy, so each duplicated span
+    // survives exactly once. The oracle replays the island lattice of
+    // x2_substring_dedup, explodes each island's db-side interval to a
+    // distinct (doc, pos) drop set, and rebuilds surviving text — the
+    // same keyed-equi-work shape as the Spark plan (no BETWEEN joins).
+    QueryDef("x2_substring_rm", Some("""
+      WITH sh AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7],' ') AS g
+        FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents) dd,
+             LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-6,1))) AS i) ii),
+      m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id),
+      r AS (SELECT da, db, pa, pb, pa - pb AS diag,
+              row_number() OVER (PARTITION BY da, db, pa - pb
+                                 ORDER BY pa) AS rn
+            FROM m),
+      isl AS (SELECT da, db, count(*) AS cnt, min(pb) AS pb0
+              FROM r GROUP BY da, db, diag, pa - rn),
+      drp AS (SELECT DISTINCT db AS doc_id, pb0 + u.i AS pos
+              FROM isl, LATERAL (SELECT unnest(range(cnt + 7)) AS i) u),
+      toks AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
+               FROM (SELECT doc_id, string_split(text,' ') AS ws
+                     FROM documents) dd,
+                    LATERAL (SELECT unnest(range(1, len(dd.ws) + 1)) AS i) ii)
+      SELECT t.doc_id,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(count(d.pos) AS BIGINT) AS n_dropped,
+        coalesce(string_agg(CASE WHEN d.pos IS NULL THEN t.w END,
+                            ' ' ORDER BY t.pos), '') AS text_kept
+      FROM toks t LEFT JOIN drp d ON t.doc_id = d.doc_id AND t.pos = d.pos
+      GROUP BY t.doc_id ORDER BY t.doc_id""")) { (s, dir) =>
+      Dedup.substringRemove(t(s, dir, "documents"), "doc_id", "text",
+          minRun = 8)
+        .orderBy("doc_id")
+    },
+
     // Corpus-wide segment-level exact dedup (the line/paragraph-dedup step
     // of web curation, on fixed 8-word segments): keep only the first
     // occurrence of every distinct segment, rebuild docs from survivors.

@@ -115,21 +115,33 @@ object Relational extends QueryModule {
     // Fixed at the root: each RAW column (a 2-decimal-grid value, whose
     // double→decimal rounding is unambiguous in both engines) is cast to
     // decimal FIRST and the product is computed in exact decimal
-    // arithmetic, so no rounding of a computed value ever happens; the
-    // sums then render as DECIMAL(18,6) (in the §5.2 contract) instead of
-    // re-rounding through DOUBLE. Factor widths keep every intermediate
-    // inside DECIMAL(38,*) in both engines: (12,6)*(8,6)*(8,6) → (30,18).
+    // arithmetic, so no rounding of a computed value ever happens. Factor
+    // widths keep every intermediate inside DECIMAL(38,*) in both
+    // engines: (12,6)*(8,6)*(8,6) → (30,18).
+    //
+    // RENDERING (r11 verdict item 1): the exact sums must leave the gate
+    // as STRING, not DECIMAL — r11 proved DECIMAL gate output of ANY
+    // precision is driver-hash-unsafe (the driver's DuckDB-side pandas
+    // canonicalization renders DECIMAL through float64, e.g.
+    // "137869.0", while the Spark parquet dump reads back as exact
+    // decimal "137869.000000"; rows/values match, hashes diverge). Each
+    // sum is narrowed to scale 6 — lossless, the exact products carry
+    // real scale ≤ 6 because the raw columns sit on a 2-decimal grid —
+    // at DECIMAL(38,6), which cannot overflow below ~sf 1e20 (the r11
+    // DECIMAL(18,6) form would NULL-overflow in Spark at ~sf 20), then
+    // rendered to text identically by both engines (plain notation,
+    // scale-6 trailing zeros).
     QueryDef("q1_agg", Some("""
       SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(12,6))) AS DECIMAL(18,6)) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,6))) AS DECIMAL(18,6)) AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,6))
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_qty,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_base_price,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,6))
                  * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6))))
-             AS DECIMAL(18,6)) AS sum_disc_price,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,6))
+             AS DECIMAL(38,6)) AS VARCHAR) AS sum_disc_price,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,6))
                  * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6)))
                  * (CAST(1 AS DECIMAL(7,6)) + CAST(l_tax AS DECIMAL(7,6))))
-             AS DECIMAL(18,6)) AS sum_charge,
+             AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge,
         CAST(count(*) AS BIGINT) AS count_order,
         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
       FROM lineitem
@@ -146,11 +158,13 @@ object Relational extends QueryModule {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast("decimal(12,6)"))
-            .cast("decimal(18,6)").as("sum_qty"),
-          sum(ext).cast("decimal(18,6)").as("sum_base_price"),
-          sum(ext * oneMinusDisc).cast("decimal(18,6)").as("sum_disc_price"),
+            .cast("decimal(38,6)").cast("string").as("sum_qty"),
+          sum(ext).cast("decimal(38,6)").cast("string")
+            .as("sum_base_price"),
+          sum(ext * oneMinusDisc).cast("decimal(38,6)").cast("string")
+            .as("sum_disc_price"),
           sum(ext * oneMinusDisc * onePlusTax)
-            .cast("decimal(18,6)").as("sum_charge"),
+            .cast("decimal(38,6)").cast("string").as("sum_charge"),
           count(lit(1)).as("count_order"),
           countDistinct(col("l_partkey")).as("n_parts"))
         .orderBy("l_returnflag", "l_linestatus")

@@ -536,6 +536,88 @@ class DedupSpec extends SparkSpec {
     assert(m13 == 2L)
   }
 
+  /** Driver-side brute force for [[Dedup.substringRemove]]: the b-side
+    * positions covered by any maximal common run of length >= minRun,
+    * by the same O(n·m) diagonal scan as [[bruteLongestRun]].
+    */
+  private def bruteDropped(a: Seq[String], b: Seq[String],
+                           minRun: Int): Set[Int] = {
+    val out = scala.collection.mutable.Set[Int]()
+    for (d <- -(b.length - 1) to (a.length - 1)) {
+      val end = math.min(a.length, b.length + d)
+      var i = math.max(0, d)
+      var runStart = -1
+      var run = 0
+      def flush(): Unit =
+        if (run >= minRun)
+          for (k <- runStart until runStart + run) out += (k - d)
+      while (i < end) {
+        if (a(i) == b(i - d)) { if (run == 0) runStart = i; run += 1 }
+        else { flush(); run = 0 }
+        i += 1
+      }
+      flush()
+    }
+    out.toSet
+  }
+
+  test("substringRemove equals brute-force first-occurrence span removal " +
+      "(transitive chains, disjoint spans, whole-doc removal)") {
+    // Same crafted corpus as the substringDedup brute-force spec, plus
+    // doc 9 extending the 6/7 exact-dup pair into a transitive chain
+    // 6 < 7 < 9 (9 must drop its copied block against BOTH, exactly
+    // once per position).
+    val texts = Seq(
+      1L -> "q w e r alpha beta gamma delta epsilon zeta eta theta iota z",
+      2L -> "x alpha beta gamma delta epsilon zeta eta theta iota y u i o p",
+      3L -> "m alpha beta gamma delta epsilon zeta eta theta n alpha beta gamma delta epsilon zeta eta theta k",
+      4L -> "a1 a2 a3 a4 a5 a6 a7 a8 mid b1 b2 b3 b4 b5 b6 b7 b8 tail1",
+      5L -> "pre a1 a2 a3 a4 a5 a6 a7 a8 gap gap2 b1 b2 b3 b4 b5 b6 b7 b8",
+      6L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",
+      7L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",
+      8L -> "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10",
+      9L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 extra9")
+    val df = texts.toDF("doc_id", "text")
+    val got = Dedup.substringRemove(df, "doc_id", "text", minRun = 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val tok = texts.toMap.view.mapValues(_.split(" ").toSeq).toMap
+    val want = texts.map { case (b, _) =>
+      val tb = tok(b)
+      val dropped = texts.map(_._1).filter(_ < b)
+        .flatMap(a => bruteDropped(tok(a), tb, 8)).toSet
+      val kept =
+        tb.indices.filterNot(dropped.contains).map(tb).mkString(" ")
+      b -> ((tb.length.toLong, dropped.size.toLong, kept))
+    }.toMap
+    assert(got == want,
+      s"removal diverges from brute force:\n got=$got\n want=$want")
+    // The crafted shapes actually exercised what they claim.
+    assert(want(1L)._2 == 0L)            // earliest doc keeps everything
+    assert(want(2L)._2 == 9L)            // 9-token copied span dropped
+    assert(want(5L)._3 == "pre gap gap2") // two disjoint spans spliced out
+    assert(want(7L)._3 == "")            // whole doc was a copy
+    assert(want(9L)._3 == "extra9")      // transitive chain, no double-drop
+    assert(want(8L)._2 == 0L)            // unrelated doc untouched
+  }
+
+  test("substringRemove maxDf valve: viral grams removed from the pair " +
+      "lattice, rare shared runs still drop") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = (1L to 5L).map(i => i -> s"$boiler unique$i tail$i") :+
+      (6L -> "u1 u2 u3 u4 u5 u6 u7 u8 x") :+
+      (7L -> "y u1 u2 u3 u4 u5 u6 u7 u8")
+    val df = docs.toDF("doc_id", "text")
+    val cut = Dedup.substringRemove(df, "doc_id", "text", minRun = 8,
+        maxDf = Some(2L))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // Boilerplate grams (df=5) never enter the pair join, so docs 2-5
+    // keep their boilerplate; doc 7 still drops its df-2 copied run.
+    assert((1L to 6L).forall(cut(_) == 0L))
+    assert(cut(7L) == 8L)
+  }
+
   test("substringDedup maxDf drops viral grams before the pair join") {
     val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
     val docs = (1L to 5L).map(i => i -> s"$boiler unique$i tail$i") :+

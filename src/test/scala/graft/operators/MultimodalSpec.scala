@@ -339,6 +339,41 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.count() == 0L)
   }
 
+  test("parseAviFrames: adversarial u32 chunk sizes terminate the walk " +
+      "(0xFFFFFFF8/0xFFFFFFF7 made the old Int-arithmetic advance add " +
+      "ZERO — a permanently hung executor, ADVICE r11)") {
+    import org.scalatest.concurrent.TimeLimits.failAfter
+    import org.scalatest.concurrent.{Signaler, ThreadSignaler}
+    import org.scalatest.time.{Seconds, Span}
+    implicit val signaler: Signaler = ThreadSignaler
+    def u32le(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // Case 1: frame chunk inside 'movi' declares csz = 0xFFFFFFF8
+    // (toInt = -8, pad 0 → old advance 8 + (-8) + 0 = 0).
+    val movi = ascii("LIST") ++ u32le(0xFFFFFFF8L) ++ ascii("movi") ++
+      ascii("00dc") ++ u32le(0xFFFFFFF8L) ++ Array.fill(16)(0x41.toByte)
+    // Case 2: top-level chunk declares sz = 0xFFFFFFF7 (toInt = -9,
+    // pad 1 → old advance 8 - 9 + 1 = 0).
+    val hang = ascii("JUNK") ++ u32le(0xFFFFFFF7L) ++
+      Array.fill(16)(0x42.toByte)
+    val payload = ascii("RIFF") ++ u32le(0xFFFFFFF0L) ++ ascii("AVI ") ++
+      movi ++ hang
+    val rows = Seq(Multimodal.MediaRow(7L, payload,
+      Multimodal.MediaMeta("avi", 0, 0))).toDS()
+    failAfter(Span(60, Seconds)) {
+      // An oversized declared chunk size can never satisfy the
+      // `p + 8 + csz <= lend` emit guard, so the adversarial container
+      // must yield zero frames — and must do so in finite time.
+      assert(Multimodal.parseAviFrames(rows).count() == 0L)
+    }
+    // Control: the adversarial prefix must not have broken the honest
+    // path — a well-formed container in the same batch still parses.
+    val ok = Multimodal.syntheticAvis(Seq(0L).toDF("doc_id"), "doc_id")
+    assert(Multimodal.parseAviFrames(ok).count() == 2L)
+  }
+
   test("WavDecoder: out-of-contract PCM encodings quarantine (8-bit, " +
       "big-endian) — only 16-bit little-endian signed PCM decodes") {
     import javax.sound.sampled._

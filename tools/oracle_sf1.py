@@ -239,19 +239,20 @@ def main(sf_dir, out_dir, timeout, partial=False):
     # weaker-but-real replay evidence the registry defines for them.
     n_rows_only = 0
     for name in ROWS_ONLY:
-        # Carry prior rows-only evidence forward in --partial, mirroring
-        # the value_match carry-over in the oracle loop: a partial re-run
-        # while a dump is missing or mid-write must not silently drop a
-        # previously recorded nonempty result from the artifact (ADVICE
-        # r10).
-        prev = prior.get(name)
-        if partial and prev and prev.get("rows_only") and prev.get("nonempty"):
-            results[name] = prev
-            n_rows_only += 1
-            print(f"ROWS {name}: {prev.get('spark_rows')} rows (prior)")
-            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
+            # Carry prior rows-only evidence forward in --partial ONLY
+            # when there is no fresh dump to read (ADVICE r11: the old
+            # unconditional carry-over masked a regression — a re-run
+            # that emptied or shrank a rows-only gate kept recording the
+            # stale prior count). A fresh dump always wins below.
+            prev = prior.get(name)
+            if partial and prev and prev.get("rows_only") \
+                    and prev.get("nonempty"):
+                results[name] = prev
+                n_rows_only += 1
+                print(f"ROWS {name}: {prev.get('spark_rows')} rows (prior)")
+                continue
             if partial:
                 print(f"PEND {name} (rows-only): no spark output yet")
                 continue
