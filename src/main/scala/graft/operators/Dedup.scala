@@ -731,19 +731,45 @@ object Dedup {
     * no pair are their own cluster). This is the step a training pipeline
     * actually runs: pairs are evidence, the deduped corpus is the product.
     *
-    * Algorithm: iterative min-label propagation with pointer jumping (the
-    * standard shuffle-parallel connected-components formulation): every doc
-    * starts as its own label; each round a doc's label becomes the min over
-    * its own, its neighbors' labels (propagation), and its label's label
-    * (pointer jump — labels only decrease, so label(label(id)) <=
-    * label(id) always holds and the jump join is a plain equijoin of the
-    * label table with itself). Propagation alone needs diameter rounds; the
-    * jump halves remaining chain length each round, so convergence is
-    * O(log diameter) — the difference between 2-3 rounds and dozens on
-    * pathological chain-shaped dup clusters at corpus scale. Each round is
-    * two joins + one aggregation, all shuffle-parallel; nothing on the
-    * driver but the loop counter. `localCheckpoint` truncates the lineage
-    * each round so plan depth stays O(1).
+    * Algorithm: alternating large-star / small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * the iterated state is the EDGE SET itself, rewired toward each
+    * component's minimum id every round:
+    *   large-star(u): every neighbor v > u re-attaches to
+    *     m(u) = min(N(u) ∪ {u}) — exactly one (m, v) edge per input edge;
+    *   small-star(u): u and its smaller neighbors re-attach to their min.
+    * Both phases only ever connect nodes that share a component (edges are
+    * rewired along existing paths, never invented), a monotone potential
+    * strictly decreases until the edge set is a fixpoint, and the fixpoint
+    * is exactly one star per component centered at the component min — the
+    * labels fall out of the final edge set with one aggregate.
+    *
+    * Why not min-label propagation + pointer jumping (the r3–r11 loop
+    * here): propagation moves the component min ONE HOP per round across
+    * a local-min basin boundary, and pointer jumping cannot accelerate
+    * across a boundary the labels have not crossed yet — on chain-shaped
+    * clusters (sf1 DBSCAN: ~60-node eps-chains per user) the old loop
+    * measured 23 rounds / 51.6 s of a 67 s cold gate, and an offline
+    * replay of the same subgraphs showed extra or to-fixpoint jumps do
+    * NOT reduce the round count (PLANS round 12). Star contraction
+    * rewires edges instead of labels, so a basin that learns a smaller
+    * min re-attaches its whole frontier at once: the same subgraphs
+    * converge in <= 5 rounds, adversarial 1000-node paths in 11, and
+    * 2,300 randomized offline graphs replay the union-find ground truth
+    * exactly (ResolveStarSpec re-proves equivalence in-engine).
+    *
+    * Scale posture: each round is two groupBy+join phases over the
+    * current edge set — keyed equi-work, nothing on the driver but the
+    * loop counter — and the edge set never grows (one output edge per
+    * input edge in large-star; small-star only re-centers stars), so
+    * round cost is bounded by the input pair count and collapses toward
+    * one star edge per non-min node. Every round is FreshCheckpoint-
+    * pinned: plans stay a flat LogicalRDD leaf (per-round Catalyst
+    * planning measured 0.7–3 s/round on the old deep-lineage loop —
+    * DOMINANT over its 0.3 s execution), stats stay default-sized, and a
+    * superseded round's blocks are released as soon as its successor
+    * materializes (the leak discipline the r8 probe showed is
+    * load-bearing).
     *
     * Output: (id, cluster) for every doc in `df`, cluster = min id of the
     * doc's connected component.
@@ -752,136 +778,78 @@ object Dedup {
                       maxRounds: Int = 25): DataFrame = {
     // The long casts below must be lossless: a string/decimal id would cast
     // to null silently and every downstream join would drop rows with no
-    // error. Restrict to integral id columns (min-label propagation needs a
+    // error. Restrict to integral id columns (min-id contraction needs a
     // total order closed under min anyway).
     requireIntegral(df.schema(idCol).dataType, s"$idCol (resolveClusters id)")
     requireIntegral(pairs.schema("da").dataType, "pairs.da (resolveClusters)")
     requireIntegral(pairs.schema("db").dataType, "pairs.db (resolveClusters)")
-    val sc = df.sparkSession.sparkContext
     val ids = df.select(col(idCol).cast("long").as("id"))
-    // Undirected edges in both directions PLUS a self-loop per endpoint —
-    // via ONE explode, not a union, so the (expensive) pair-generation
-    // subtree is evaluated once when the cache materializes. The
-    // self-loops make each propagate round a single join+min-aggregate:
-    // min over {label(u)} ∪ {label(v) : v ∈ N(u)} is just the neighbor
-    // min once u neighbors itself (duplicate self-loops are harmless
-    // under min), eliminating the former keep-own-label union/left-join
-    // branch from every round.
-    // Persisted PRE-PARTITIONED on dst — the propagate join's key. The
-    // cached partitioning satisfies the edge-side Exchange in EVERY
-    // propagate round, so only the (much smaller) label table shuffles
-    // per round; the edge list — the data-sized side at corpus scale —
-    // shuffles exactly once, here. Measured at sf1 DBSCAN: propagate
-    // rounds 1.5 → 1.0 s, loop total −20%.
-    val edges = pairs.select(explode(array(
-        struct(col("da").cast("long").as("src"), col("db").cast("long").as("dst")),
-        struct(col("db").cast("long").as("src"), col("da").cast("long").as("dst")),
-        struct(col("da").cast("long").as("src"), col("da").cast("long").as("dst")),
-        struct(col("db").cast("long").as("src"), col("db").cast("long").as("dst"))))
-        .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Propagate only over the pair-connected subgraph: near-dup pairs are
-    // a vanishing fraction of a 100 TB corpus, so the iterated label table
-    // holds edge endpoints (≈ 2×|pairs| rows), NOT every doc — isolated
-    // docs are trivially their own cluster and rejoin as singletons at the
-    // end. Labels stay closed over subgraph ids (mins of subgraph ids), so
-    // the pointer-jump self-join below loses nothing.
-    // Checkpointing truncates lineage, but its persisted RDD blocks are
-    // NOT freed by catalog.clearCache — without cleanup every round leaks a
-    // label-table copy into the BlockManager for the life of the session,
-    // and the leaked storage measurably starves later memory-sensitive
-    // stages (observed: queries running after this operator in one session
-    // slowed 2.5-7x). Keep exactly one live checkpoint: unpersist the
-    // superseded round's blocks as soon as the next round is materialized.
-    // FreshCheckpoint (NOT Dataset.localCheckpoint) is load-bearing here:
-    // localCheckpoint inherits the origin plan's Catalyst statistics, and
-    // the pointer-jump self-join SQUARES sizeInBytes every round — by
-    // round ~20 planning runs Toom-Cook multiplies on megabit BigIntegers
-    // and the per-round cost doubles (probe-measured 0.5 s → 78 s on the
-    // sf1 DBSCAN gate). FreshCheckpoint rebuilds the Dataset with default
-    // stats: constant-size planning at any round count.
-    // Release by EXACT handle (FreshCheckpoint.pinned), not by diffing the
-    // global persistent-RDD keyset: the diff captured any block persisted
-    // concurrently on the same context, and unpersisting someone else's
-    // in-use localCheckpoint block is an unrecoverable missing-block
-    // failure, not a recompute.
-    //
-    // Round pinning is a LAZY FreshCheckpoint: the eager forcing count a
-    // plain FreshCheckpoint pays per round is a whole extra job of pure
-    // fixed cost on converging loops (probed round 8, x2_reclink_resolve
-    // warm: the resolve stage was ~1.1 s of a 1.5 s gate, dominated by
-    // per-round job count, not data). Here the convergence aggregate
-    // doubles as the forcing action, so a round costs exactly ONE job
-    // while keeping the per-round default-stats/truncated-lineage
-    // properties the sf1 DBSCAN probe showed are load-bearing. (A lazy
-    // persist was probed too and lost: building the columnar cache costs
-    // more than storing checkpoint row blocks.) A superseded round is
-    // released only AFTER its successor materializes — the successor's
-    // plan reads the predecessor's blocks.
-    var livePin: List[() => Unit] = Nil
-    def pinRound(d: DataFrame): (DataFrame, java.math.BigDecimal) = {
-      val p = org.apache.spark.sql.graft.FreshCheckpoint.lazyPinned(d)
-      val s = labelSum(p.df)         // the forcing action for the pin
-      livePin.foreach(f => f())      // predecessors now safe to release
-      livePin = List(() => p.rdd.unpersist(blocking = false))
-      (p.df, s)
-    }
-    // Init = each endpoint's min over {itself, its neighbors} — ONE
-    // aggregation (the self-loops put `itself` in the neighbor stream):
-    // the first propagation round for free. Typical near-dup clusters
-    // (diameter <= 2) then converge on the first in-loop round's
-    // no-change check.
-    // Convergence test: labels only ever decrease, so the exact label sum
-    // is strictly monotone — one scan-free aggregate over the pinned
-    // table per round replaces a join + count job. Decimal(38,0) keeps the
-    // sum exact at any corpus size.
-    def labelSum(l: DataFrame): java.math.BigDecimal = {
-      // sum over zero rows is null — an empty subgraph (no pairs at all)
-      // must still converge on the first round
-      val d = l.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
-      if (d == null) java.math.BigDecimal.ZERO else d
-    }
-    var (labels, prevSum) = pinRound(edges
-      .groupBy(col("src").as("id")).agg(min("dst").as("cluster")))
+    // Round-0 state: the canonical undirected edge set — a < b, self-pairs
+    // dropped, duplicate pair evidence collapsed (LSH emits a pair once per
+    // colliding band).
+    val e0 = pairs.select(
+        least(col("da").cast("long"), col("db").cast("long")).as("a"),
+        greatest(col("da").cast("long"), col("db").cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    var pin = org.apache.spark.sql.graft.FreshCheckpoint.pinned(e0)
+    var e = pin.df
+    var rows = pin.rows
+    var converged = rows == 0L // no edges: every doc is already a singleton
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
-      // Fused propagate: newLabel(u) = min over {label(u)} ∪ {label(v) :
-      // v ∈ N(u)} as ONE equijoin + ONE min-aggregate — the self-loops
-      // in `edges` deliver u's own label through the same join, so the
-      // former join→agg→left-join chain (two joins per round) is now a
-      // single join, a third less shuffle work per round.
-      val (prop, propSum) = pinRound(edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id")).agg(min("cluster").as("cluster")))
-      if (propSum.compareTo(prevSum) == 0) {
-        // Propagate-fixpoint: every label already equals the min over its
-        // closed neighborhood, which IS the component min — the pointer
-        // jump below is only an accelerator, so skip it entirely on the
-        // terminal round (near-dup clusters have diameter <= 2-3, so in
-        // the common case exactly one jump ever runs).
-        changed = 0L
-        labels = prop
-      } else {
-        // Pointer jump: label(id) := label(label(id)) — O(log diameter)
-        // total rounds on long chains (SNM blocks, ER link paths). Every
-        // label value is itself an id (labels are mins of ids), so the
-        // self-join keeps all rows; monotonicity makes the jumped label
-        // the smaller one.
-        val (next, nextSum) = pinRound(prop.as("a")
-          .join(prop.select(col("id").as("cluster"), col("cluster").as("cc"))
-            .as("b"), "cluster")
-          .select(col("id"), col("cc").as("cluster")))
-        prevSum = nextSum
-        labels = next
-      }
+    while (!converged && round < maxRounds) {
+      // Large-star: every current edge (u,v), u < v, is rewired to
+      // (min(N(u) ∪ {u}), v) — one output edge per input edge, computed
+      // from the doubled neighbor view with one aggregate + one equijoin.
+      // Duplicates are NOT collapsed here: the small-star aggregate below
+      // is duplicate-safe under min, and the round's pinned output is
+      // distinct'd once.
+      val nbr = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val mL = nbr.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val e1 = nbr.join(mL, "u").filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b")) // m <= u < v: canonical
+      // Small-star: u and all its smaller neighbors re-attach to their
+      // min. Every node of e1 survives (as a re-attached smaller neighbor,
+      // as the kept min, or via its own (m, u) edge), so no component
+      // member is ever dropped mid-contraction.
+      val nbr1 = e1.select(col("b").as("u"), col("a").as("v")) // v < u
+      val mS = nbr1.groupBy("u").agg(min("v").as("m"))
+      val next = nbr1.join(mS, "u")
+        .filter(col("m") =!= col("v"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .unionByName(mS.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+      val nextPin = org.apache.spark.sql.graft.FreshCheckpoint.pinned(next)
+      // Fixpoint = exact SET equality with the previous round. The row
+      // count (free from the pin's forcing count) screens; only
+      // count-equal rounds pay the one-job anti-join that PROVES equality
+      // — a count can plateau while edges still churn, and stopping on a
+      // plateau would freeze labels mid-contraction.
+      converged = nextPin.rows == rows &&
+        nextPin.df.join(e, Seq("a", "b"), "left_anti").isEmpty
+      // Predecessor blocks released only now: the successor is
+      // materialized and nothing reads them again (the r8 leak
+      // discipline — leaked checkpoint storage starves later gates).
+      pin.rdd.unpersist(blocking = false)
+      pin = nextPin
+      e = pin.df
+      rows = nextPin.rows
       round += 1
     }
-    require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
-    edges.unpersist()
-    // Singletons: every doc with no near-dup edge is its own cluster.
+    require(converged,
+      s"star contraction did not converge in $maxRounds rounds")
+    // Fixpoint stars: every non-center node carries exactly one
+    // (center, node) edge and centers appear only on the a side. The
+    // min-aggregate is defensive (it also collapses the center's
+    // duplicate self-rows from the union).
+    val labels = e.select(col("b").as("id"), col("a").as("cluster"))
+      .unionByName(e.select(col("a").as("id"), col("a").as("cluster")))
+      .groupBy("id").agg(min("cluster").as("cluster"))
+    // Singletons: every doc with no near-dup edge is its own cluster. The
+    // final round's pinned blocks stay live — the returned plan reads
+    // them (callers/Verify release per-gate via getPersistentRDDs).
     labels.unionByName(
       ids.join(labels.select("id"), Seq("id"), "left_anti")
         .withColumn("cluster", col("id")))

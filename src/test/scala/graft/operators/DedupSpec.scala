@@ -171,8 +171,8 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
-  test("resolveClusters: pointer jumping converges a 200-node chain in O(log d) rounds") {
-    // plain propagation would need 199 rounds — far over maxRounds=10
+  test("resolveClusters: star contraction converges a 200-node chain in O(log n) rounds") {
+    // plain label propagation would need 199 rounds — far over maxRounds=10
     val n = 200
     val docs = (1 to n).map(_.toLong).toDF("doc_id")
     val pairs = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("da", "db")
