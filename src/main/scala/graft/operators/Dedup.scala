@@ -784,14 +784,20 @@ object Dedup {
     requireIntegral(pairs.schema("da").dataType, "pairs.da (resolveClusters)")
     requireIntegral(pairs.schema("db").dataType, "pairs.db (resolveClusters)")
     val ids = df.select(col(idCol).cast("long").as("id"))
-    // Round-0 state: the canonical undirected edge set — a < b, self-pairs
-    // dropped, duplicate pair evidence collapsed (LSH emits a pair once per
-    // colliding band).
+    // Round-0 state: the canonical undirected edge view — a < b, self-pairs
+    // dropped. Deliberately NOT distinct'd: round 0's aggregates are
+    // duplicate-safe under min and its output IS distinct'd, so duplicate
+    // pair evidence (LSH emits a pair once per colliding band) inflates
+    // exactly one round instead of costing every caller a guaranteed
+    // full-pair-set shuffle here (measured ~1 s on the 4.5M-pair sf1
+    // record-linkage graph). Convergence stays sound with a dup-bearing
+    // round 0: a false converge would need round-1 ⊆ set(e0) with
+    // |round-1| = |e0| rows while e0 holds dups — impossible, since then
+    // |set(e0)| < |e0| = |round-1| = |set(round-1)| ⊆ |set(e0)|.
     val e0 = pairs.select(
         least(col("da").cast("long"), col("db").cast("long")).as("a"),
         greatest(col("da").cast("long"), col("db").cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
     var pin = org.apache.spark.sql.graft.FreshCheckpoint.pinned(e0)
     var e = pin.df
     var rows = pin.rows

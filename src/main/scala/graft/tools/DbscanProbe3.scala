@@ -4,12 +4,15 @@ import graft.operators.{Par, Similarity}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
 
-/** Per-round timing inside resolveClusters for the sf1 x3_dbscan gate:
-  * DbscanProbe2 showed resolve = 51.6 s of a ~67 s cold wall with a flat
-  * stage profile — this probe replicates the exact pinRound loop
-  * (edges-explode, fused propagate, pointer jump, lazy FreshCheckpoint +
-  * labelSum forcing) with a wall clock around every piece, to see whether
-  * the 51 s is round count, per-round fixed cost, or the edges build.
+/** Per-round timing of the r3–r11 pointer-jump resolveClusters loop on
+  * the sf1 x3_dbscan core-pair graph, preserved verbatim as the A/B
+  * BASELINE for the round-12 star-contraction rewrite (the shipped
+  * operator no longer contains this loop). DbscanProbe2 showed resolve =
+  * 51.6 s of a ~67 s cold wall with a flat stage profile; this probe
+  * exposed why: 23 prop/jump rounds (min-label moves one hop per round
+  * across local-min basin boundaries), each costing 0.7–3 s of Catalyst
+  * planning against 0.3 s of execution. Same-minute A/B vs the star loop
+  * (DbscanProbe4star): 67.0 s vs 38.0 s (PLANS round 12).
   */
 object DbscanProbe3 {
   def main(args: Array[String]): Unit = {

@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
 
 /** Per-round timing of the star-contraction resolveClusters loop on the
-  * sf1 x3_dbscan core-pair graph (round 12): the rewrite measured SLOWER
-  * end-to-end than the pointer-jump loop it replaced — this probe breaks
-  * each round into pin (plan+execute) and the convergence anti-join to
-  * find where the wall goes.
+  * sf1 x3_dbscan core-pair graph (round 12). Breaks each round into pin
+  * (plan+execute) and the convergence anti-join. Measured: 6 rounds,
+  * round 0 (the full 3.19M-edge set) 15.6 s, later rounds 2–3.6 s —
+  * loop total 38.0 s vs the pointer-jump baseline's 67.0 s in the same
+  * minute (DbscanProbe3; PLANS round 12).
   */
 object DbscanProbe4star {
   def main(args: Array[String]): Unit = {
