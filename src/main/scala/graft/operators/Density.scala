@@ -101,9 +101,12 @@ object Density {
       .filter(col("__deg") + 1 >= minPts)
       .select("id")
       .persist(lvl)
-    // Core–core undirected pairs; every directed pair appears both ways in
-    // `nbr`, so ia < ib keeps each once.
-    val corePairs = nbr.filter(col("ia") < col("ib"))
+    // Core–core undirected pairs straight off the cached HALF table — it
+    // already holds every unordered eps-pair exactly once (in arbitrary
+    // orientation, which resolveClusters canonicalizes itself), so
+    // filtering the doubled `nbr` view back down would scan 2× the rows
+    // to recover the same set.
+    val corePairs = half
       .join(cores.withColumnRenamed("id", "ia"), "ia")
       .join(cores.withColumnRenamed("id", "ib"), "ib")
       .select(col("ia").as("da"), col("ib").as("db"))
