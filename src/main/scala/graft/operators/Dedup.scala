@@ -773,6 +773,16 @@ object Dedup {
     *
     * Output: (id, cluster) for every doc in `df`, cluster = min id of the
     * doc's connected component.
+    *
+    * `maxRounds` is a loud-failure policy bound, not a tuning knob: star
+    * contraction converges in O(log d) rounds for component diameter d
+    * (the offline probe set: near-cliques <= 5 rounds, an adversarial
+    * 1000-node path 11 rounds — doubling the path adds ~1 round), so the
+    * default 25 covers diameters far beyond 2^20 nodes of pure chain.
+    * An input that trips the require is pathological by construction
+    * (e.g. a single 10^9-node path emitted as near-dup "pairs") and
+    * should fail by policy here rather than spin; raise maxRounds
+    * explicitly if such a graph is ever legitimate.
     */
   def resolveClusters(df: DataFrame, idCol: String, pairs: DataFrame,
                       maxRounds: Int = 25): DataFrame = {

@@ -27,7 +27,7 @@ object Density {
     *  - neighbor: squared L2 distance <= eps² (self excluded);
     *  - core: |N_eps(p)| + 1 >= minPts (the classic count includes p);
     *  - clusters: connected components over core–core neighbor pairs
-    *    (min-label propagation with pointer jumping —
+    *    (large-star/small-star contraction, Kiveris et al. —
     *    [[Dedup.resolveClusters]]);
     *  - border: non-core within eps of >= 1 core, assigned the min
     *    cluster id among its core neighbors;

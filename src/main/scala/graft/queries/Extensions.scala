@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
@@ -1492,27 +1492,75 @@ object Extensions extends QueryModule {
         .orderBy("user_id", "event_id")
     },
 
-    // KLL-style quantile sketch (approx_percentile): like the HLL gate,
-    // sketch internals are engine-specific → rows-only; the exact
-    // order-statistic companion is q6_quantiles.
-    QueryDef("x5_approx_pctl", None) { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+    // KLL-style quantile sketch (approx_percentile) — driver-checkable
+    // verdict form (VERDICT r12 #4). The sketch VALUE is engine-specific,
+    // but its rank-error GUARANTEE is not: Spark's QuantileSummaries
+    // promises the returned v has some rank r with |r − q·n| <= n/acc.
+    // With ties v's possible ranks span [count(<v)+1, count(<=v)], so the
+    // verdict is that interval intersecting [q·n − err, q·n + err]
+    // (err = n/acc + 1 slack). The booleans hold for ANY value meeting
+    // the guarantee — deterministic even if the sketch wobbles with
+    // partial-merge order — and DuckDB replays n exactly and asserts
+    // them. Exact order-statistic companion: q6_quantiles.
+    QueryDef("x5_approx_pctl", Some("""
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      val appr = li.groupBy("l_returnflag")
         .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
-            .as("p50_approx"),
+            .as("v50"),
           percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
-            .as("p90_approx"))
+            .as("v90"))
+      def rankOk(lt: Column, le: Column, target: Column,
+                 err: Column): Column =
+        (lt + lit(1.0) <= target + err) && (le >= target - err)
+      val n = col("n").cast("double")
+      val err = n / lit(10000.0) + lit(1.0)
+      li.join(broadcast(appr), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < col("v50"), 1L).otherwise(0L))
+            .as("lt50"),
+          sum(when(col("l_quantity") <= col("v50"), 1L).otherwise(0L))
+            .as("le50"),
+          sum(when(col("l_extendedprice") < col("v90"), 1L).otherwise(0L))
+            .as("lt90"),
+          sum(when(col("l_extendedprice") <= col("v90"), 1L).otherwise(0L))
+            .as("le90"))
+        .select(col("l_returnflag"), col("n"),
+          rankOk(col("lt50").cast("double"), col("le50").cast("double"),
+            n * lit(0.5), err).as("p50_rank_ok"),
+          rankOk(col("lt90").cast("double"), col("le90").cast("double"),
+            n * lit(0.9), err).as("p90_rank_ok"))
         .orderBy("l_returnflag")
     },
 
-    // HLL sketch: approx distinct tokens per lang. Spark's HyperLogLog++
-    // differs from other engines' sketches by construction → rows-only gate;
-    // the exact companion is x5_token_stats.
-    QueryDef("x5_approx_distinct", None) { (s, dir) =>
+    // HLL sketch (approx_count_distinct) — driver-checkable verdict form
+    // (VERDICT r12 #4). Spark's HLL++ registers are max-merged
+    // (order-independent → the estimate is deterministic), but the VALUE
+    // is still engine-specific, so the gate outputs what IS replayable:
+    // the exact per-lang distinct count (DuckDB computes it) plus a
+    // BOOLEAN that the sketch landed within 5× the configured 1% rsd —
+    // a bound the estimator clears by construction. Exact companion:
+    // x5_token_stats.
+    QueryDef("x5_approx_distinct", Some("""
+      SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_tokens,
+             TRUE AS within_eps
+      FROM (SELECT lang, unnest(string_split(text,' ')) AS tok
+            FROM documents)
+      GROUP BY lang ORDER BY lang""")) { (s, dir) =>
       spread(t(s, dir, "documents"))
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy("lang")
-        .agg(approx_count_distinct("tok", 0.01).as("approx_tokens"))
+        .agg(countDistinct("tok").as("exact_tokens"),
+          approx_count_distinct("tok", 0.01).as("approx_tokens"))
+        .select(col("lang"), col("exact_tokens"),
+          (abs(col("approx_tokens").cast("double") -
+              col("exact_tokens").cast("double"))
+            <= lit(0.05) * col("exact_tokens").cast("double"))
+            .as("within_eps"))
         .orderBy("lang")
     },
 

@@ -754,18 +754,48 @@ object Maintenance extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // Sketch-based decontamination: same split, but the benchmark shingle
-    // vocabulary is a Bloom filter (upper-bound hit counts, no false
-    // negatives). Sketch bits are engine-specific → rows-only gate; the
-    // exact companion is x6_decontam; DedupSpec asserts the containment.
-    QueryDef("x6_decontam_bloom", None) { (s, dir) =>
+    // Sketch-based decontamination — driver-checkable containment form
+    // (VERDICT r12 #4). Bloom hit counts are UPPER bounds (false
+    // positives at ~fpp, never false negatives), so every doc the exact
+    // probe flags at frac >= 0.5 MUST also clear the bloom threshold.
+    // The gate outputs the exact x6_decontam rows (DuckDB replays them
+    // verbatim) plus that containment verdict as a hashable BOOLEAN;
+    // DedupSpec asserts the same invariant in-engine.
+    QueryDef("x6_decontam_bloom", Some("""
+      WITH tsh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS shingle
+        FROM (SELECT doc_id, string_split(text,' ') AS toks
+              FROM documents WHERE doc_id % 17 <> 0) dd,
+             LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-1,1))) AS i) ii),
+      bsh AS (
+        SELECT DISTINCT array_to_string(toks[i:i+2],' ') AS shingle
+        FROM (SELECT string_split(text,' ') AS toks
+              FROM documents WHERE doc_id % 17 = 0) dd,
+             LATERAL (SELECT unnest(range(1, greatest(len(dd.toks)-1,1))) AS i) ii),
+      sc AS (
+        SELECT t.doc_id, count(*) AS n_sh,
+               CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM tsh t LEFT JOIN bsh b ON t.shingle = b.shingle
+        GROUP BY t.doc_id)
+      SELECT doc_id, n_sh, n_hit,
+             CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) AS frac,
+             TRUE AS bloom_flagged
+      FROM sc
+      WHERE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+      ORDER BY doc_id""")) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      Dedup.contaminationBloom(
-          docs.filter(col("doc_id") % 17 =!= 0),
-          docs.filter(col("doc_id") % 17 === 0),
-          "doc_id", "text", n = 3,
-          expectedItems = 100000L, fpp = 0.01)
+      val train = docs.filter(col("doc_id") % 17 =!= 0)
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      val exact = Dedup.contamination(train, bench, "doc_id", "text", n = 3)
+        .filter(col("frac") >= 0.5)
+      val flagged = Dedup.contaminationBloom(train, bench, "doc_id", "text",
+          n = 3, expectedItems = 100000L, fpp = 0.01)
         .filter(col("frac_ub") >= 0.5)
+        .select(col("doc_id").as("bid"))
+      exact.join(flagged, col("doc_id") === col("bid"), "left")
+        .select(col("doc_id"), col("n_sh"), col("n_hit"), col("frac"),
+          col("bid").isNotNull.as("bloom_flagged"))
         .orderBy("doc_id")
     },
 
@@ -788,6 +818,31 @@ object Maintenance extends QueryModule {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_v"))
         .orderBy("event_type")
+    },
+
+    // IO calibration line (VERDICT r12 #3): a fixed tiny
+    // write+checkpoint+read query whose code and input NEVER change
+    // round-over-round (sf-independent: spark.range, not the tables), so
+    // IO-noise windows self-adjudicate in the bench artifact the way CPU
+    // drift already does via q1_agg. It exercises exactly the cost
+    // classes both r12 anomalies lived in — localCheckpoint block writes
+    // (the x8 family's FreshCheckpoint rounds) and parquet write+read
+    // (the discarded sf1 run's e1_upsert) — and its deterministic
+    // aggregate keeps it oracle-checkable like every other gate.
+    // Bench names it "calibration_io" alongside q1_agg ("calibration").
+    QueryDef("s13_io_cal", Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(i) AS BIGINT) AS s,
+             CAST(count(DISTINCT i % 1000) AS BIGINT) AS g
+      FROM range(0, 200000) t(i)"""), bench = true) { (s, dir) =>
+      val base = s.range(0, 200000L, 1, 32).toDF("i")
+        .withColumn("pad", md5(col("i").cast("string")))
+      val pin = org.apache.spark.sql.graft.FreshCheckpoint.pinned(base)
+      val out = graft.Scratch.fresh("io-cal")
+      pin.df.write.mode("overwrite").parquet(out)
+      pin.rdd.unpersist(blocking = false)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n"), sum("i").as("s"),
+          countDistinct(col("i") % 1000).as("g"))
     },
 
     // Zip archives as a TABLE (o.a.s.sql.graft.ZipTextSource, DataSource

@@ -9,7 +9,11 @@ import org.apache.spark.sql.Column
   * (plan+execute) and the convergence anti-join. Measured: 6 rounds,
   * round 0 (the full 3.19M-edge set) 15.6 s, later rounds 2–3.6 s —
   * loop total 38.0 s vs the pointer-jump baseline's 67.0 s in the same
-  * minute (DbscanProbe3; PLANS round 12).
+  * minute (DbscanProbe3; PLANS round 12). NOTE: that 38.0 s baseline was
+  * recorded with a `.distinct()` on e0 that the shipped resolveClusters
+  * deliberately skips (dup-safe round 0); the distinct was dropped here
+  * in round 13 so replays time the shipped round-0 path exactly —
+  * compare future numbers against fresh A/Bs, not the 38.0 s mark.
   */
 object DbscanProbe4star {
   def main(args: Array[String]): Unit = {
@@ -70,7 +74,6 @@ object DbscanProbe4star {
         least(col("da").cast("long"), col("db").cast("long")).as("a"),
         greatest(col("da").cast("long"), col("db").cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
     val (pin0, t0s) = clock(org.apache.spark.sql.graft.FreshCheckpoint.pinned(e0))
     println(f"ROUND e0 pin=$t0s%.2f rows=${pin0.rows}")
     var pin = pin0

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-function tests for the bench artifact machinery (VERDICT r12 #3):
+  * the re-fork valve's two triggers and the tolerant previous-artifact
+  * median extraction the drift trigger feeds on. No Spark session.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("median and spread basics") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(1.0, 2.0, 3.0, 4.0)) == 2.5)
+    assert(Bench.spread(Seq(2.0, 2.0, 2.0)) == 0.0)
+    assert(math.abs(Bench.spread(Seq(1.0, 2.0, 3.0)) - 1.0) < 1e-12)
+  }
+
+  test("refork valve: within-run spread trigger") {
+    assert(Bench.reforkReason(Seq(1.0, 2.0, 1.1), None).contains("spread"))
+    assert(Bench.reforkReason(Seq(1.0, 1.1, 1.2), None).isEmpty)
+  }
+
+  test("refork valve fires on cross-round drift (the r12 x8 blind spot)") {
+    // r12 shape: x8_ktruss 17.8 s vs r11's 8.46 s with within-run spread
+    // 0.33 — the spread valve alone never fired. Drift must.
+    val runs = Seq(17.0, 17.8, 19.5) // spread ~0.14, well under 0.5
+    assert(Bench.reforkReason(runs, Some(8.46)).contains("drift"))
+    // Same runs with an in-band previous median: no refork.
+    assert(Bench.reforkReason(runs, Some(15.0)).isEmpty)
+    // No previous artifact: valve silent (safe failure mode).
+    assert(Bench.reforkReason(runs, None).isEmpty)
+    // Spread trigger outranks drift (one retry, calmer-kept semantics).
+    assert(Bench.reforkReason(Seq(5.0, 30.0, 6.0), Some(8.46))
+      .contains("spread"))
+  }
+
+  test("prevMedians: r12-shaped escaped, front-truncated artifact") {
+    // Mimics BENCH_r12.json: the bench stdout embedded as an ESCAPED
+    // string, truncated at the FRONT mid-queries-object, with the same
+    // query names recurring in the variance region with small values.
+    val artifact =
+      """{"n": 12, "rc": 0, "sf": 0.1,
+        | "tail": "eam_merge\":1.735,\"q1_agg\":0.525,\"x8_ktruss\":17.807,\"x8_sssp\":5.385},\"variance\":{\"q1_agg\":0.244,\"x8_ktruss\":0.326},\"runs\":3,\"sf\":\"sf0.1\"}\n[success]",
+        | "parsed": null}""".stripMargin
+    val known = Set("q1_agg", "x8_ktruss", "x8_sssp")
+    val m = Bench.prevMedians(artifact, "sf0.1", known.contains)
+    assert(m == Map("q1_agg" -> 0.525, "x8_ktruss" -> 17.807,
+      "x8_sssp" -> 5.385))
+    // Unknown names (truncation fragments, top-level keys) are dropped.
+    assert(!m.contains("eam_merge"))
+    // Variance values must NOT leak in as medians (q1_agg stayed 0.525,
+    // not 0.244) — the cut at the first "variance" marker guarantees it.
+  }
+
+  test("prevMedians: sf mismatch yields empty (never cross-sf drift)") {
+    val artifact =
+      """{"sf": 1.0, "tail": "{\"metric\":\"bench_total\",\"queries\":{\"q1_agg\":1.117},\"sf\":\"sf1\"}"}"""
+    assert(Bench.prevMedians(artifact, "sf0.1", _ => true).isEmpty)
+    assert(Bench.prevMedians(artifact, "sf1", _ => true)
+      .get("q1_agg").contains(1.117))
+  }
+
+  test("prevMedians: garbage input is the safe empty map") {
+    assert(Bench.prevMedians("", "sf0.1", _ => true).isEmpty)
+    assert(Bench.prevMedians("not json at all", "sf0.1", _ => true).isEmpty)
+  }
+}

@@ -36,10 +36,11 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("oracle coverage: only the known sketch gates are rows-only") {
+    // r13: the approx/bloom sketch gates moved to driver-checkable
+    // verdict form; only the MinHash signature gates remain rows-only.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set("x2_minhash_fast", "x2_minhash_k64",
-      "x2_minhash_k128", "x5_approx_distinct", "x5_approx_pctl",
-      "x6_decontam_bloom")
+      "x2_minhash_k128")
     assert(noOracle == expected,
       s"rows-only gate set changed: $noOracle — every new operator needs an oracle")
   }

@@ -39,10 +39,13 @@ class SurveyCountSpec extends AnyFunSuite {
     // The rows-only (no-oracle) set is small and by design — every member
     // must be one of the documented sketch gates, so a forgotten oracle
     // shows up here instead of as a silent weaker check in the driver.
+    // r13: x5_approx_distinct / x5_approx_pctl / x6_decontam_bloom moved
+    // to driver-checkable verdict form (exact replayable columns + an
+    // error-envelope BOOLEAN); only the three MinHash signature gates
+    // remain rows-only (their exact companion is x2_minhash_lsh).
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val documented = Set("x2_minhash_fast", "x2_minhash_k64",
-      "x2_minhash_k128", "x5_approx_distinct", "x5_approx_pctl",
-      "x6_decontam_bloom")
+      "x2_minhash_k128")
     assert(rowsOnly == documented,
       s"rows-only gate set drifted from the documented sketch set: " +
         s"extra=${rowsOnly -- documented} missing=${documented -- rowsOnly}")
