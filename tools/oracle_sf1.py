@@ -82,8 +82,11 @@ ORACLE_LIMITS = {
 # sketch outputs; the closed set SurveyCountSpec pins). An sf1 replay is
 # still evidence: the Spark dump must exist and be non-empty, and its row
 # count is recorded in the artifact (r8 task 7 / r9 next-round #1).
-ROWS_ONLY = ["x2_minhash_fast", "x2_minhash_k64", "x2_minhash_k128",
-             "x5_approx_distinct", "x5_approx_pctl", "x6_decontam_bloom"]
+# r13: x5_approx_distinct / x5_approx_pctl / x6_decontam_bloom moved to
+# driver-checkable verdict form (exact replayable columns + an
+# error-envelope BOOLEAN) and replay through the oracle loop like any
+# other gate; only the MinHash signature gates remain rows-only.
+ROWS_ONLY = ["x2_minhash_fast", "x2_minhash_k64", "x2_minhash_k128"]
 
 # Gates whose compare may fail at sf1 for a ROOT-CAUSED cross-engine
 # boundary (PLANS.md round-5 session 2): recorded as known_boundary, not
