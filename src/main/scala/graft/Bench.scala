@@ -123,6 +123,17 @@ object Bench {
     if (m <= 0) 0.0 else (xs.max - xs.min) / m
   }
 
+  /** The named calibration lines. Their job is to RECORD machine weather
+    * (CPU/scan via q1_agg, write/checkpoint IO via s13_io_cal) so code
+    * lines' drift can be adjudicated against it — re-forking them and
+    * keeping the calmer attempt would bias the noise estimate toward
+    * calm and defeat the purpose (r13: s13_io_cal tripped the spread
+    * valve on both shakedown runs, exactly because IO weather is what it
+    * measures). They are exempt from both re-fork triggers and always
+    * report their first fork's runs raw.
+    */
+  private[graft] val calibrationNames: Set[String] = Set("q1_agg", "s13_io_cal")
+
   /** Why a first fork's runs warrant one re-fork, or None to keep them.
     * Two triggers (VERDICT r12 #3 — the within-run valve alone was blind
     * to the r12 x8 family drift, whose spreads were all < 0.5):
@@ -132,10 +143,12 @@ object Bench {
     *    the previous round's artifact — cross-round weather on a line
     *    whose code may be untouched. The re-fork either reproduces the
     *    slow number (then it's real and stands) or lands back in band.
+    * Calibration lines never re-fork (see [[calibrationNames]]).
     */
-  private[graft] def reforkReason(runs: Seq[Double],
+  private[graft] def reforkReason(name: String, runs: Seq[Double],
                                   prevMedian: Option[Double]): Option[String] =
-    if (spread(runs) > 0.5) Some("spread")
+    if (calibrationNames.contains(name)) None
+    else if (spread(runs) > 0.5) Some("spread")
     else if (prevMedian.exists(p => p > 0 && median(runs) > 2 * p))
       Some("drift")
     else None
@@ -284,7 +297,7 @@ object Bench {
         // and stands, a one-off load window lands back in band.
         first match {
           case Some(r1) =>
-            reforkReason(r1, prev.get(n)) match {
+            reforkReason(n, r1, prev.get(n)) match {
               case Some(reason) =>
                 System.err.println(
                   f"[bench] $n median ${median(r1)}%.2f spread " +

@@ -16,22 +16,33 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("refork valve: within-run spread trigger") {
-    assert(Bench.reforkReason(Seq(1.0, 2.0, 1.1), None).contains("spread"))
-    assert(Bench.reforkReason(Seq(1.0, 1.1, 1.2), None).isEmpty)
+    assert(Bench.reforkReason("x8_bfs", Seq(1.0, 2.0, 1.1), None)
+      .contains("spread"))
+    assert(Bench.reforkReason("x8_bfs", Seq(1.0, 1.1, 1.2), None).isEmpty)
   }
 
   test("refork valve fires on cross-round drift (the r12 x8 blind spot)") {
     // r12 shape: x8_ktruss 17.8 s vs r11's 8.46 s with within-run spread
     // 0.33 — the spread valve alone never fired. Drift must.
     val runs = Seq(17.0, 17.8, 19.5) // spread ~0.14, well under 0.5
-    assert(Bench.reforkReason(runs, Some(8.46)).contains("drift"))
+    assert(Bench.reforkReason("x8_ktruss", runs, Some(8.46))
+      .contains("drift"))
     // Same runs with an in-band previous median: no refork.
-    assert(Bench.reforkReason(runs, Some(15.0)).isEmpty)
+    assert(Bench.reforkReason("x8_ktruss", runs, Some(15.0)).isEmpty)
     // No previous artifact: valve silent (safe failure mode).
-    assert(Bench.reforkReason(runs, None).isEmpty)
+    assert(Bench.reforkReason("x8_ktruss", runs, None).isEmpty)
     // Spread trigger outranks drift (one retry, calmer-kept semantics).
-    assert(Bench.reforkReason(Seq(5.0, 30.0, 6.0), Some(8.46))
+    assert(Bench.reforkReason("x8_ktruss", Seq(5.0, 30.0, 6.0), Some(8.46))
       .contains("spread"))
+  }
+
+  test("calibration lines never re-fork: they record raw weather") {
+    // Re-forking a calibration and keeping the calmer attempt biases the
+    // noise estimate toward calm — the opposite of its purpose.
+    for (cal <- Bench.calibrationNames) {
+      assert(Bench.reforkReason(cal, Seq(1.0, 9.0, 1.1), None).isEmpty)
+      assert(Bench.reforkReason(cal, Seq(9.0, 9.1, 9.2), Some(1.0)).isEmpty)
+    }
   }
 
   test("prevMedians: r12-shaped escaped, front-truncated artifact") {
