@@ -33,9 +33,12 @@ ORACLE_LIMITS = {
                  "companion x8_ktruss_s4 replays the same kTrussPeel "
                  "path on the 1/4-subsampled graph at sf1",
     "x7_cluster_split": "recursive-CTE reachability over the full sf1 "
-                        "near-dup pair graph exceeds the replay budget; "
-                        "companion x7_cluster_split_s3 replays the same "
-                        "path subsampled at sf1",
+                        "near-dup pair graph exceeds the replay budget "
+                        "(r13 retry: DuckDB fills all free temp disk "
+                        "(~79GB) and dies with no-space-left at ~12min "
+                        "under an 18GB memory cap — a resource wall, "
+                        "not a timeout); companion x7_cluster_split_s3 "
+                        "replays the same path subsampled at sf1",
     "x2_sparse_cosine": "unpruned UNIGRAM pair mass is quadratic on the "
                         "fixture's 26-token vocabulary (measured "
                         "sum(df^2) ~2e10 at sf1 — both engines exceed "
