@@ -378,6 +378,14 @@ object Bench {
       java.nio.file.Files.createDirectories(detailPath.getParent)
       java.nio.file.Files.write(detailPath,
         (detailed + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // Append-only history: detailed.json is overwritten per run, but
+      // same-session A/B work needs the earlier runs (r13 session 7 had
+      // to hand-copy run A before run B clobbered it). One line per run.
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target", "bench-history.jsonl"),
+        (detailed + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
       System.err.println(s"[bench] detailed artifact -> $detailPath")
     } catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $detailPath: $e")
