@@ -26,6 +26,28 @@ object Extensions extends QueryModule {
 
   private val enStop = Seq("the", "a", "of", "and", "to", "is")
 
+  /** Sketch-verdict boolean builders (VERDICT r12 #4) — single source for
+    * the gates below AND for VerdictGateSpec, which proves each boolean
+    * CAN go false: the oracles only ever assert TRUE, so without the
+    * teeth spec a comparison bug that made a verdict vacuously true
+    * would stay driver-green forever.
+    */
+  /** HLL verdict: the estimate landed within `eps` relative error of the
+    * exact distinct count.
+    */
+  private[graft] def hllWithinEps(approx: Column, exact: Column,
+                                  eps: Double): Column =
+    abs(approx.cast("double") - exact.cast("double")) <=
+      lit(eps) * exact.cast("double")
+
+  /** Tie-aware rank verdict: the sketch value's possible rank interval
+    * [lt+1, le] (lt = count strictly below it, le = count at-or-below)
+    * intersects the guaranteed band [target − err, target + err].
+    */
+  private[graft] def rankWithinErr(lt: Column, le: Column, target: Column,
+                                   err: Column): Column =
+    (lt + lit(1.0) <= target + err) && (le >= target - err)
+
   /** Shared oracle CTEs for 3-shingle sets over documents. */
   private val shCte = """
     sh AS (
@@ -1513,9 +1535,6 @@ object Extensions extends QueryModule {
             .as("v50"),
           percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
             .as("v90"))
-      def rankOk(lt: Column, le: Column, target: Column,
-                 err: Column): Column =
-        (lt + lit(1.0) <= target + err) && (le >= target - err)
       val n = col("n").cast("double")
       val err = n / lit(10000.0) + lit(1.0)
       li.join(broadcast(appr), "l_returnflag")
@@ -1530,9 +1549,9 @@ object Extensions extends QueryModule {
           sum(when(col("l_extendedprice") <= col("v90"), 1L).otherwise(0L))
             .as("le90"))
         .select(col("l_returnflag"), col("n"),
-          rankOk(col("lt50").cast("double"), col("le50").cast("double"),
+          rankWithinErr(col("lt50").cast("double"), col("le50").cast("double"),
             n * lit(0.5), err).as("p50_rank_ok"),
-          rankOk(col("lt90").cast("double"), col("le90").cast("double"),
+          rankWithinErr(col("lt90").cast("double"), col("le90").cast("double"),
             n * lit(0.9), err).as("p90_rank_ok"))
         .orderBy("l_returnflag")
     },
@@ -1557,9 +1576,7 @@ object Extensions extends QueryModule {
         .agg(countDistinct("tok").as("exact_tokens"),
           approx_count_distinct("tok", 0.01).as("approx_tokens"))
         .select(col("lang"), col("exact_tokens"),
-          (abs(col("approx_tokens").cast("double") -
-              col("exact_tokens").cast("double"))
-            <= lit(0.05) * col("exact_tokens").cast("double"))
+          hllWithinEps(col("approx_tokens"), col("exact_tokens"), 0.05)
             .as("within_eps"))
         .orderBy("lang")
     },
