@@ -137,6 +137,17 @@ object Sessions {
     * keep the initial partition count at core count instead; on a
     * 1000-executor cluster the caller sizes `spark.sql.shuffle.partitions`
     * to 2-3× total cores and AQE coalesces down from there).
+    *
+    * PAIR dynamic allocation with `graft.checkpoint.dir` (see
+    * [[org.apache.spark.sql.graft.FreshCheckpoint]]): the external
+    * shuffle service preserves SHUFFLE files across a downscale, but
+    * iterative operators pin each round as a CHECKPOINT block, and in
+    * the default localCheckpoint mode those blocks live only on
+    * executors — a downscale mid-iteration is then an unrecoverable
+    * missing-block failure. Set `graft.checkpoint.dir` to a
+    * fault-tolerant path (HDFS/object store) on any elastic cluster so
+    * round pins survive executor churn; leave it unset locally where
+    * zero-IO rounds are the right trade.
     */
   val clusterEnvelope: Map[String, String] = Map(
     "spark.dynamicAllocation.enabled" -> "true",

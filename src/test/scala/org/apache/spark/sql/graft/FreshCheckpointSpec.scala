@@ -1,0 +1,86 @@
+package org.apache.spark.sql.graft
+
+import graft.SparkSpec
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+/** The FreshCheckpoint durability seam (VERDICT r13 #1). localCheckpoint
+  * pins round blocks on executors only — any executor loss or
+  * dynamic-allocation downscale during a multi-hour iterative job kills
+  * the job. With `graft.checkpoint.dir` set, rounds pin via reliable
+  * rdd.checkpoint() to that (fault-tolerant) directory instead. This spec
+  * proves the seam: (a) the reliable mode actually checkpoints to files
+  * under the dir; (b) two representative iterative gates (resolve = star
+  * contraction, pagerank = self-join fixpoint) produce IDENTICAL results
+  * in both modes — the mode changes durability, never semantics.
+  */
+class FreshCheckpointSpec extends SparkSpec {
+
+  private def withCkptDir[A](body: Path => A): A = {
+    val dir = Files.createTempDirectory("graft-ckpt-spec")
+    try {
+      spark.conf.set(FreshCheckpoint.DirConf, dir.toString)
+      body(dir)
+    } finally {
+      spark.conf.unset(FreshCheckpoint.DirConf)
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  private def countFiles(dir: Path): Long =
+    Files.walk(dir).filter(Files.isRegularFile(_)).count()
+
+  test("reliable mode: pinned RDD isCheckpointed with files under the dir") {
+    import spark.implicits._
+    withCkptDir { dir =>
+      val p = FreshCheckpoint.pinned(
+        (1 to 1000).toDF("x").repartition(4))
+      assert(p.rows == 1000L)
+      assert(p.rdd.isCheckpointed,
+        "reliable mode must leave the round RDD checkpointed")
+      assert(p.rdd.getCheckpointFile.exists(_.contains(dir.toString)),
+        s"checkpoint file ${p.rdd.getCheckpointFile} not under $dir")
+      assert(countFiles(dir) > 0, "no checkpoint files written")
+      // The caller-side release contract is unchanged: unpersist frees
+      // the memory pin while the durable files remain readable.
+      p.rdd.unpersist(blocking = true)
+      assert(p.df.count() == 1000L)
+    }
+  }
+
+  test("default mode: localCheckpoint, not reliable (no conf, no files)") {
+    import spark.implicits._
+    val p = FreshCheckpoint.pinned((1 to 100).toDF("x"))
+    // localCheckpoint also reports isCheckpointed=true but has no file.
+    assert(p.rdd.getCheckpointFile.isEmpty)
+    p.rdd.unpersist(blocking = false)
+  }
+
+  test("lazyPinned under the conf checkpoints on the caller's first action") {
+    import spark.implicits._
+    withCkptDir { dir =>
+      val p = FreshCheckpoint.lazyPinned((1 to 500).toDF("x"))
+      assert(p.rows == -1L)
+      assert(p.df.count() == 500L) // the forcing action
+      assert(p.rdd.isCheckpointed)
+      assert(p.rdd.getCheckpointFile.exists(_.contains(dir.toString)))
+      p.rdd.unpersist(blocking = false)
+    }
+  }
+
+  test("both modes produce identical results on iterative gates") {
+    val sfDir = "/root/testdata/sf0.001"
+    // resolve: star-contraction fixpoint; pagerank: per-round self-join —
+    // the two FreshCheckpoint usage shapes (pinned + lazyPinned loops).
+    for (gate <- Seq("x2_dedup_resolve", "x8_pagerank")) {
+      val local = graft.SparkEntry.queries(gate)(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+      val durable = withCkptDir { _ =>
+        graft.SparkEntry.queries(gate)(spark, sfDir)
+          .collect().map(_.toString).sorted.toSeq
+      }
+      assert(local == durable, s"$gate differs between checkpoint modes")
+    }
+  }
+}
