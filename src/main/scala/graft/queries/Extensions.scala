@@ -48,6 +48,16 @@ object Extensions extends QueryModule {
                                    err: Column): Column =
     (lt + lit(1.0) <= target + err) && (le >= target - err)
 
+  /** Subset verdict: zero surfaced-but-not-in-truth pairs. */
+  private[graft] def subsetOk(extra: Column): Column = extra <= lit(0L)
+
+  /** Recall verdict: hits cover at least `bound` of the truth set (holds
+    * vacuously for empty truth — nothing to recall).
+    */
+  private[graft] def recallAtLeast(hit: Column, truth: Column,
+                                   bound: Double): Column =
+    hit.cast("double") >= lit(bound) * truth.cast("double")
+
   /** Shared oracle CTEs for 3-shingle sets over documents. */
   private val shCte = """
     sh AS (
@@ -59,6 +69,50 @@ object Extensions extends QueryModule {
       SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)"""
+
+  /** Oracle for the x2_minhash_* verdict gates: DuckDB replays the exact
+    * 3-shingle Jaccard pair count at the 0.8 threshold (the truth set the
+    * Spark side joins against) and asserts the two booleans TRUE — their
+    * falsifiability lives in VerdictGateSpec. One row → trivially
+    * total-ordered.
+    */
+  private val minhashVerdictOracle = s"""
+      WITH $shCte
+      SELECT CAST(count(*) AS BIGINT) AS n_exact,
+             TRUE AS surfaced_subset, TRUE AS recall_ok
+      FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+      WHERE CAST(ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - ni AS DOUBLE)
+            >= CAST(0.8 AS DOUBLE)"""
+
+  /** Shared body for the x2_minhash_* verdict gates: production
+    * (xxhash64 / MinHashAgg) LSH surfaced pairs vs the exact-Jaccard
+    * truth set, reduced to one replayable row. Plan shape: both pair
+    * sets are blocked operators (band collisions / inverted index); the
+    * combine is one full-outer equijoin on the pair key + one aggregate —
+    * nothing quadratic, nothing driver-side.
+    */
+  private def minhashVerdictGate(s: SparkSession, dir: String,
+                                 k: Int, bands: Int,
+                                 minRecall: Double): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val surfaced = Dedup.minHashLsh(docs, "doc_id", "text",
+        n = 3, k = k, bands = bands, threshold = 0.8, portable = false)
+      .select(col("da"), col("db"), lit(1L).as("__s"))
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .select(col("da"), col("db"), lit(1L).as("__t"))
+    truth.join(surfaced, Seq("da", "db"), "full_outer")
+      .agg(
+        coalesce(sum("__t"), lit(0L)).as("n_exact"),
+        coalesce(sum(when(col("__s").isNotNull && col("__t").isNull, 1L)),
+          lit(0L)).as("n_extra"),
+        coalesce(sum(when(col("__s").isNotNull && col("__t").isNotNull, 1L)),
+          lit(0L)).as("n_hit"))
+      .select(col("n_exact"),
+        subsetOk(col("n_extra")).as("surfaced_subset"),
+        recallAtLeast(col("n_hit"), col("n_exact"), minRecall)
+          .as("recall_ok"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -538,36 +592,48 @@ object Extensions extends QueryModule {
         .orderBy("new_id", "corpus_id")
     },
 
-    // Production-hash variant (one MinHashAgg buffer of xxhash64-derived
-    // longs — codegen'd, engine-specific). Not reproducible in the oracle
-    // engine → rows-only check; this is the configuration a cluster would
-    // run, so it is the benched one.
-    QueryDef("x2_minhash_fast", None, bench = true) { (s, dir) =>
-      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, k = 16, bands = 4, threshold = 0.8, portable = false)
-        .orderBy("da", "db")
+    // Production-hash (xxhash64 MinHashAgg) gates in driver-checkable
+    // VERDICT form (VERDICT r13 #2 — the last three rows-only gates).
+    // The surfaced pair set is hash-function-dependent, so DuckDB cannot
+    // replay it — but the exact-verify stage makes two properties
+    // checkable: every surfaced pair IS an exact-Jaccard pair (the verify
+    // filter is the same arithmetic the truth set uses → surfaced ⊆
+    // exact), and the surfaced share of the truth set is the banding's
+    // measured recall, lower-bounded per (k, bands) config. The gate
+    // emits the DuckDB-replayable exact pair count plus the two booleans
+    // (single-source builders above, both-polarity-tested in
+    // VerdictGateSpec). Bench note: the benched work now includes the
+    // exact-truth join — the three lines re-baseline at r14 (PLANS).
+    QueryDef("x2_minhash_fast", Some(minhashVerdictOracle), bench = true) {
+      (s, dir) =>
+        // k=16 / 4 bands (r=4): the s-curve at the 0.8 threshold gives a
+        // per-pair surface probability of 1-(1-0.8^4)^4 ≈ 0.88 at s=0.8
+        // exactly, higher above it. Measured xxhash64 recall
+        // (MinhashRecallProbe, PLANS r14): 1.0 at sf0.001/0.01, 0.9961
+        // at sf0.1, 0.9995 at sf1 — bound 0.75 leaves the s-curve's
+        // worst-case headroom under any data drift.
+        minhashVerdictGate(s, dir, k = 16, bands = 4, minRecall = 0.75)
     },
 
     // Production signature width: k=64 (16 bands × r=4) through the same
     // single-buffer aggregate — the plan still carries ONE aggregate
     // expression, which is the point of MinHashAgg. Benched to keep the
-    // wide-signature path honest at sf0.1.
-    QueryDef("x2_minhash_k64", None, bench = true) { (s, dir) =>
-      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, k = 64, bands = 16, threshold = 0.8, portable = false)
-        .orderBy("da", "db")
+    // wide-signature path honest at sf0.1. s-curve at s=0.8:
+    // 1-(1-0.8^4)^16 ≈ 0.9998; measured 1.0 at all four scales → bound 0.9.
+    QueryDef("x2_minhash_k64", Some(minhashVerdictOracle), bench = true) {
+      (s, dir) =>
+        minhashVerdictGate(s, dir, k = 64, bands = 16, minRecall = 0.9)
     },
 
     // Production signature width: k=128 / 32 bands through the same
     // one-buffer MinHashAgg (one aggregate expression regardless of k, so
     // doubling k doubles per-row hash work but NOT the aggregate count —
     // the timed gate that prices the production config against k=64).
-    // rows-only like the other xxhash64 fast-path gates; its oracle-matched
-    // exact companion is x2_jaccard_pairs (same verify arithmetic).
-    QueryDef("x2_minhash_k128", None, bench = true) { (s, dir) =>
-      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, k = 128, bands = 32, threshold = 0.8, portable = false)
-        .orderBy("da", "db")
+    // s-curve at s=0.8: 1-(1-0.8^4)^32 ≈ 1-5e-8; measured 1.0 at all
+    // four scales → bound 0.9.
+    QueryDef("x2_minhash_k128", Some(minhashVerdictOracle), bench = true) {
+      (s, dir) =>
+        minhashVerdictGate(s, dir, k = 128, bands = 32, minRecall = 0.9)
     },
 
     // Near-dup RESOLUTION: pair evidence → connected components → one
@@ -1562,7 +1628,11 @@ object Extensions extends QueryModule {
     // is still engine-specific, so the gate outputs what IS replayable:
     // the exact per-lang distinct count (DuckDB computes it) plus a
     // BOOLEAN that the sketch landed within 5× the configured 1% rsd —
-    // a bound the estimator clears by construction. Exact companion:
+    // a 5-sigma envelope the estimator clears with overwhelming
+    // probability — HLL++ error is probabilistic, not guaranteed, so a
+    // new dataset/scale could legitimately land outside it; if this
+    // verdict ever flips on fresh data, widen eps (a false alarm), don't
+    // suspect the engine. Exact companion:
     // x5_token_stats.
     QueryDef("x5_approx_distinct", Some("""
       SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_tokens,
@@ -2444,7 +2514,9 @@ object Extensions extends QueryModule {
     // the SAME parseAviFrames and frame-decoded by the SAME
     // ImageIoDecoder — the x4_binary_files / x4_audio_files recipe for
     // the third modality. Reduced projection: per-video frame count and
-    // the exact cross-frame pixel-sum total.
+    // the exact cross-frame pixel-sum total. Benched (VERDICT r13 #6):
+    // the real-file multimodal ingestion line the cross-round perf
+    // series lacked.
     QueryDef("x4_video_files", Some("""
       WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (3*doc_id) % 9 AS h,
                         2 + doc_id % 4 AS nf
@@ -2458,7 +2530,7 @@ object Extensions extends QueryModule {
                LATERAL (SELECT unnest(range(0, h)) AS y) y)
       SELECT doc_id AS id, CAST(count(DISTINCT f) AS BIGINT) AS n_frames,
              CAST(sum(g) AS BIGINT) AS sum_g
-      FROM px GROUP BY doc_id ORDER BY id""")) { (s, dir) =>
+      FROM px GROUP BY doc_id ORDER BY id"""), bench = true) { (s, dir) =>
       import s.implicits._
       val ids = t(s, dir, "documents").select("doc_id")
         .filter(col("doc_id") < 100)
@@ -2726,6 +2798,8 @@ object Extensions extends QueryModule {
     // straddle train/val/test). Every stage is an existing green
     // operator; the gate prices the whole composition — per-language
     // survivor counts at every stage plus pack/shard/split tallies.
+    // Benched (VERDICT r13 #6): the heaviest composition in the engine,
+    // now a headline line so its cross-round perf series exists.
     QueryDef("x6_curation3", Some("""
       WITH RECURSIVE
       raw AS (SELECT doc_id, lang, source, text FROM documents
@@ -2871,7 +2945,7 @@ object Extensions extends QueryModule {
              coalesce(a.n_train, CAST(0 AS BIGINT)) AS n_train,
              coalesce(a.n_val, CAST(0 AS BIGINT)) AS n_val,
              coalesce(a.n_test, CAST(0 AS BIGINT)) AS n_test
-      FROM base b LEFT JOIN agg a USING (lang) ORDER BY lang""")) { (s, dir) =>
+      FROM base b LEFT JOIN agg a USING (lang) ORDER BY lang"""), bench = true) { (s, dir) =>
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
       val bench = docs.filter(col("doc_id") % 17 === 0)

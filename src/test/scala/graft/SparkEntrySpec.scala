@@ -35,13 +35,12 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
-  test("oracle coverage: only the known sketch gates are rows-only") {
-    // r13: the approx/bloom sketch gates moved to driver-checkable
-    // verdict form; only the MinHash signature gates remain rows-only.
+  test("oracle coverage: every gate is oracle-checkable") {
+    // r14: the MinHash signature gates (the last rows-only members)
+    // moved to verdict form — every gate now has a DuckDB oracle, and
+    // any new gate must ship with one.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val expected = Set("x2_minhash_fast", "x2_minhash_k64",
-      "x2_minhash_k128")
-    assert(noOracle == expected,
-      s"rows-only gate set changed: $noOracle — every new operator needs an oracle")
+    assert(noOracle.isEmpty,
+      s"gates without an oracle: $noOracle — every operator needs one")
   }
 }

@@ -33,21 +33,16 @@ class SurveyCountSpec extends AnyFunSuite {
         "update the §8 status line")
   }
 
-  test("every oracle entry names a registered gate; sketch gates listed") {
+  test("every oracle entry names a registered gate; none rows-only") {
     val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphan.isEmpty, s"oracleSql entries without a query: $orphan")
-    // The rows-only (no-oracle) set is small and by design — every member
-    // must be one of the documented sketch gates, so a forgotten oracle
-    // shows up here instead of as a silent weaker check in the driver.
-    // r13: x5_approx_distinct / x5_approx_pctl / x6_decontam_bloom moved
-    // to driver-checkable verdict form (exact replayable columns + an
-    // error-envelope BOOLEAN); only the three MinHash signature gates
-    // remain rows-only (their exact companion is x2_minhash_lsh).
+    // r14: the three MinHash signature gates (the last rows-only members)
+    // moved to verdict form (replayable exact pair count + subset/recall
+    // booleans with VerdictGateSpec teeth) — the registry is now 100%
+    // oracle-checkable and must stay that way: a forgotten oracle shows
+    // up here instead of as a silent weaker check in the driver.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val documented = Set("x2_minhash_fast", "x2_minhash_k64",
-      "x2_minhash_k128")
-    assert(rowsOnly == documented,
-      s"rows-only gate set drifted from the documented sketch set: " +
-        s"extra=${rowsOnly -- documented} missing=${documented -- rowsOnly}")
+    assert(rowsOnly.isEmpty,
+      s"gates without an oracle: $rowsOnly — every operator needs one")
   }
 }

@@ -54,6 +54,28 @@ class VerdictGateSpec extends SparkSpec {
     assert(out == Seq(true, true, false, false, true, true))
   }
 
+  test("subsetOk: false exactly when extra pairs exist") {
+    import spark.implicits._
+    val out = Seq(0L, 1L, 5L).toDF("extra")
+      .select(Extensions.subsetOk(col("extra")).as("v"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(out == Seq(true, false, false))
+  }
+
+  test("recallAtLeast: both polarities including the boundary and empty truth") {
+    import spark.implicits._
+    val out = Seq(
+      (90L, 100L),  // exactly at the 0.9 bound: true
+      (89L, 100L),  // one below: FALSE
+      (100L, 100L), // full recall: true
+      (0L, 100L),   // surfaced nothing: FALSE
+      (0L, 0L)      // empty truth: vacuously true
+    ).toDF("hit", "truth")
+      .select(Extensions.recallAtLeast(col("hit"), col("truth"), 0.9).as("v"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(out == Seq(true, false, true, false, true))
+  }
+
   test("gate-shaped sanity: exact-percentile input yields all-true verdicts") {
     // With n << accuracy the sketch is exact, so every verdict must hold —
     // the same reason the gates are deterministic-green at small sf.
