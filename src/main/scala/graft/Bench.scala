@@ -167,8 +167,15 @@ object Bench {
                                  known: String => Boolean): Map[String, Double] = {
     val u = text.replace("\\\"", "\"")
     val sfNum = sfLabel.stripPrefix("sf")
+    // Anchored numeric match (ADVICE r13): a raw substring test for
+    // "sf": 1 also matched sf10/sf1.5 artifacts, which could seed the
+    // drift baseline with cross-sf medians. The label form is already
+    // closed by its quote; the numeric form must be closed by a
+    // non-digit.
+    val numRe = ("\"sf\":\\s*" + java.util.regex.Pattern.quote(sfNum) +
+      "(\\.0)?\\s*[,}]").r
     val sfOk = u.contains("\"sf\":\"" + sfLabel + "\"") ||
-      u.contains("\"sf\": " + sfNum) || u.contains("\"sf\":" + sfNum)
+      numRe.findFirstIn(u).isDefined
     if (!sfOk) return Map.empty
     val cut = u.indexOf("\"variance\"") match {
       case -1 => u
@@ -183,6 +190,13 @@ object Bench {
 
   /** The newest driver artifact (BENCH_r*.json in cwd) to compare against,
     * unless SPARK_GRAFT_BENCH_PREV points elsewhere ("" disables).
+    *
+    * "Newest" IS the previous round's close: the driver writes
+    * BENCH_r{N}.json only when round N ends — after its bench run — so
+    * every in-round invocation (builder iteration and the driver's own
+    * round-close run alike) sees r{N-1} as the max. Same-session A/B
+    * work that wants a different baseline pins SPARK_GRAFT_BENCH_PREV
+    * explicitly (the r13 adjudication protocol).
     */
   private def loadPrevMedians(sfLabel: String): Map[String, Double] = {
     val path: Option[java.nio.file.Path] =
@@ -193,13 +207,17 @@ object Bench {
           val cwd = java.nio.file.Paths.get(".")
           val re = """BENCH_r(\d+)\.json""".r
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(cwd).iterator().asScala
-            .flatMap { p =>
-              p.getFileName.toString match {
-                case re(n) => Some((n.toInt, p))
-                case _ => None
-              }
-            }.toSeq.sortBy(_._1).lastOption.map(_._2)
+          // Files.list leaks a directory handle unless closed (ADVICE r13).
+          val stream = java.nio.file.Files.list(cwd)
+          try {
+            stream.iterator().asScala
+              .flatMap { p =>
+                p.getFileName.toString match {
+                  case re(n) => Some((n.toInt, p))
+                  case _ => None
+                }
+              }.toSeq.sortBy(_._1).lastOption.map(_._2)
+          } finally stream.close()
       }
     path.filter(java.nio.file.Files.isReadable(_)).map { p =>
       val text = new String(java.nio.file.Files.readAllBytes(p),
@@ -240,6 +258,37 @@ object Bench {
         if (runs.nonEmpty) Some(runs) else None
       case _ => None
     }
+  }
+
+  /** Ceiling for the compact stdout line. The driver parses the
+    * `{"metric":` line out of the LAST 2000 chars of the merged build
+    * output; sbt's `[success]`/timing trailer consumes ~150-200 of them,
+    * so 1800 is the largest line that still parses with margin. (r13
+    * shipped 1500, which 39 three-decimal medians already filled to
+    * ~1.25k — one bench-set growth away from the queries map silently
+    * dropping, the r11/r12 truncation class in a new costume. Compact
+    * medians render at 2 decimals for the same reason; the 3-decimal
+    * record lives in target/bench-detailed.json.)
+    */
+  private[graft] val CompactCap = 1800
+
+  /** The single stdout line the driver captures. Queries ride along at
+    * 2-decimal precision while they fit under [[CompactCap]]; a set too
+    * large to fit drops the map (never truncates mid-JSON) — BenchSpec
+    * pins that the CURRENT bench set plus headroom still fits.
+    */
+  private[graft] def compactLine(total: Double, medians: Seq[(String, Double)],
+                                 runs: Int, isolation: String, cal: String,
+                                 calIo: String, failedJson: String,
+                                 sfLabel: String): String = {
+    val qJson = medians
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val withQ =
+      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qJson,"runs":$runs,"isolation":"$isolation","calibration":"$cal%s","calibration_io":"$calIo%s","failed":$failedJson%s,"sf":"$sfLabel"}"""
+    if (withQ.length <= CompactCap) withQ
+    else
+      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","runs":$runs,"isolation":"$isolation","calibration":"$cal%s","calibration_io":"$calIo%s","failed":$failedJson%s,"sf":"$sfLabel"}"""
   }
 
   private def parentMain(): Unit = {
@@ -365,12 +414,11 @@ object Bench {
     // the stdout compact line, so even a "printed earlier" stderr copy
     // is unsafe. The detailed record goes ONLY to a file
     // (target/bench-detailed.json); stdout carries exactly ONE
-    // {"metric": line, guarded
-    // to <= 1500 chars (38 medians ≈ 1.1k — they fit; variance/refork
-    // never ride along), leaving ≥ 400 chars of slack for sbt's
-    // [success] trailer inside the 2000-char window. The verify skill
-    // replicates the capture (last 2000 chars → parse) as a round-close
-    // gate.
+    // {"metric": line, guarded to <= CompactCap chars (2-decimal
+    // medians; variance/refork never ride along), leaving slack for
+    // sbt's [success] trailer inside the 2000-char window. The verify
+    // skill replicates the capture (last 2000 chars → parse) as a
+    // round-close gate; BenchSpec pins the headroom.
     val detailed =
       f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qJson,"variance":$varJson,"runs":$childRuns,"isolation":"$isolation","calibration":"$calibration%s","calibration_io":"$calibrationIo%s","refork":$refork%s,"failed":$failedJson%s,"sf":"$sfLabel"}"""
     val detailPath = java.nio.file.Paths.get("target", "bench-detailed.json")
@@ -390,12 +438,9 @@ object Bench {
     } catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $detailPath: $e")
     }
-    val compactWithQ =
-      f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","queries":$qJson,"runs":$childRuns,"isolation":"$isolation","calibration":"$calibration%s","calibration_io":"$calibrationIo%s","failed":$failedJson%s,"sf":"$sfLabel"}"""
-    val compact =
-      if (compactWithQ.length <= 1500) compactWithQ
-      else
-        f"""{"metric":"bench_total","value":$total%.3f,"unit":"sec","runs":$childRuns,"isolation":"$isolation","calibration":"$calibration%s","calibration_io":"$calibrationIo%s","failed":$failedJson%s,"sf":"$sfLabel"}"""
+    val compact = compactLine(total,
+      measured.map { case (k, v) => k -> v.map(median).getOrElse(-1.0) },
+      childRuns, isolation, calibration, calibrationIo, failedJson, sfLabel)
     println(compact)
     // A crashed query must not silently *shrink* the reported total — fail
     // the whole bench run loudly (after printing, so the JSON still shows

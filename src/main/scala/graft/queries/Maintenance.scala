@@ -837,7 +837,13 @@ object Maintenance extends QueryModule {
       val base = s.range(0, 200000L, 1, 32).toDF("i")
         .withColumn("pad", md5(col("i").cast("string")))
       val pin = org.apache.spark.sql.graft.FreshCheckpoint.pinned(base)
-      val out = graft.Scratch.fresh("io-cal")
+      // FIXED path + overwrite, not Scratch.fresh (ADVICE r13): the
+      // calibration runs on every bench fork / verify / rerun, and a
+      // fresh UUID dir per execution accreted scratch space forever.
+      // Overwrite clears the previous run's files first; the read below
+      // is lazy, so an in-body delete-after-read isn't possible.
+      val out = new java.io.File(graft.Scratch.scratch, "io-cal-fixed")
+        .getAbsolutePath
       pin.df.write.mode("overwrite").parquet(out)
       pin.rdd.unpersist(blocking = false)
       s.read.parquet(out)

@@ -75,4 +75,40 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.prevMedians("", "sf0.1", _ => true).isEmpty)
     assert(Bench.prevMedians("not json at all", "sf0.1", _ => true).isEmpty)
   }
+
+  test("prevMedians: anchored sf number never matches a larger sf (ADVICE r13)") {
+    // An sf10 (or sf1.5) artifact must NOT seed an sf1 run's drift
+    // baseline: the old raw substring check for "sf": 1 matched both.
+    val sf10 = """{"sf": 10, "tail": "{\"queries\":{\"q1_agg\":9.99},\"sf\":\"sf10\"}"}"""
+    assert(Bench.prevMedians(sf10, "sf1", _ => true).isEmpty)
+    val sf15 = """{"sf": 1.5, "tail": "{\"queries\":{\"q1_agg\":9.99}}"}"""
+    assert(Bench.prevMedians(sf15, "sf1", _ => true).isEmpty)
+    // The genuine sf1 forms still match: quoted label, bare int, x.0.
+    val sf1a = """{"sf": 1, "tail": "{\"queries\":{\"q1_agg\":1.117}}"}"""
+    assert(Bench.prevMedians(sf1a, "sf1", _ => true)
+      .get("q1_agg").contains(1.117))
+    val sf1b = """{"sf": 1.0, "tail": "{\"queries\":{\"q1_agg\":1.117}}"}"""
+    assert(Bench.prevMedians(sf1b, "sf1", _ => true)
+      .get("q1_agg").contains(1.117))
+  }
+
+  test("compact line: full current bench set + 8 growth lines fits the cap") {
+    // The r11/r12 truncation class re-breaks silently the moment the
+    // queries map outgrows the cap — this pins headroom: every benched
+    // gate TODAY plus 8 hypothetical additions, worst-case widths
+    // (4-digit medians, both calibrations, a failed entry), must fit.
+    val names = SparkEntry.benchNames ++
+      (1 to 8).map(i => f"x9_future_gate_name_$i%02d")
+    val medians = names.map(n => n -> 9999.99)
+    val line = Bench.compactLine(total = 99999.999, medians,
+      runs = 3, isolation = "jvm", cal = "q1_agg", calIo = "s13_io_cal",
+      failedJson = "[\"x9_future_gate_name_08\"]", sfLabel = "sf0.01")
+    assert(line.contains("\"queries\":{"),
+      s"queries map dropped — compact line ${line.length} chars > cap " +
+        s"${Bench.CompactCap} with ${names.size} entries")
+    assert(line.length <= Bench.CompactCap)
+    // And the cap itself leaves the driver's 2000-char window room for
+    // sbt's [success] trailer.
+    assert(Bench.CompactCap <= 1800)
+  }
 }
