@@ -81,15 +81,13 @@ ORACLE_LIMITS = {
 }
 
 
-# The rows-only sketch gates (no DuckDB oracle BY DESIGN — approximate
-# sketch outputs; the closed set SurveyCountSpec pins). An sf1 replay is
-# still evidence: the Spark dump must exist and be non-empty, and its row
-# count is recorded in the artifact (r8 task 7 / r9 next-round #1).
-# r13: x5_approx_distinct / x5_approx_pctl / x6_decontam_bloom moved to
-# driver-checkable verdict form (exact replayable columns + an
-# error-envelope BOOLEAN) and replay through the oracle loop like any
-# other gate; only the MinHash signature gates remain rows-only.
-ROWS_ONLY = ["x2_minhash_fast", "x2_minhash_k64", "x2_minhash_k128"]
+# Rows-only sketch gates (no DuckDB oracle BY DESIGN). EMPTY since r14:
+# the MinHash signature gates — the last members — moved to verdict form
+# (replayable exact pair count + subset/recall BOOLEANs) and replay
+# through the oracle loop like any other gate. The mechanism stays for
+# any future sketch gate: a name here records the sf1 dump's non-empty
+# row count as weaker-but-real evidence instead of a value compare.
+ROWS_ONLY = []
 
 # Gates whose compare may fail at sf1 for a ROOT-CAUSED cross-engine
 # boundary (PLANS.md round-5 session 2): recorded as known_boundary, not
