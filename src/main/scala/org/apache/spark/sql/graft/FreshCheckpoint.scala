@@ -59,6 +59,11 @@ import org.apache.spark.storage.StorageLevel
   * DBSCAN, …) inherit the mode with no code change. Pair the durable
   * mode with dynamicAllocation in cluster profiles — it is what makes
   * downscale-during-iteration safe.
+  *
+  * Measured price (sf1, local[32], matched calibrations — PLANS r14):
+  * +8.9% on the resolve bench line and +6.7% on DBSCAN, writing ~400 MB
+  * of durable round pins — the per-iteration IO tax a cluster operator
+  * weighs against restart-on-loss of a multi-hour job.
   */
 object FreshCheckpoint {
 
