@@ -169,19 +169,28 @@ object Bench {
     val sfNum = sfLabel.stripPrefix("sf")
     // Anchored numeric match (ADVICE r13): a raw substring test for
     // "sf": 1 also matched sf10/sf1.5 artifacts, which could seed the
-    // drift baseline with cross-sf medians. The label form is already
-    // closed by its quote; the numeric form must be closed by a
-    // non-digit.
+    // drift baseline with cross-sf medians. The numeric form must be
+    // closed by a non-digit; the label form is closed by its quote but
+    // must tolerate pretty-printed JSON ('"sf": "sf1"' — the regenerated
+    // BENCH_sf1.json shape, whose missed space left the valve with an
+    // empty baseline for the whole first r14 sf1 run).
     val numRe = ("\"sf\":\\s*" + java.util.regex.Pattern.quote(sfNum) +
       "(\\.0)?\\s*[,}]").r
-    val sfOk = u.contains("\"sf\":\"" + sfLabel + "\"") ||
+    val labelRe = ("\"sf\":\\s*\"" +
+      java.util.regex.Pattern.quote(sfLabel) + "\"").r
+    val sfOk = labelRe.findFirstIn(u).isDefined ||
       numRe.findFirstIn(u).isDefined
     if (!sfOk) return Map.empty
     val cut = u.indexOf("\"variance\"") match {
       case -1 => u
       case i => u.substring(0, i)
     }
-    val pair = """"([A-Za-z0-9_]+)":(-?\d+\.\d+)""".r
+    // \s* after the colon: driver artifacts embed the compact line
+    // (no spaces) but the regenerated BENCH_sf1.json is pretty-printed
+    // ("q1_agg": 0.613) — without the tolerance every sf1 run's valve
+    // silently got 0 baseline medians (r14 finding; r13's sf1 runs were
+    // equally valve-less without anyone noticing).
+    val pair = """"([A-Za-z0-9_]+)":\s*(-?\d+\.\d+)""".r
     pair.findAllMatchIn(cut)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .filter { case (k, v) => known(k) && v > 0 }

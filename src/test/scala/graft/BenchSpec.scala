@@ -92,6 +92,18 @@ class BenchSpec extends AnyFunSuite {
       .get("q1_agg").contains(1.117))
   }
 
+  test("prevMedians: pretty-printed label form matches (r14 sf1 valve miss)") {
+    // The regenerated BENCH_sf1.json is pretty-printed JSON with a space
+    // after the colon; the first anchored-label check required "sf":"sf1"
+    // verbatim and silently handed the drift valve an empty baseline.
+    val pretty = """{ "queries": {"q1_agg": 1.117, "x8_bfs": 10.83}, "sf": "sf1" }"""
+    assert(Bench.prevMedians(pretty, "sf1", _ => true) ==
+      Map("q1_agg" -> 1.117, "x8_bfs" -> 10.83))
+    // ... while still never matching a larger sf label.
+    val pretty10 = """{ "queries": {"q1_agg":9.99}, "sf": "sf10" }"""
+    assert(Bench.prevMedians(pretty10, "sf1", _ => true).isEmpty)
+  }
+
   test("compact line: full current bench set + 8 growth lines fits the cap") {
     // The r11/r12 truncation class re-breaks silently the moment the
     // queries map outgrows the cap — this pins headroom: every benched
