@@ -845,10 +845,12 @@ object Dedup {
       // plateau would freeze labels mid-contraction.
       converged = nextPin.rows == rows &&
         nextPin.df.join(e, Seq("a", "b"), "left_anti").isEmpty
-      // Predecessor blocks released only now: the successor is
-      // materialized and nothing reads them again (the r8 leak
-      // discipline — leaked checkpoint storage starves later gates).
-      pin.rdd.unpersist(blocking = false)
+      // Predecessor pin retired only now: the successor is materialized
+      // and nothing reads it again (the r8 leak discipline — leaked
+      // checkpoint storage starves later gates; in durable mode release
+      // also reaps the round's checkpoint files so the loop holds one
+      // round on durable storage, not all of them).
+      org.apache.spark.sql.graft.FreshCheckpoint.release(pin)
       pin = nextPin
       e = pin.df
       rows = nextPin.rows

@@ -404,11 +404,12 @@ object Graph {
     // keyset: the diff captured any block persisted concurrently on the
     // same context, and unpersisting someone else's in-use localCheckpoint
     // block is an unrecoverable missing-block failure.
-    var liveCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    var liveCkpt: Option[org.apache.spark.sql.graft.FreshCheckpoint.Pinned] =
+      None
     def checkpointed(d: DataFrame): DataFrame = {
       val p = org.apache.spark.sql.graft.FreshCheckpoint.pinned(d)
-      liveCkpt.foreach(_.unpersist(blocking = false))
-      liveCkpt = Some(p.rdd)
+      liveCkpt.foreach(org.apache.spark.sql.graft.FreshCheckpoint.release(_))
+      liveCkpt = Some(p)
       p.df
     }
     // `rnk` internally: `rank` is a window-function name to the SQL parser
@@ -868,7 +869,7 @@ object Graph {
     import org.apache.spark.sql.graft.FreshCheckpoint
     import org.apache.spark.sql.graft.FreshCheckpoint.Pinned
     def fresh(d: DataFrame): Pinned = FreshCheckpoint.pinned(d)
-    def release(p: Pinned): Unit = p.rdd.unpersist(blocking = false)
+    def release(p: Pinned): Unit = FreshCheckpoint.release(p)
     // Broadcast bound for the removed set on the delta path: 2 longs per
     // row, so 1M rows ≈ 16 MB on the wire — safely under executor memory
     // at any realistic configuration. Above it the chains fall back to
@@ -1123,8 +1124,12 @@ object Graph {
       .select(col("f.src").as("id"), col("f.dst").as("w"))
       .groupBy("id").agg(min("w").as("scc"))
     val size = lab.groupBy("scc").agg(count(lit(1)).as("scc_size"))
-    val out = lab.join(size, "scc")
-      .select(col("id"), col("scc"), col("scc_size")).localCheckpoint()
+    // Through the FreshCheckpoint seam, not Dataset.localCheckpoint: the
+    // result pin then honors graft.checkpoint.dir like every other
+    // checkpoint in the engine (and gets default stats, harmless here).
+    val out = org.apache.spark.sql.graft.FreshCheckpoint(
+      lab.join(size, "scc")
+        .select(col("id"), col("scc"), col("scc_size")))
     reach.unpersist()
     out
   }

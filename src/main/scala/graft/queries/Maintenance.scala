@@ -845,7 +845,7 @@ object Maintenance extends QueryModule {
       val out = new java.io.File(graft.Scratch.scratch, "io-cal-fixed")
         .getAbsolutePath
       pin.df.write.mode("overwrite").parquet(out)
-      pin.rdd.unpersist(blocking = false)
+      org.apache.spark.sql.graft.FreshCheckpoint.release(pin)
       s.read.parquet(out)
         .agg(count(lit(1)).as("n"), sum("i").as("s"),
           countDistinct(col("i") % 1000).as("g"))

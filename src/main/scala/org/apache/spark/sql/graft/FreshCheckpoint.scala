@@ -105,6 +105,28 @@ object FreshCheckpoint {
 
   def apply(df: DataFrame): DataFrame = pinned(df).df
 
+  /** Retire a round pin once its successor is materialized: free the
+    * executor-memory blocks, and in durable mode ALSO delete the round's
+    * checkpoint files — so a k-round loop holds ONE live round on durable
+    * storage instead of accreting all k (at 100 TB a 50-round resolve
+    * would otherwise park 50 round-sized tables on the checkpoint store
+    * until context stop). The pin is DEAD after release in BOTH modes —
+    * that was already the localCheckpoint contract (truncated lineage
+    * cannot recompute an unpersisted block), so deleting the durable
+    * files alongside changes nothing a caller could observe. Callers that
+    * still release via a raw `p.rdd.unpersist` stay correct in durable
+    * mode; they just leave that round's files for the
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` reaper.
+    */
+  def release(p: Pinned, blocking: Boolean = false): Unit = {
+    p.rdd.unpersist(blocking)
+    p.rdd.getCheckpointFile.foreach { f =>
+      val path = new org.apache.hadoop.fs.Path(f)
+      path.getFileSystem(p.rdd.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
+  }
+
   /** Like `apply`, but also returns the checkpointed RDD handle so the
     * caller can later release EXACTLY the block it created. Iterative
     * operators used to identify their checkpoint block by diffing the

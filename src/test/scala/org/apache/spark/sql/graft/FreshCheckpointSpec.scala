@@ -69,6 +69,29 @@ class FreshCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("release reaps durable round files; default mode has none to reap") {
+    import spark.implicits._
+    withCkptDir { dir =>
+      // Two successive round pins, as a loop would make them: releasing
+      // the first must delete ITS files and leave the second's intact —
+      // the one-live-round durable footprint.
+      val p1 = FreshCheckpoint.pinned((1 to 300).toDF("x"))
+      val p2 = FreshCheckpoint.pinned((1 to 400).toDF("x"))
+      val f1 = p1.rdd.getCheckpointFile.get
+      val f2 = p2.rdd.getCheckpointFile.get
+      assert(f1 != f2)
+      FreshCheckpoint.release(p1, blocking = true)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(new java.net.URI(f1).getPath)),
+        s"released round's checkpoint files survive at $f1")
+      assert(p2.df.count() == 400L, "surviving round must stay readable")
+      FreshCheckpoint.release(p2, blocking = true)
+    }
+    // Default mode: release is exactly the old unpersist (no files).
+    val p = FreshCheckpoint.pinned((1 to 50).toDF("x"))
+    FreshCheckpoint.release(p)
+  }
+
   test("both modes produce identical results on iterative gates") {
     val sfDir = "/root/testdata/sf0.001"
     // resolve: star-contraction fixpoint; pagerank: per-round self-join —
