@@ -94,9 +94,11 @@ class FreshCheckpointSpec extends SparkSpec {
 
   test("both modes produce identical results on iterative gates") {
     val sfDir = "/root/testdata/sf0.001"
-    // resolve: star-contraction fixpoint; pagerank: per-round self-join —
-    // the two FreshCheckpoint usage shapes (pinned + lazyPinned loops).
-    for (gate <- Seq("x2_dedup_resolve", "x8_pagerank")) {
+    // One gate per FreshCheckpoint usage shape: resolve (pinned loop with
+    // release), pagerank (checkpointed() rotation), ktruss (fresh/release
+    // delta rounds), scc (the final-result pin routed through the seam).
+    for (gate <- Seq("x2_dedup_resolve", "x8_pagerank", "x8_ktruss",
+                     "x8_scc")) {
       val local = graft.SparkEntry.queries(gate)(spark, sfDir)
         .collect().map(_.toString).sorted.toSeq
       val durable = withCkptDir { _ =>
