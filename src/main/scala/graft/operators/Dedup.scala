@@ -496,6 +496,58 @@ object Dedup {
           .as("recall"))
   }
 
+  /** Audited near-dup pass: the [[minHashLsh]] surfaced pair set AND the
+    * exact-Jaccard truth set ([[jaccardPairs]] semantics), reduced to the
+    * one-row audit scorecard the x2_minhash_* verdict gates emit —
+    * (n_exact, n_extra = surfaced pairs missing from truth, n_hit =
+    * surfaced ∩ truth). n_extra is provably 0 when the two intersection
+    * paths agree (the surfaced side verifies candidates with the same
+    * threshold arithmetic), so a nonzero value is the audit catching a
+    * divergence between [[pairIntersections]] and
+    * [[sharedShingleIntersections]]; n_hit / n_exact is the banding's
+    * measured recall.
+    *
+    * Why one operator instead of composing minHashLsh + jaccardPairs:
+    * both start from the same shingle explosion, and composing them
+    * scans and explodes the corpus TWICE. At 100 TB the shingle
+    * materialization IS the dominant input cost, so the audit shares ONE
+    * persisted shingle set (and its per-doc counts) across the surfaced
+    * and truth branches — the same sharing [[lshRecall]] uses. The two
+    * intersection computations stay structurally independent (band
+    * collisions → pair-restricted counts vs inverted-index self-join),
+    * which is what gives the subset verdict its teeth.
+    */
+  def lshAudit(df: DataFrame, idCol: String, textCol: String,
+               n: Int, k: Int, bands: Int, threshold: Double,
+               portable: Boolean = false): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val sh = shingleSet(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val truth =
+      scorePairs(sharedShingleIntersections(sh, idCol, Some(threshold)),
+        cnt, idCol, threshold)
+        .select(col("da"), col("db"), lit(1L).as("__t"))
+    val bandDf = bandHashTable(sh, idCol, k, bands, portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandDf.as("x")
+      .join(bandDf.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("da"), col(s"y.$idCol").as("db"))
+      .distinct()
+    val surfaced = scorePairs(pairIntersections(cand, sh, idCol),
+        cnt, idCol, threshold)
+      .select(col("da"), col("db"), lit(1L).as("__s"))
+    truth.join(surfaced, Seq("da", "db"), "full_outer")
+      .agg(
+        coalesce(sum("__t"), lit(0L)).as("n_exact"),
+        coalesce(sum(when(col("__s").isNotNull && col("__t").isNull, 1L)),
+          lit(0L)).as("n_extra"),
+        coalesce(sum(when(col("__s").isNotNull && col("__t").isNotNull, 1L)),
+          lit(0L)).as("n_hit"))
+  }
+
   /** Weighted multi-field record linkage (the Fellegi–Sunter/Splink
     * shape reduced to deterministic integer weights): candidate pairs
     * from an equality BLOCK, scored by the sum of per-field agreement

@@ -84,35 +84,23 @@ object Extensions extends QueryModule {
       WHERE CAST(ni AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - ni AS DOUBLE)
             >= CAST(0.8 AS DOUBLE)"""
 
-  /** Shared body for the x2_minhash_* verdict gates: production
-    * (xxhash64 / MinHashAgg) LSH surfaced pairs vs the exact-Jaccard
-    * truth set, reduced to one replayable row. Plan shape: both pair
-    * sets are blocked operators (band collisions / inverted index); the
-    * combine is one full-outer equijoin on the pair key + one aggregate —
-    * nothing quadratic, nothing driver-side.
+  /** Shared body for the x2_minhash_* verdict gates:
+    * [[graft.operators.Dedup.lshAudit]]'s one-row scorecard (production
+    * xxhash64 surfaced pairs vs exact-Jaccard truth off ONE shared
+    * shingle materialization — composing the two operators would explode
+    * the corpus twice) rendered through the verdict boolean builders.
+    * DedupSpec proves the audit counts equal the independent
+    * minHashLsh + jaccardPairs composition.
     */
   private def minhashVerdictGate(s: SparkSession, dir: String,
                                  k: Int, bands: Int,
-                                 minRecall: Double): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val surfaced = Dedup.minHashLsh(docs, "doc_id", "text",
-        n = 3, k = k, bands = bands, threshold = 0.8, portable = false)
-      .select(col("da"), col("db"), lit(1L).as("__s"))
-    val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.8)
-      .select(col("da"), col("db"), lit(1L).as("__t"))
-    truth.join(surfaced, Seq("da", "db"), "full_outer")
-      .agg(
-        coalesce(sum("__t"), lit(0L)).as("n_exact"),
-        coalesce(sum(when(col("__s").isNotNull && col("__t").isNull, 1L)),
-          lit(0L)).as("n_extra"),
-        coalesce(sum(when(col("__s").isNotNull && col("__t").isNotNull, 1L)),
-          lit(0L)).as("n_hit"))
+                                 minRecall: Double): DataFrame =
+    Dedup.lshAudit(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = k, bands = bands, threshold = 0.8)
       .select(col("n_exact"),
         subsetOk(col("n_extra")).as("surfaced_subset"),
         recallAtLeast(col("n_hit"), col("n_exact"), minRecall)
           .as("recall_ok"))
-  }
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -47,6 +47,26 @@ class DedupSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("lshAudit scorecard equals the independent minHashLsh + jaccardPairs composition") {
+    // The audit shares ONE shingle materialization between its surfaced
+    // and truth branches; this proves the sharing changes no number.
+    for ((k, bands) <- Seq((8, 4), (16, 4))) {
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+        .select("da", "db").as[(Long, Long)].collect().toSet
+      val surfaced = Dedup.minHashLsh(docs, "doc_id", "text", 3, k = k,
+          bands = bands, threshold = 0.8)
+        .select("da", "db").as[(Long, Long)].collect().toSet
+      val row = Dedup.lshAudit(docs, "doc_id", "text", 3, k = k,
+        bands = bands, threshold = 0.8).collect().head
+      assert(row.getLong(0) == exact.size.toLong, s"n_exact (k=$k)")
+      assert(row.getLong(1) == (surfaced -- exact).size.toLong,
+        s"n_extra (k=$k)")
+      assert(row.getLong(2) == (surfaced & exact).size.toLong,
+        s"n_hit (k=$k)")
+      assert(row.getLong(1) == 0L, "surfaced must verify-subset into truth")
+    }
+  }
+
   test("prefix-filtered jaccardPairs equals brute-force all-pairs exactly") {
     // PPJoin prefix filtering must be a pure optimization: same pairs,
     // same (bit-identical) scores as scoring every pair of shingle sets.
