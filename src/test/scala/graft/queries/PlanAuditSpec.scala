@@ -29,7 +29,10 @@ class PlanAuditSpec extends SparkSpec {
     "x9_ks", "x10_assoc", "x3_gram",
     "x8_linkpred", "ts8_autocorr", "x2_sorted_nbr", "x5_heaps",
     "x4_shard", "x9_residuals",
-    "x9_mannwhitney", "x9_spearman", "x9_gini")
+    "x9_mannwhitney", "x9_spearman", "x9_gini",
+    // r14: the lshAudit-backed verdict gate (band self-join + two
+    // independent intersection paths — every join an equijoin).
+    "x2_minhash_fast")
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
