@@ -19,10 +19,22 @@ object StageProbe {
           f"ms=${ms.getOrElse(-1L)}%-6d ${i.name.takeWhile(_ != '\n').take(70)}")
       }
     })
-    val t0 = System.nanoTime()
-    val n = graft.SparkEntry.queries(args(0))(spark, dir).count()
-    System.err.println(
-      f"[probe] ${args(0)} rows=$n total=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // args(1) (optional) = run count: run 2+ to see a JIT-warm profile —
+    // the first run's stage times carry codegen-compile and JIT noise.
+    // Persisted state is scrubbed between runs exactly like Bench.once.
+    val runs = if (args.length >= 2) args(1).toInt else 1
+    for (r <- 1 to runs) {
+      System.err.println(s"[probe] --- run $r ---")
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(args(0))(spark, dir).count()
+      System.err.println(
+        f"[probe] ${args(0)} run=$r rows=$n " +
+          f"total=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     spark.stop()
   }
 }
