@@ -729,8 +729,16 @@ object Dedup {
     cand
       .join(pre.select(col(idCol).as("da"), col("__pre").as("pa")), "da")
       .join(pre.select(col(idCol).as("db"), col("__pre").as("pb")), "db")
-      .withColumn("dist", levenshtein(col("pa"), col("pb")))
-      .filter(col("dist") <= maxDist)
+      // Bounded-threshold Levenshtein (Spark 3.5+): the DP abandons a pair
+      // as soon as its distance provably exceeds maxDist — O(maxDist·len)
+      // per pair instead of O(len²), and candidates are overwhelmingly
+      // ABOVE the cut on real corpora, so the early exit is the common
+      // path. Exact-identical output: the bounded form returns the true
+      // distance for every pair within maxDist and -1 (filtered here)
+      // otherwise, so the kept (da, db, dist) set matches the unbounded
+      // form row for row.
+      .withColumn("dist", levenshtein(col("pa"), col("pb"), maxDist))
+      .filter(col("dist") >= 0)
       .select("da", "db", "dist")
   }
 

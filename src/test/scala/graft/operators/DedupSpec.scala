@@ -104,6 +104,36 @@ class DedupSpec extends SparkSpec {
     assert(cut.subsetOf(all))
   }
 
+  test("editDistancePairs: bounded-threshold DP equals the unbounded form " +
+      "on both polarities") {
+    // Near pair (distance 2 over the 20-char prefix, well under maxDist),
+    // far pair sharing a candidate shingle (distance above maxDist — must
+    // be dropped, and the bounded form's -1 sentinel must never leak), and
+    // an unrelated doc (no shared shingle — never a candidate).
+    val df = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "aa bb cc dd ee ff gx"),
+      (3L, "aa bb cc zz yy xx wv uu tt ss rr qq pp"),
+      (4L, "q1 q2 q3 q4 q5 q6 q7")).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(df, "doc_id", "text",
+        n = 3, prefixLen = 20, maxDist = 4)
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    // Reference: unbounded levenshtein over the same candidates.
+    val pre = df.select(col("doc_id"), substring(col("text"), 1, 20).as("p"))
+    val ref = pre.as("a").join(pre.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.p"), col("b.p")).as("d"))
+      .filter(col("d") <= 4)
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(got.nonEmpty && got.forall(_._3 >= 0))
+    // got ⊆ ref (candidates are shingle-blocked, ref is all-pairs) and
+    // every kept distance matches the unbounded value exactly.
+    assert(got.toSet.subsetOf(ref.toSet))
+    assert(got.map { case (a, b, _) => (a, b) }.contains((1L, 2L)))
+    assert(!got.exists { case (a, b, _) => Set(a, b) == Set(1L, 3L) })
+  }
+
   test("simhashPairs: banded candidates reproduce all-pairs Hamming exactly") {
     val d = docs.filter($"doc_id" < 100)
     val got = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
