@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Row bound under which an iterative operator's per-round frontier (or
+    * settled set) is broadcast instead of shuffle-joined against the
+    * pre-partitioned edge list. 4M rows of 1-3 longs ≈ 32-100 MB as a
+    * built hash relation — comfortably inside any realistic executor and
+    * far under Spark's 8 GB / 512M-row broadcast cap, while covering the
+    * frontier sizes bounded-hop traversals actually see (frontiers track
+    * the reached set, not the edge list). Above the bound the plan falls
+    * back to the shuffle join the operators always used; semantics are
+    * identical either way — only the join strategy moves.
+    */
+  private val frontierBroadcastMaxRows = 1L << 22
+
   /** PageRank in PURE INTEGER arithmetic: ranks are longs in units of
     * `1/scale`, every step is integer division (`div`) and integer
     * multiply-add, so the result is bit-identical in any engine and under
@@ -75,14 +87,37 @@ object Graph {
     var dist = pin(sources.select(col("id").cast("long").as("id"),
       lit(0L).as("hop")).distinct())
     var frontier = dist
-    for (h <- 1 to maxHops) {
-      val next = pin(e.join(frontier.withColumnRenamed("id", "src")
-          .select("src"), "src")
+    // Frontiers are usually TINY next to the edge list (seeds, then the
+    // reached set), but the frontier join planned as a sort-merge join
+    // re-SORTS the full persisted edge partitions every round — a
+    // per-round cost proportional to the graph, not the frontier.
+    // Counting the (persisted) frontier is one node-sized job per round
+    // and buys two things: a BroadcastHashJoin under the row bound (the
+    // edge side is then never sorted or shuffled — it streams out of the
+    // cache probing the frontier hash table), and an early exit when the
+    // frontier empties (remaining rounds are no-ops by construction).
+    // Above the bound the pre-partitioned shuffle join stands unchanged.
+    // The settled set rides the same bound on the anti-join side.
+    var frontierRows = frontier.count()
+    var distRows = frontierRows
+    var h = 1
+    while (h <= maxHops && frontierRows > 0) {
+      val fSrc = frontier.withColumnRenamed("id", "src").select("src")
+      val reached = e.join(
+          if (frontierRows <= frontierBroadcastMaxRows) broadcast(fSrc)
+          else fSrc, "src")
         .select(col("dst").as("id")).distinct()
-        .join(dist, Seq("id"), "left_anti")
+      val settled = dist.select("id")
+      val next = pin(reached
+        .join(if (distRows <= frontierBroadcastMaxRows) broadcast(settled)
+              else settled,
+          Seq("id"), "left_anti")
         .select(col("id"), lit(h.toLong).as("hop")))
       dist = pin(dist.unionByName(next))
       frontier = next
+      frontierRows = next.count()
+      distRows += frontierRows
+      h += 1
     }
     // Materialize the (id, hop) result eagerly, then release EVERY block
     // this call pinned — including the data-sized edge list — instead of
@@ -128,14 +163,29 @@ object Graph {
       .distinct()
       .select(col("id"), col("id").as("lm"), lit(0L).as("hop")))
     var frontier = dist
-    for (h <- 1 to maxHops) {
-      val next = pin(e.join(frontier.withColumnRenamed("id", "src")
-          .select("src", "lm"), "src")
+    // Same frontier-broadcast / early-exit round shape as bfsHops — the
+    // labeled frontier is (node × landmark)-bounded, still far under the
+    // edge list the sort-merge fallback would re-sort per round.
+    var frontierRows = frontier.count()
+    var distRows = frontierRows
+    var h = 1
+    while (h <= maxHops && frontierRows > 0) {
+      val fSrc = frontier.withColumnRenamed("id", "src").select("src", "lm")
+      val reached = e.join(
+          if (frontierRows <= frontierBroadcastMaxRows) broadcast(fSrc)
+          else fSrc, "src")
         .select(col("dst").as("id"), col("lm")).distinct()
-        .join(dist.select("id", "lm"), Seq("id", "lm"), "left_anti")
+      val settled = dist.select("id", "lm")
+      val next = pin(reached
+        .join(if (distRows <= frontierBroadcastMaxRows) broadcast(settled)
+              else settled,
+          Seq("id", "lm"), "left_anti")
         .select(col("id"), col("lm"), lit(h.toLong).as("hop")))
       dist = pin(dist.unionByName(next))
       frontier = next
+      frontierRows = next.count()
+      distRows += frontierRows
+      h += 1
     }
     val out = org.apache.spark.sql.graft.FreshCheckpoint(dist)
     retained.foreach(_.unpersist(blocking = false))
@@ -202,8 +252,19 @@ object Graph {
     var dist = pin(sources.select(col("id").cast("long").as("id"),
       lit(0L).as("dist")).distinct())
     var frontier = dist
-    for (_ <- 1 to rounds) {
-      val cand = e.join(frontier.withColumnRenamed("id", "src"), "src")
+    // Same frontier-broadcast / early-exit round shape as bfsHops: the
+    // improved-last-round frontier SHRINKS as distances settle, so the
+    // relaxation join should never pay a per-round sort of the full
+    // edge list for it. Only the edge join branches; the keep-if-better
+    // and full-outer merge joins are node-sized on both sides and keep
+    // their shuffle plans.
+    var frontierRows = frontier.count()
+    var r = 1
+    while (r <= rounds && frontierRows > 0) {
+      val fr = frontier.withColumnRenamed("id", "src")
+      val cand = e.join(
+          if (frontierRows <= frontierBroadcastMaxRows) broadcast(fr)
+          else fr, "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("dist") + col("w")).as("cand"))
       val improved = pin(cand.join(dist, Seq("id"), "left_outer")
@@ -213,6 +274,8 @@ object Graph {
           Seq("id"), "full_outer")
         .select(col("id"), coalesce(col("nd"), col("dist")).as("dist")))
       frontier = improved
+      frontierRows = improved.count()
+      r += 1
     }
     val out = org.apache.spark.sql.graft.FreshCheckpoint(dist)
     retained.foreach(_.unpersist(blocking = false))
@@ -942,17 +1005,33 @@ object Graph {
     // join, so the support counts are exact regardless of fpp.
     def supportOf(e: DataFrame, eRows: Long): DataFrame = {
       import org.apache.spark.sql.graft.BloomOps
-      val sketch = e.agg(BloomOps.bloomAgg(struct(col("s"), col("t")),
-          math.max(eRows, 1L), 0.01).as("bf"))
-        .head().getAs[Array[Byte]]("bf")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      // The Bloom sketch and the wedge-pivot degree sums are two small
+      // independent aggregates over the same pinned edge set; run
+      // sequentially they were two back-to-back driver jobs of almost
+      // pure fixed cost (each re-scans cached blocks). Submitting them
+      // from two threads lets the scheduler overlap their stages (guide
+      // §2.6 — actions are only sequential because the driver calls them
+      // sequentially), so the pre-enumeration latency is max, not sum.
+      val sketchF = Future {
+        e.agg(BloomOps.bloomAgg(struct(col("s"), col("t")),
+            math.max(eRows, 1L), 0.01).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+      }
       val dd = e.select(col("s").as("id"), lit(1L).as("o"), lit(0L).as("i"))
         .unionByName(
           e.select(col("t").as("id"), lit(0L).as("o"), lit(1L).as("i")))
         .groupBy("id").agg(sum("o").as("dout"), sum("i").as("din"))
-      val w = dd.agg(
-        sum((col("din") * col("dout")).cast("decimal(38,0)")).as("wio"),
-        sum((col("dout") * (col("dout") - 1)).cast("decimal(38,0)"))
-          .as("woo")).head()
+      val wF = Future {
+        dd.agg(
+          sum((col("din") * col("dout")).cast("decimal(38,0)")).as("wio"),
+          sum((col("dout") * (col("dout") - 1)).cast("decimal(38,0)"))
+            .as("woo")).head()
+      }
+      val sketch = Await.result(sketchF, Duration.Inf)
+      val w = Await.result(wF, Duration.Inf)
       def dec(i: Int): BigInt = Option(w.getDecimal(i))
         .map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
       val sourcePivot = dec(1) < dec(0)

@@ -110,6 +110,28 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("bfsHops/ssspRounds: empty frontier — early exit equals full rounds") {
+    // r15 frontier change: rounds stop once the frontier empties (and the
+    // per-round count drives the broadcast branch). A disconnected pair
+    // graph settles in 1 hop; maxHops far past convergence must return
+    // the identical settled table the fixed-round form produced.
+    val und = Seq((1L, 2L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val hops = Graph.bfsHops(edges, Seq(1L).toDF("id"), maxHops = 9)
+      .as[(Long, Long)].collect().toMap
+    assert(hops == Map(1L -> 0L, 2L -> 1L))
+    val w = (und ++ und.map(_.swap)).map { case (s, d) => (s, d, 2L) }
+      .toDF("src", "dst", "w")
+    val dist = Graph.ssspRounds(w, Seq(1L).toDF("id"), rounds = 9)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == Map(1L -> 0L, 2L -> 2L))
+    // Seeds absent from the graph still settle themselves (frontier joins
+    // find nothing; round 1 empties the frontier immediately).
+    val lone = Graph.bfsHops(edges, Seq(42L).toDF("id"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lone == Map(42L -> 0L))
+  }
+
   test("bfsHops: multi-source takes the nearer seed; re-reached nodes keep first hop") {
     // Cycle 1-2-3-4 with seeds 1 and 3: everything within hop 1.
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
