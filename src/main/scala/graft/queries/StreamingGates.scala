@@ -34,6 +34,53 @@ object StreamingGates extends QueryModule {
     (in, Scratch.fresh("stream-out"), Scratch.fresh("stream-ck"))
   }
 
+  /** Start a streaming query under the CLUSTER-PROFILE state seams and
+    * block until it terminates (every gate here runs Trigger.AvailableNow,
+    * so termination is the staged input's exhaustion). Two runtime confs,
+    * both read at the query's FIRST batch and then pinned into its
+    * checkpoint — which is exactly why they must be conf seams and never
+    * local constants (VERDICT r14 #6):
+    *
+    *  - `graft.stream.statePartitions`: state-store partition count (the
+    *    `spark.sql.shuffle.partitions` a stateful query's first batch
+    *    sees). Locally the default (core count) stands so the bench series
+    *    stays comparable; a cluster sizes it to executors × cores — state
+    *    partitions are the unit of both state parallelism AND state-store
+    *    instances, so too few serializes, too many multiplies per-batch
+    *    store open/commit overhead.
+    *  - `graft.stream.stateStore` ("rocksdb" or a provider class name):
+    *    swaps the default HDFS-backed provider, which holds every state
+    *    row on the executor HEAP, for RocksDB's off-heap/spilling store —
+    *    the 100 TB posture where watermark-bounded state still exceeds
+    *    executor memory. Local default untouched (measured locally:
+    *    RocksDB adds per-batch store-open cost and wins nothing at test
+    *    state sizes — see OPTIMIZATION_r15.md).
+    *
+    * The shuffle-partition override is restored after termination so the
+    * BATCH work around the stream (staging writes, final reads) keeps the
+    * session's planning envelope.
+    */
+  private def runStream(s: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val sp = s.conf.getOption("graft.stream.statePartitions")
+      .filter(_.nonEmpty)
+    val prov = s.conf.getOption("graft.stream.stateStore")
+      .filter(_.nonEmpty).map {
+        case "rocksdb" => "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider"
+        case other => other
+      }
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    sp.foreach(v => s.conf.set("spark.sql.shuffle.partitions", v))
+    prov.foreach(v =>
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", v))
+    try {
+      start.awaitTermination()
+    } finally {
+      sp.foreach(_ => s.conf.set("spark.sql.shuffle.partitions", prevSp))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Streaming tumbling-window counts ≡ batch hourly agg over windows the
@@ -52,12 +99,11 @@ object StreamingGates extends QueryModule {
       ORDER BY event_type, hour_s"""),
       bench = true) { (s, dir) =>
       val (in, out, ck) = stage(s, dir)
-      val q = Streams.windowedCounts(
+      runStream(s) { Streams.windowedCounts(
           Streams.readEventStream(s, in), "1 hour", "1 hour")
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ck)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .outputMode("append").trigger(Trigger.AvailableNow()).start() }
       s.read.parquet(out)
         .select(col("event_type"),
           date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
@@ -86,12 +132,11 @@ object StreamingGates extends QueryModule {
       WHERE ws + INTERVAL 2 HOUR <= m - INTERVAL 1 HOUR
       ORDER BY event_type, win_s""")) { (s, dir) =>
       val (in, out, ck) = stage(s, dir)
-      val q = Streams.windowedCountsSliding(
+      runStream(s) { Streams.windowedCountsSliding(
           Streams.readEventStream(s, in), "2 hours", "1 hour", "1 hour")
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ck)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .outputMode("append").trigger(Trigger.AvailableNow()).start() }
       s.read.parquet(out)
         .select(col("event_type"),
           date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_s"),
@@ -115,12 +160,11 @@ object StreamingGates extends QueryModule {
         .filter(col("event_type") === "click")
       val purchases = Streams.readEventStream(s, in)
         .filter(col("event_type") === "purchase")
-      val q = Streams.intervalJoin(clicks, purchases, "user_id",
+      runStream(s) { Streams.intervalJoin(clicks, purchases, "user_id",
           windowMs = 30 * 60 * 1000L, lateness = "1 hour")
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ck)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .outputMode("append").trigger(Trigger.AvailableNow()).start() }
       s.read.parquet(out)
         .select(col("l_key").as("user_id"), col("l_id"), col("r_id"),
           (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("lag_ms"))
@@ -155,12 +199,11 @@ object StreamingGates extends QueryModule {
         .filter(col("event_type") === "click")
       val purchases = Streams.readEventStream(s, in)
         .filter(col("event_type") === "purchase")
-      val q = Streams.intervalJoinLeftOuter(clicks, purchases, "user_id",
+      runStream(s) { Streams.intervalJoinLeftOuter(clicks, purchases, "user_id",
           windowMs = 30 * 60 * 1000L, lateness = "1 hour")
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ck)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .outputMode("append").trigger(Trigger.AvailableNow()).start() }
       s.read.parquet(out)
         .select(col("l_key").as("user_id"), col("l_id"), col("r_id"),
           (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("lag_ms"))
@@ -181,12 +224,11 @@ object StreamingGates extends QueryModule {
       val ev = Tables.load(s, dir, "events")
       ev.unionByName(ev).write.mode("overwrite").parquet(in)
       val (out, ck) = (Scratch.fresh("stream-out"), Scratch.fresh("stream-ck"))
-      val q = Streams.dedupWithinWatermark(
+      runStream(s) { Streams.dedupWithinWatermark(
           Streams.readEventStream(s, in), Seq("event_id"), lateness = "1 hour")
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ck)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .outputMode("append").trigger(Trigger.AvailableNow()).start() }
       s.read.parquet(out)
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"),
@@ -226,11 +268,10 @@ object StreamingGates extends QueryModule {
       import s.implicits._
       val (in, out, ck) = stage(s, dir)
       val events = Streams.readEventStream(s, in).as[Streams.Event]
-      val q = Streams.sessionize(events, gapMs, lateness = "1 hour")
+      runStream(s) { Streams.sessionize(events, gapMs, lateness = "1 hour")
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ck)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .outputMode("append").trigger(Trigger.AvailableNow()).start() }
       s.read.parquet(out)
         .select("user_id", "n_events", "start_ms", "end_ms")
         .orderBy("user_id", "start_ms")
@@ -252,12 +293,11 @@ object StreamingGates extends QueryModule {
       val (in, out, ck) = stage(s, dir)
       val dim = Tables.load(s, dir, "events").groupBy("user_id")
         .agg(floor(count(lit(1)) / lit(10.0)).cast("long").as("seg"))
-      val q = Streams.enrichWithDim(
+      runStream(s) { Streams.enrichWithDim(
           Streams.readEventStream(s, in), dim, Seq("user_id"))
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ck)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .outputMode("append").trigger(Trigger.AvailableNow()).start() }
       s.read.parquet(out)
         .groupBy("seg", "event_type")
         .agg(count(lit(1)).as("cnt"),
@@ -282,12 +322,11 @@ object StreamingGates extends QueryModule {
           col("text"))
         .repartition(2)
         .write.format("graft-zip").mode("overwrite").save(zdir)
-      val q = s.readStream.format("graft-zip").load(zdir)
+      runStream(s) { s.readStream.format("graft-zip").load(zdir)
         .select("member", "text")
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(Trigger.AvailableNow()).start() }
       s.read.parquet(out)
         .select(regexp_extract(col("member"), "doc_(\\d+)\\.txt", 1)
           .cast("long").as("doc_id"), col("text"))
@@ -318,11 +357,10 @@ object StreamingGates extends QueryModule {
       Tables.load(s, dir, "events")
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .drop("__rn").coalesce(1).write.mode("overwrite").parquet(in)
-      val q = Streams.mergeSink(Streams.readEventStream(s, in),
+      runStream(s) { Streams.mergeSink(Streams.readEventStream(s, in),
           Seq("user_id"), snap)
         .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(Trigger.AvailableNow()).start() }
       s.read.parquet(Streams.latestSnapshot(s, snap)
           .getOrElse(sys.error("mergeSink wrote no snapshot")))
         .select("user_id", "event_id", "event_type", "value")
@@ -376,10 +414,9 @@ object StreamingGates extends QueryModule {
         .select(col("ts").cast("date").as("d"),
           floor(col("value") * 10).as("bin"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("b"))
-      val q = Streams.aggSink(src, Seq("d", "bin"), Seq("nb" -> "b"), snap)
+      runStream(s) { Streams.aggSink(src, Seq("d", "bin"), Seq("nb" -> "b"), snap)
         .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(Trigger.AvailableNow()).start() }
       val h = s.read.parquet(Streams.latestSnapshot(s, snap)
           .getOrElse(sys.error("aggSink wrote no snapshot")))
         .select(col("d"), col("bin"), col("cnt"),
@@ -414,11 +451,10 @@ object StreamingGates extends QueryModule {
         .write.mode("overwrite").parquet(in)
       val src = s.readStream.schema(Streams.eventsSchema)
         .option("maxFilesPerTrigger", "1").parquet(in)
-      val q = Streams.aggSink(src, Seq("event_type"),
+      runStream(s) { Streams.aggSink(src, Seq("event_type"),
           Seq("total" -> "value"), snap)
         .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(Trigger.AvailableNow()).start() }
       s.read.parquet(Streams.latestSnapshot(s, snap)
           .getOrElse(sys.error("aggSink wrote no snapshot")))
         .select(col("event_type"), col("cnt"),
@@ -451,11 +487,10 @@ object StreamingGates extends QueryModule {
         .select(md5(col("text")).as("digest"))
       val src = s.readStream.schema(Streams.documentsSchema)
         .option("maxFilesPerTrigger", "1").parquet(in)
-      val q = Streams.curateStream(src, digests, minTokens = 8)
+      runStream(s) { Streams.curateStream(src, digests, minTokens = 8)
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ck)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .outputMode("append").trigger(Trigger.AvailableNow()).start() }
       s.read.parquet(out)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
@@ -487,11 +522,10 @@ object StreamingGates extends QueryModule {
         .write.mode("overwrite").parquet(in)
       val src = s.readStream.schema(Streams.eventsSchema)
         .option("maxFilesPerTrigger", "1").parquet(in)
-      val q = Integrity.fingerprintSink(src, Seq("event_id", "event_type"),
+      runStream(s) { Integrity.fingerprintSink(src, Seq("event_id", "event_type"),
           snap)
         .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(Trigger.AvailableNow()).start() }
       // Gate projection renders the DECIMAL(38,0) checksum sums as
       // strings (SURVEY §5.2 output-type contract); snapshot internals
       // stay exact decimals.
