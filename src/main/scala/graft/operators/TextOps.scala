@@ -962,13 +962,21 @@ object TextOps {
     // The scored subtree is consumed by the sampled-quantile threshold
     // AND the corpus keep-filter, but deliberately NOT persisted
     // (contrast lmScoreBucketsThreshold, where persisting the scored
-    // table won a measured 8.1→4.3 s): here the sample filter on idCol
-    // pushes below the scoring join to the raw scan, so the threshold
-    // branch scores only the sampled fraction, while a persist forces a
-    // full-corpus materialization to serve that fractional read
-    // (measured at sf1: persist 5.85 s vs unpersisted 4.15 s; the
+    // table won a measured 8.1→4.3 s): the sample filter on idCol pushes
+    // below the scoring join to the raw scan, so the threshold branch
+    // scores only the sampled fraction, while a persist forces a
+    // full-corpus materialization to serve that fractional read. The
+    // r15 interleaved re-probe (DsirPersistProbe, VERDICT r14 #8 — the
+    // old sequential sf1 numbers 5.85 vs 4.15 did not survive it) finds
+    // the persist EQUAL-OR-SLIGHTLY-FASTER at bench scales (sf0.1
+    // medians 3.20 vs 3.07, sf1 6.58 vs 5.93) because the local sample
+    // rate is 25% — re-scoring it nearly prices a persist's write. The
+    // non-persist still ships: at 100 TB the sample rate is ~1e-4 (the
+    // re-scored fraction vanishes) while the persist pins a CORPUS-sized
+    // scored table in storage memory — the same liability the curation
+    // stage-pin experiment rejected (OPTIMIZATION_r14 §3.1). The
     // rc/model and keep branches share the unfiltered rawB exchange via
-    // ReuseExchange — stage-probe data in PLANS.md round-10).
+    // ReuseExchange (stage-probe data in PLANS.md round-10).
     val scored = dsirScores(raw, target, idCol, textCol, hexDigits)
     val samp = scored.filter(Sample.bernoulliPortable(idCol, sampleHexCeil))
     // Quantile by exact rank WITHIN THE SAMPLE (sample-sized sort): the

@@ -2979,6 +2979,16 @@ object Extensions extends QueryModule {
           .select("doc_id", "cluster"), "doc_id")
         .withColumn("split", Sample.hashSplit("cluster",
           Seq("e6" -> "train", "f3" -> "val"), "test"))
+      // Per-stage counting: eight lang-keyed aggregates left-joined back
+      // together. A ONE-aggregation stage-tagged-union rewrite (VERDICT
+      // r14 #3) was built, proven output-identical, and REVERTED in r15:
+      // isolated bench children at matched calm calibrations measured the
+      // union form at 22.20 s vs 9.58 s for this shape (2.3× REGRESSION;
+      // stage count 48 → 92) — the separate count branches share their
+      // exchanges via ReuseExchange, which the tagged union (with its
+      // multi-distinct Expand under the single aggregate) defeats, so
+      // every branch recomputed its chain prefix. Evidence:
+      // tools/CurationCombineProbe + OPTIMIZATION_r15.md.
       def stage(df: DataFrame, name: String): DataFrame =
         df.groupBy("lang").agg(count(lit(1)).as(name))
       val finAgg = split.groupBy("lang").agg(
