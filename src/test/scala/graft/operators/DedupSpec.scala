@@ -96,6 +96,21 @@ class DedupSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("carried-size scoring equals cnt-join scoring bit-for-bit") {
+    // r15: the default (length-filtered) path scores from the sizes the
+    // self-join window already carried (scorePairsCarried); a huge
+    // maxDocFreq forces the same candidate set through the explicit
+    // pairIntersections + cnt-join scoring path (scorePairs). Same exact
+    // integers, same one double division — the outputs must be identical.
+    val carried = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val joined = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        maxDocFreq = Long.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(carried == joined)
+    assert(carried.nonEmpty)
+  }
+
   test("maxDocFreq cut never invents pairs") {
     val all = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("da", "db").as[(Long, Long)].collect().toSet
